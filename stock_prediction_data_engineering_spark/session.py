@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Local mode is a single JVM with N executor threads; the same configs
+are what we would set on a real cluster (AQE, skew-join handling,
+Arrow for every Python boundary). Session timezone is pinned to UTC so
+timestamp semantics match the DuckDB oracle (naive-UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "stock_prediction_data_engineering_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_mem: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Env knobs (driver contract): ``SPARK_GRAFT_CPUS`` sets local
+    parallelism, ``SPARK_GRAFT_DRIVER_MEM`` the driver heap.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or 0
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # --- planner / runtime ---
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python boundary: always Arrow ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- semantics pinned for oracle parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- local-mode resources ---
+        .config("spark.driver.memory", mem)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

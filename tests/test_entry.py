@@ -1,0 +1,36 @@
+"""Smoke test of the driver contract surface."""
+
+from __future__ import annotations
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    cols = df.columns
+    assert cols == [
+        "symbol_key",
+        "company_name",
+        "sector",
+        "data_existing",
+        "history_existing",
+        "acctbal",
+    ]
+    # flagship invariants mirror the reference's golden artifact
+    # (SURVEY.md §2.9): full history, non-null sector, sorted by key.
+    keys = [r.symbol_key for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.history_existing >= 12 for r in rows)
+    assert all(r.sector is not None for r in rows)
+    assert all(r.data_existing for r in rows)
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert "q_symbol_preprocess" in os_

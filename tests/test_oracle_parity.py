@@ -1,0 +1,91 @@
+"""Differential test: every oracle-backed declared query must match its
+DuckDB oracle on row-count, column names, and order-insensitive values
+at sf=0.01 — a local mirror of the driver's correctness gate
+(SURVEY.md §5.1).
+
+The comparison is strict (exact values after canonicalization): if it
+passes here, a value-hash comparison passes too.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from conftest import SF_ORACLE
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            # both engines are naive-UTC after µs truncation
+            df[c] = s.dt.floor("us").astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        else:
+            df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+        an = a is None or (isinstance(a, float) and math.isnan(a)) or a is pd.NA
+        bn = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NA
+        return an == bn
+    if isinstance(a, float) or isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
+
+
+def _query_names():
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    return sorted(registry.ORACLES)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(spark, duck, name):
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    sdf = registry.QUERIES[name](spark, SF_ORACLE).toPandas()
+    odf = duck.sql(registry.ORACLES[name]).df()
+
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != oracle {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: cols {sorted(sdf.columns)} != {sorted(odf.columns)}"
+    )
+    assert len(sdf) > 0, f"{name}: empty result (degenerate query)"
+
+    a, b = canonicalize(sdf), canonicalize(odf)
+    # exact frame compare; report the first mismatching cell for debugging
+    if not a.equals(b):
+        for col in a.columns:
+            av, bv = a[col].tolist(), b[col].tolist()
+            for i, (x, y) in enumerate(zip(av, bv)):
+                if not values_equal(x, y) and str(x) != str(y):
+                    raise AssertionError(
+                        f"{name}: first mismatch col={col} row={i}: spark={x!r} oracle={y!r}"
+                    )
+        raise AssertionError(f"{name}: frames differ (dtype-level); spark=\n{a.dtypes}\noracle=\n{b.dtypes}")
+
+
+def test_rows_only_queries_nonempty(spark):
+    """Queries without an oracle still must run and return rows."""
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    rows_only = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+    for name in rows_only:
+        df = registry.QUERIES[name](spark, SF_ORACLE)
+        assert df.count() > 0, f"{name}: empty result"
