@@ -35,7 +35,17 @@ BROADCAST_DIMS = ("region", "nation")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is nanosecond-precision parquet, surfaced as a long
+        # (session.py sets nanosAsLong). Truncate to µs TimestampType —
+        # integer division, since ~1.7e18 ns exceeds double's exact
+        # range. DuckDB truncates ns->µs the same way, so values hash
+        # identically.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,1 +1,187 @@
-"""(populated in M1+)"""
+"""Aggregations (SURVEY.md §2.4).
+
+Reference lineage: groupby("Year") partition-grain write (reference
+dags/stock_data_airflow_local_aws_s3.py:51), the implied per-symbol
+history-count probe behind History_Existing/Data_Exising, and the
+standard multi-aggregate surface the lake exists to serve.
+
+All are hash aggregates with map-side partial aggregation; float sums
+use exact DECIMAL(18,4) accumulation (functions/exact.py) so results
+are order-independent at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.exact import davg, dsum
+from ..registry import query
+
+
+@query(
+    "q_groupby_year_count",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY order_year
+    """,
+)
+def q_groupby_year_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's groupby('Year') grain as a count query (A1/C3)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q_history_count",
+    oracle="""
+    SELECT o_custkey AS key, COUNT(*) AS history_cnt, (COUNT(*) > 0) AS has_data
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_history_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key history length + existence flag — the probe behind the
+    reference's History_Existing / Data_Exising columns (A2/A3)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("history_cnt"), (F.count("*") > 0).alias("has_data"))
+    )
+
+
+@query(
+    "q_multi_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the canonical multi-aggregate
+    scan (A4). Single hash-agg stage, partial+final."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nationkey FROM customer",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a two-column projection (A5)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"), F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (A5). The approximate HLL++ twin
+    is q_approx_count_distinct (rows-only; sketches differ by engine)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("q_approx_count_distinct")  # rows-only: sketch values are engine-specific
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (A6) — the 100 TB path where exact
+    distinct would shuffle every key."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (A7): detail + subtotal + grand total."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(o_totalprice AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS urgent_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (A9) — one pass, no self-join."""
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("n_urgent"),
+            F.sum(F.when(urgent, F.col("o_totalprice").cast("decimal(18,4)")).otherwise(zero))
+            .cast("double")
+            .alias("urgent_revenue"),
+        )
+    )

@@ -1,1 +1,92 @@
-"""(populated in M1+)"""
+"""LLM-training-data text operators (SURVEY.md §2.11 L1/L3/L4) over the
+``documents`` table. North-star extensions (BASELINE.json): the
+reference stops at OHLCV ETL; a 100 TB training-data pipeline needs
+dedup and text analysis as first-class engine ops.
+
+The heavy members of the family (MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-dup, language-ID, quality scoring, fingerprinting) live
+in operators/dedup.py and operators/text.py and are exposed as
+rows-only queries — their outputs are not ANSI-SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text_hash
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (L1): hash-groupBy on content, keep the lowest id.
+
+    At 100 TB this is one shuffle on md5(text) — no sort, no window —
+    and the canonical first pass before any near-dup method.
+    """
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text statistics per language (L3): doc counts, length and
+    token-count moments. Integer sums are exact, so averages are a
+    single deterministic double division."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
+        (F.sum(n_words).cast("double") / F.count("*")).alias("avg_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_token_explode",
+    oracle="""
+    SELECT token, COUNT(*) AS tf
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + global term frequency (L4): split -> explode ->
+    hash-agg. The explode is pipelined into a partial agg before the
+    shuffle, so the exchanged data is vocabulary-sized, not token-sized.
+    """
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )

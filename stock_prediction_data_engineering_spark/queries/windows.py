@@ -1,1 +1,139 @@
-"""(populated in M1+)"""
+"""Window functions (SURVEY.md §2.5) — the feature-engineering surface
+for the reference's stock-prediction domain: daily returns, moving
+averages, rankings, cumulative stats over per-key ordered history.
+
+All windows partition by a key before ordering, so state stays
+per-key-bounded at 100 TB (no global sort; the only global-window
+query in the engine is q_sort over a dimension table).
+
+Window frames order by (ts, id) so every frame is deterministic even
+with duplicate timestamps. Windowed float sums use exact
+DECIMAL(18,4) accumulation, same as the grouped aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+DEC = "decimal(18,4)"
+
+
+def _per_user() -> Window:
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@query(
+    "q_window_lag_return",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 4)
+               AS ret
+    FROM events
+    """,
+)
+def q_window_lag_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-based per-key return: close/lag(close)-1 in the OHLCV domain
+    (W1). First row per key keeps a null return (explicit, not dropped)."""
+    w = _per_user()
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") / F.lag("value").over(w) - 1, 4).alias("ret"),
+    )
+
+
+@query(
+    "q_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS ma20
+    FROM events
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-row moving average per key (W2) — the 20-day SMA shape."""
+    w = _per_user().rowsBetween(-19, Window.currentRow)
+    ma = F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count("value").over(w)
+    return table(spark, sf_dir, "events").select(
+        "event_id", "user_id", ma.alias("ma20")
+    )
+
+
+@query(
+    "q_rank_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value (W3/O3). row_number with a
+    full tiebreak key keeps ranks deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_cumulative_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                    OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_qty
+    FROM lineitem
+    """,
+)
+def q_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per key (W4)."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@query(
+    "q_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS wealth_quartile
+    FROM customer
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile bucketing (W5). Global window over a dimension
+    table — acceptable; fact-scale percentiles use percentile_approx."""
+    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey", F.ntile(4).over(w).cast("int").alias("wealth_quartile")
+    )

@@ -48,6 +48,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- semantics pinned for oracle parity ---
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.ts is TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read as long and convert in catalog.table()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- local-mode resources ---
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
