@@ -1,0 +1,92 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline declared queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed with a full-materialization action (noop-write
+style count over every column via a cheap reduction) so the measured
+time includes the whole physical plan, not just the driver's first
+batch. The session is warmed once; per-query times exclude JVM/session
+startup, matching how a long-running cluster amortizes it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE_QUERIES = [
+    # scan/agg shapes
+    "q_multi_agg",
+    "q_groupby_year_count",
+    "q_rollup",
+    # join shapes
+    "q_join_multiway",
+    "q_join_inner",
+    "q_join_asof",
+    # window shapes
+    "q_window_lag_return",
+    "q_moving_avg",
+    "q_rank_topk_per_group",
+    "q_cumulative_sum",
+    # composite flagship
+    "q_symbol_preprocess",
+    # LLM-data ops
+    "q_dedup_exact",
+    "q_token_explode",
+    "q_text_stats",
+    "q_vector_dot",
+    "q_topk_similar",
+    # event-time windows
+    "q_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # derive the sf number from the directory name (".../sf0.1" -> 0.1)
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(tail[2:]) if tail.startswith("sf") else None
+
+    from stock_prediction_data_engineering_spark import registry
+    from stock_prediction_data_engineering_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="bench")
+
+    # warm-up: touch every table once so file listing/footer reads and
+    # JVM JIT don't land in the first measured query
+    from stock_prediction_data_engineering_spark.catalog import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full evaluation of every operator in the plan
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,19 +30,31 @@ def _per_user() -> Window:
     "q_window_lag_return",
     oracle="""
     SELECT event_id, user_id,
-           round(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 4)
-               AS ret
+           CAST(floor((value / nullif(lag(value) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id), 0)
+                       - 1) * 10000) AS BIGINT) AS ret_bp
     FROM events
     """,
 )
 def q_window_lag_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-based per-key return: close/lag(close)-1 in the OHLCV domain
-    (W1). First row per key keeps a null return (explicit, not dropped)."""
+    (W1), emitted in integer basis points.
+
+    First row per key keeps a null return (explicit, not dropped); a
+    zero previous value also yields null via nullif — portable across
+    ANSI (throwing) and non-ANSI engines. floor-of-basis-points rather
+    than round(.,4): ratios of 2-decimal inputs land exactly on
+    .xxxx5 often enough that HALF_UP tie-breaking diverges between
+    engines, while floor of the identical IEEE double is
+    bit-deterministic everywhere.
+    """
     w = _per_user()
+    prev = F.nullif(F.lag("value").over(w), F.lit(0.0))
+    ret_bp = F.floor((F.col("value") / prev - 1) * 10000).cast("bigint")
     return table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(F.col("value") / F.lag("value").over(w) - 1, 4).alias("ret"),
+        ret_bp.alias("ret_bp"),
     )
 
 
