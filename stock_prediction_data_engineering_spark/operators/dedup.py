@@ -1,0 +1,298 @@
+"""Deduplication family for training-data pipelines (north-star
+extension, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale posture (the whole point of these operators):
+
+- every method is shuffle-bounded by *candidate generation* — LSH
+  band buckets or signature chunks — never by all-pairs comparison;
+- signatures are computed JVM-side with higher-order array functions
+  (xxhash64 over shingle arrays), no Python in the per-document path;
+- verification (exact Jaccard / hamming / cosine) runs only on
+  bucket-colliding pairs, which is the textbook MinHash-LSH design:
+  band collisions have probability s^r for true similarity s, so
+  the candidate set is tiny relative to n^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash signatures (JVM-side)
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct k-char shingles of a document as an array column."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+    )
+
+
+def _seeded_hasher(seed: int):
+    # closure factory: a default-arg lambda (s, i=seed) would be seen
+    # by PySpark as a TWO-argument higher-order lambda and silently
+    # receive the element index instead of the seed
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-wide MinHash signature: for seed i, min over shingles
+    of xxhash64(shingle, i). One array expression, fully codegen'd."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _band_structs(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Split the signature into `bands` chunks and hash each chunk."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ])).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH.
+
+    Pipeline: shingle -> 64-hash MinHash signature -> 16 bands of 4 ->
+    explode bands -> self-join on (band, band_hash) for candidates ->
+    verify with exact Jaccard over shingle sets -> threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        char_shingles(text_col, k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    banded = base.select(
+        "id",
+        "shingles",
+        F.explode(_band_structs(F.col("sig"), bands, rows_per_band)).alias("b"),
+    ).select("id", "shingles", "b.band", "b.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    jaccard = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        cands.withColumn("jaccard", F.round(jaccard, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array: per bit position, sign of the
+    sum of ±1 votes from each token's xxhash64. Expressed as 64 JVM
+    aggregate folds over the token-hash array (no Python).
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _bit_voter(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for bit in range(64):
+        votes = F.aggregate(hashes, F.lit(0), _bit_voter(bit))
+        # bit weight via JVM shiftleft: a python-side 1 << 63 literal
+        # overflows Long.MAX; shiftleft wraps to the sign bit correctly
+        bit_cols.append(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return total
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash with chunk-collision blocking:
+    split the 64-bit simhash into 4 × 16-bit chunks; by pigeonhole, any
+    pair within hamming distance 3 collides on at least one chunk.
+    Self-join per chunk, verify exact hamming distance.
+    """
+    sims = docs.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.split(F.trim(F.col(text_col)), r"\s+")).alias("simhash"),
+    )
+    chunks = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.chunk_val")
+
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for modest candidate sets or as LSH verifier)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word n-gram Jaccard similarity via an inverted index: explode
+    n-grams, self-join on the gram (candidates share >=1 gram), count
+    shared grams per pair, then Jaccard = shared / (|A| + |B| - shared).
+
+    No all-pairs: the join is gram-partitioned, which is how inverted-
+    index similarity joins scale. Rare-gram filtering would cap hot
+    postings at 100 TB (documented; not needed at test scale).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    )
+    inv = base.select("id", "n_grams", F.explode("grams").alias("gram"))
+
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.n_grams").alias("na"),
+            F.col("r.n_grams").alias("nb"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jaccard = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jaccard, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (delegates candidate generation to LSH)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+    num_planes: int = 16,
+) -> DataFrame:
+    """Near-duplicate vectors: random-hyperplane LSH buckets as
+    candidates, exact cosine as verifier. See similarity.lsh_bucket
+    for the signature construction."""
+    from .similarity import cosine_expr, lsh_bucket
+
+    tagged = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), num_planes=num_planes))
+
+    l, r = tagged.alias("l"), tagged.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine_expr(F.col("l.vec"), F.col("r.vec")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )

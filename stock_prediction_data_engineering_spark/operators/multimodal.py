@@ -1,0 +1,155 @@
+"""Multimodal columns (north-star extension, BASELINE.json §L8):
+image/audio/video as opaque ``binary`` columns with typed metadata
+structs, processed by Arrow-batched ``mapInPandas`` stages.
+
+The Spark-side plumbing here is real and tested: schemas, partition
+behavior, UDF signatures, batch shapes. The actual codec kernels
+(JPEG decode, audio resample, video frame extraction) are NOT — the
+image/audio libraries are not in this environment, so ``decode_*``
+raise NotImplementedError and tests run against
+``fake_decode_image``, a deterministic stand-in that parses this
+module's own synthetic header format. Swapping in a real kernel
+changes one function body and nothing about the dataflow.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, content binary, "
+    "meta struct<width:int, height:int, n_frames:int, sample_rate:int, format:string>"
+)
+
+# synthetic payload: magic || width || height || n_frames || payload bytes
+_MAGIC = b"SGMM"
+_HDR = ">4sHHH"
+
+
+def synth_media(media_id: int, kind: str = "image") -> tuple:
+    """Deterministic synthetic media row (seeded by id)."""
+    w = 16 + (media_id * 7) % 48
+    h = 16 + (media_id * 13) % 48
+    n_frames = 1 if kind == "image" else 1 + media_id % 8
+    rng = np.random.default_rng(media_id)
+    payload = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    content = struct.pack(_HDR, _MAGIC, w, h, n_frames) + payload
+    meta = (w, h, n_frames, 16000 if kind == "audio" else 0, "sgmm")
+    return (media_id, kind, bytearray(content), meta)
+
+
+def media_table(spark: SparkSession, n: int = 64) -> DataFrame:
+    """A synthetic media table; in production this is
+    spark.read.format('binaryFile') or parquet with a binary column."""
+    kinds = ("image", "audio", "video")
+    rows = [synth_media(i, kinds[i % 3]) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Real image decode (PIL/OpenCV) — not available in this
+    environment; see module docstring."""
+    raise NotImplementedError(
+        "image codec libraries are not installed in this environment; "
+        "use fake_decode_image for the dataflow tests"
+    )
+
+
+def fake_decode_image(content: bytes) -> np.ndarray:
+    """Deterministic decode of the synthetic SGMM format."""
+    magic, w, h, _ = struct.unpack_from(_HDR, content)
+    if magic != _MAGIC:
+        raise ValueError("not an SGMM payload")
+    return np.frombuffer(content, dtype=np.uint8, offset=struct.calcsize(_HDR))[
+        : w * h
+    ].reshape(h, w)
+
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "mean_intensity double, p95_intensity double"
+)
+
+
+def extract_features(media: DataFrame, decode=fake_decode_image) -> DataFrame:
+    """Decode + feature-extract as a mapInPandas stage: one Arrow batch
+    in, one feature frame out. Linear, partition-parallel; the binary
+    column never leaves the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                img = decode(bytes(row["content"]))
+                feats.append(
+                    (
+                        row["media_id"],
+                        row["kind"],
+                        img.shape[1],
+                        img.shape[0],
+                        float(np.round(img.mean(), 4)),
+                        float(np.round(np.percentile(img, 95), 4)),
+                    )
+                )
+            yield pd.DataFrame(
+                feats,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "width",
+                    "height",
+                    "mean_intensity",
+                    "p95_intensity",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, out_width int, out_height int, content binary"
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 8, out_h: int = 8, decode=fake_decode_image
+) -> DataFrame:
+    """Resize stage (nearest-neighbor on the fake decoder): shows the
+    binary-in/binary-out mapInPandas shape used by real pipelines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                img = decode(bytes(row["content"]))
+                ys = (np.arange(out_h) * img.shape[0] // out_h).astype(int)
+                xs = (np.arange(out_w) * img.shape[1] // out_w).astype(int)
+                small = img[np.ix_(ys, xs)]
+                content = (
+                    struct.pack(_HDR, _MAGIC, out_w, out_h, 1) + small.tobytes()
+                )
+                out.append((row["media_id"], out_w, out_h, bytearray(content)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "out_width", "out_height", "content"]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame-sampling stage for video rows: explode n_frames into frame
+    indices JVM-side (no Python needed for the index math)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
+            ).alias("frame_idx"),
+        )
+    )

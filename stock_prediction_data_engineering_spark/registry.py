@@ -50,6 +50,8 @@ def load_all() -> None:
         aggregates,
         composite,
         joins,
+        lake_q,
+        llm_extras,
         llm_text,
         llm_vector,
         relational,

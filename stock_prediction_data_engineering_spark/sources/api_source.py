@@ -1,0 +1,107 @@
+"""Per-key external-API ingestion stage.
+
+The reference drives yfinance row by row from a symbols DataFrame
+(reference dags/stock_data_airflow_local_aws_s3.py:110-112 calling
+yf.download at :36-42, timeout=30, log-and-skip on failure at
+:43-45). Spark-native shape: the symbols table is a DataFrame, the
+fetch is a ``mapInPandas`` stage — each task pulls a batch of symbols
+and emits bar rows, so fetch parallelism == partition count and Spark
+task retry replaces the reference's batch-level retry.
+
+Two policies deliberately differ from the reference:
+
+- failures become explicit error rows (quarantine column) instead of
+  silently dropped symbols (the reference's :43-45 is a data-loss
+  hazard flagged in SURVEY.md §7);
+- rate limiting stays app-level: a per-task token interval, since the
+  engine must not hammer an upstream API with 1000 concurrent tasks.
+
+There is no network in this environment, so the default fetcher is a
+deterministic synthetic bar generator with the yfinance result shape;
+a real fetcher plugs in via ``fetch_fn``.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BAR_SCHEMA = (
+    "company string, bar_date date, open double, high double, low double, "
+    "close double, adj_close double, volume long, fetch_error string"
+)
+
+
+def synthetic_fetch(symbol: str, start: str, end: str) -> pd.DataFrame:
+    """Deterministic fake of yf.download(symbol): a small daily-bar
+    frame seeded by the symbol text, matching the yfinance 0.2.x
+    single-ticker column shape (reference requirements.txt:1)."""
+    seed = sum(symbol.encode()) % 97 + 1
+    dates = pd.date_range(start, end, freq="D", inclusive="left")[:30]
+    base = pd.Series(range(len(dates)), dtype="float64") * 0.25 + seed
+    return pd.DataFrame(
+        {
+            "company": symbol,
+            "bar_date": dates.date,
+            "open": base,
+            "high": base + 1.0,
+            "low": base - 1.0,
+            "close": base + 0.5,
+            "adj_close": base + 0.5,
+            "volume": (base * 1000).astype("int64"),
+            "fetch_error": None,
+        }
+    )
+
+
+def fetch_bars(
+    symbols: DataFrame,
+    symbol_col: str = "symbol",
+    start: str = "2000-01-01",
+    end: str = "2024-10-01",
+    fetch_fn: Callable[[str, str, str], pd.DataFrame] = synthetic_fetch,
+    num_tasks: int | None = None,
+    min_interval_sec: float = 0.0,
+) -> DataFrame:
+    """The fetch stage: symbols DataFrame -> bar DataFrame.
+
+    ``num_tasks`` bounds concurrent upstream connections (the
+    reference's batch_size=100 analog); ``min_interval_sec`` is the
+    per-task rate limit.
+    """
+    src = symbols.select(F.col(symbol_col).alias("symbol"))
+    if num_tasks:
+        src = src.repartition(num_tasks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last = 0.0
+        for pdf in batches:
+            for sym in pdf["symbol"]:
+                if min_interval_sec:
+                    wait = last + min_interval_sec - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    last = time.monotonic()
+                try:
+                    yield fetch_fn(sym, start, end)
+                except Exception as exc:  # quarantine, don't drop
+                    yield pd.DataFrame(
+                        {
+                            "company": [sym],
+                            "bar_date": [None],
+                            "open": [None],
+                            "high": [None],
+                            "low": [None],
+                            "close": [None],
+                            "adj_close": [None],
+                            "volume": [None],
+                            "fetch_error": [repr(exc)],
+                        }
+                    )
+
+    return src.mapInPandas(run, schema=BAR_SCHEMA)

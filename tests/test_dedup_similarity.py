@@ -1,0 +1,128 @@
+"""Semantics tests for the dedup family and similarity search, on
+fixtures with PLANTED near-duplicates (the synthetic corpus has none,
+so rows-only checks alone would never prove recall)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill and the birds sing in the "
+        "garden near the old stone wall every single morning"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different text about spark query engines and "
+            "distributed columnar execution with shuffles and codegen"),
+        (4, base.replace("morning", "evening").replace("cat", "kitten")),  # near dup
+        (5, "another unrelated document mentioning parquet files and "
+            "partition pruning strategies for large analytical scans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_near_dups(planted_docs):
+    from stock_prediction_data_engineering_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(planted_docs, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8   # near dup
+    assert (0, 4) in pairs
+    # unrelated docs never pair
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_simhash_hamming_ranks_similarity(planted_docs):
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        hamming64,
+        simhash64,
+        simhash_pairs,
+    )
+
+    # candidate pairs come only from 16-bit-chunk collisions: exact and
+    # very-near dups must surface, unrelated docs must not
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(planted_docs, max_hamming=64).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text, identical simhash
+    assert (0, 4) in pairs and pairs[(0, 4)] <= 16
+    assert (3, 5) not in pairs  # unrelated: no chunk collision
+
+    # ground-truth ranking on the raw signatures (no blocking):
+    # near-dup hamming < unrelated hamming
+    sims = {
+        r.doc_id: r.sh
+        for r in planted_docs.select(
+            "doc_id", simhash64(F.split(F.trim("text"), r"\s+")).alias("sh")
+        ).collect()
+    }
+    ham = lambda a, b: bin(sims[a] ^ sims[b]).count("1")
+    assert ham(0, 2) < ham(0, 3)
+    assert ham(0, 4) < ham(0, 5)
+
+
+def test_ngram_jaccard_exact_semantics(planted_docs):
+    from stock_prediction_data_engineering_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(planted_docs, n=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (3, 5) not in pairs
+
+
+def test_embedding_near_dup_and_ann(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from stock_prediction_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    dim = 16
+    def vec(seed, eps=0.0):
+        # deterministic unit-ish vector; eps perturbs one component
+        v = [math.sin(seed * 31 + j) for j in range(dim)]
+        v[0] += eps
+        return v
+
+    rows = [
+        (0, vec(1)),
+        (1, vec(1, 0.01)),   # near dup of 0
+        (2, vec(2)),
+        (3, vec(3)),
+        (4, vec(1, 0.02)),   # near dup of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(emb, cosine_threshold=0.999, num_planes=4).collect()
+    }
+    assert (0, 1) in pairs and (0, 4) in pairs
+
+    exact = [r.vec_id for r in brute_force_topk(emb, emb.filter("vec_id = 0"), k=3).collect()]
+    assert exact[0] == 0 and set(exact) == {0, 1, 4}
+
+    approx = [r.vec_id for r in lsh_topk(emb, emb.filter("vec_id = 0"), k=3, num_planes=2).collect()]
+    assert 0 in approx  # the query itself is always in its own bucket

@@ -1,0 +1,77 @@
+"""Lake layout + ingestion-stage tests (SURVEY.md §2.1, M3)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import shutil
+
+from conftest import SF_SMOKE
+
+
+def test_lake_layout_and_pruning(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.sources.lake import (
+        ohlcv_from_events,
+        read_lake,
+        write_lake,
+    )
+
+    path = str(tmp_path_factory.mktemp("lake")) + "/ohlcv"
+    bars = ohlcv_from_events(spark, SF_SMOKE)
+    write_lake(bars, path)
+
+    # reference directory scheme: company=SYM000/year=2024/*.parquet
+    files = glob.glob(f"{path}/company=*/year=*/*.parquet")
+    assert files, "no hive-partitioned files written"
+    assert all(re.search(r"company=SYM\d+/year=\d+/", f) for f in files)
+
+    # partition keys are NOT duplicated inside the data files
+    import pyarrow.parquet as pq
+
+    phys_cols = pq.read_schema(files[0]).names
+    assert "company" not in phys_cols and "year" not in phys_cols
+
+    # snappy compression, as the reference pins (dags/...aws_s3.py:63)
+    meta = pq.ParquetFile(files[0]).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "snappy"
+
+    back = read_lake(spark, path)
+    assert back.count() == bars.count()
+
+    # partition pruning: a company= predicate must reach PartitionFilters
+    one = back.filter(F.col("company") == "SYM001")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "company" in plan.split("PushedFilters")[0]
+
+
+def test_fetch_stage_quarantines_failures(spark):
+    import pandas as pd
+
+    from stock_prediction_data_engineering_spark.sources.api_source import (
+        fetch_bars,
+        synthetic_fetch,
+    )
+
+    symbols = spark.createDataFrame(
+        [("AAA",), ("BAD",), ("CCC",)], "symbol string"
+    )
+
+    def flaky(sym, start, end):
+        if sym == "BAD":
+            raise RuntimeError("upstream timeout")
+        return synthetic_fetch(sym, start, end)
+
+    bars = fetch_bars(symbols, fetch_fn=flaky, num_tasks=2).toPandas()
+    ok = bars[bars.fetch_error.isna()]
+    bad = bars[bars.fetch_error.notna()]
+    # failures are quarantined as explicit rows, not dropped
+    # (the reference silently skips them, dags/...aws_s3.py:43-45)
+    assert set(ok.company) == {"AAA", "CCC"}
+    assert list(bad.company) == ["BAD"]
+    assert "upstream timeout" in bad.fetch_error.iloc[0]
+    # deterministic synthetic bars
+    again = fetch_bars(symbols, fetch_fn=flaky, num_tasks=2).toPandas()
+    assert len(again) == len(bars)

@@ -1,0 +1,105 @@
+"""Semantics tests for text analysis and multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def test_lang_id_on_distinctive_text(spark):
+    from stock_prediction_data_engineering_spark.operators.text import identify_language
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the thing and the other thing going along the path"),
+            (2, "ich bin ein schöner mensch und ich singe gerne lieder"),
+            (3, "los gatos que viven en la casa están durmiendo ahora"),
+            (4, "我是他的这个有了在"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in identify_language(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    assert got[4] == "zh"
+
+
+def test_token_counts_and_quality(spark):
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.text import (
+        bpe_token_count,
+        quality_score,
+        whitespace_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world, it's 42 degrees!"), (2, "x")],
+        "doc_id long, text string",
+    )
+    r = {
+        row.doc_id: row
+        for row in docs.select(
+            "doc_id",
+            whitespace_token_count("text").alias("ws"),
+            bpe_token_count("text").alias("bpe"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert r[1].ws == 5
+    # hello|world|,|it|'|s|42|degrees|! -> 9 BPE-ish pieces
+    assert r[1].bpe == 9
+    assert 0.0 <= r[2].q <= r[1].q <= 1.0
+
+
+def test_fingerprint_canonicalization(spark):
+    from stock_prediction_data_engineering_spark.operators.text import md5_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", md5_fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_multimodal_feature_pipeline(spark):
+    from stock_prediction_data_engineering_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+        fake_decode_image,
+        media_table,
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = media_table(spark, n=12)
+    feats = extract_features(media).toPandas().set_index("media_id")
+    assert len(feats) == 12
+    # features must agree with a local decode of the same payload
+    mid, kind, content, meta = synth_media(3, "image")
+    img = fake_decode_image(bytes(content))
+    assert feats.loc[3, "width"] == img.shape[1]
+    assert abs(feats.loc[3, "mean_intensity"] - round(float(img.mean()), 4)) < 1e-9
+
+    small = resize_images(media, 8, 8).toPandas()
+    assert (small.out_width == 8).all()
+    assert all(len(bytes(c)) == 10 + 64 for c in small.content)  # header + 8x8
+
+    frames = sample_frames(media, every=2).toPandas()
+    assert (frames.frame_idx % 2 == 0).all()
+
+    # the real-codec boundary is explicit
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
+
+
+def test_fake_decode_rejects_foreign_bytes():
+    from stock_prediction_data_engineering_spark.operators.multimodal import (
+        fake_decode_image,
+    )
+
+    with pytest.raises(ValueError):
+        fake_decode_image(b"JPEGnotreally" + b"\x00" * 64)
