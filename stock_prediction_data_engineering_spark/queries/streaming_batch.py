@@ -41,3 +41,33 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
     )
+
+
+@query("q_sliding_window")  # rows-only: overlapping windows aren't plain SQL
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (T2) — each event lands
+    in 4 windows; same expression runs under readStream."""
+    from ..streaming.windows import sliding_agg
+
+    ev = table(spark, sf_dir, "events")
+    return sliding_agg(ev).select(
+        F.unix_micros("win_start").alias("win_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query("q_session_window")  # rows-only: data-driven window extents
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap (T3)."""
+    from ..streaming.windows import session_agg
+
+    ev = table(spark, sf_dir, "events")
+    return session_agg(ev).select(
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )

@@ -1,0 +1,114 @@
+"""Structured Streaming smoke tests (SURVEY.md §2.12 T2-T5): the same
+window builders that power the batch queries, driven as real streams
+through the memory sink; plus the foreachBatch upsert that models the
+reference's daily-update roadmap."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from conftest import SF_SMOKE
+
+_STAGE_DIR = None
+
+
+def _stream_events(spark):
+    """events table as a bounded stream. Spark's FileStreamSource
+    monitors a *directory*, and the testdata dir is read-only with one
+    file per table — so stage events.parquet into a tmp dir once."""
+    global _STAGE_DIR
+    if _STAGE_DIR is None:
+        _STAGE_DIR = tempfile.mkdtemp(prefix="stream_events_")
+        shutil.copy(f"{SF_SMOKE}/events.parquet", _STAGE_DIR)
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(_STAGE_DIR)
+    # ts arrives as nanos-long (same parquet quirk as the catalog)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_completion(df, name):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_tumbling_with_watermark(spark):
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.streaming.windows import (
+        tumbling_agg,
+        with_watermark,
+    )
+
+    agg = tumbling_agg(with_watermark(_stream_events(spark), "1 hour"))
+    _run_to_completion(agg, "tumbling_out")
+    out = spark.sql("SELECT * FROM tumbling_out")
+    # append mode emits only watermark-closed windows; the final
+    # (open) window is withheld — that's the semantics, not a bug
+    assert out.count() > 0
+    batch_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    assert out.count() <= tumbling_agg(batch_events).count()
+
+
+def test_streaming_session_window(spark):
+    from stock_prediction_data_engineering_spark.streaming.windows import (
+        session_agg,
+        with_watermark,
+    )
+
+    agg = session_agg(with_watermark(_stream_events(spark), "1 hour"))
+    _run_to_completion(agg, "session_out")
+    assert spark.sql("SELECT * FROM session_out").count() > 0
+
+
+def test_streaming_stateful_dedup(spark):
+    from stock_prediction_data_engineering_spark.streaming.windows import stateful_dedup
+
+    deduped = stateful_dedup(_stream_events(spark), "2 hours")
+    _run_to_completion(deduped, "dedup_out")
+    # distinct aggregation isn't allowed inside a stream — check the
+    # sunk rows in batch: no duplicate ids survive
+    row = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids FROM dedup_out"
+    ).collect()[0]
+    assert row.n > 0 and row.n == row.n_ids
+
+
+def test_foreach_batch_upsert(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.streaming.upsert import upsert_batch
+
+    lake = str(tmp_path_factory.mktemp("upsert")) + "/bars"
+
+    day1 = spark.createDataFrame(
+        [("AAA", "2024-01-01", 10.0), ("BBB", "2024-01-01", 20.0)],
+        "company string, bar_date string, close double",
+    )
+    upsert_batch(spark, day1, lake, keys=["company", "bar_date"])
+    assert spark.read.parquet(lake).count() == 2
+
+    # day-2 batch: revises AAA/2024-01-01 and appends a new day
+    day2 = spark.createDataFrame(
+        [("AAA", "2024-01-01", 11.5), ("AAA", "2024-01-02", 12.0)],
+        "company string, bar_date string, close double",
+    )
+    upsert_batch(spark, day2, lake, keys=["company", "bar_date"])
+    final = spark.read.parquet(lake)
+    assert final.count() == 3
+    revised = final.filter(
+        (F.col("company") == "AAA") & (F.col("bar_date") == "2024-01-01")
+    ).collect()[0]
+    assert revised.close == 11.5  # update won over the old row
+    shutil.rmtree(lake, ignore_errors=True)
