@@ -1,6 +1,7 @@
 """Similarity search over embedding columns (north-star extension,
 BASELINE.json §L5-L7): brute-force cosine top-k as the exact baseline,
-random-hyperplane LSH bucketing as the approximate scale path.
+with two approximate scale paths — random-hyperplane LSH bucketing and
+IVF-Flat (MLlib-KMeans coarse quantizer + nprobe cell search).
 
 Brute force is a broadcast of the query vector + one linear scan with
 a JVM-side fold — correct at any scale but O(corpus) per query. The
@@ -87,6 +88,78 @@ def brute_force_topk(
     cos = F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 4)
     return (
         corpus.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+):
+    """Coarse quantizer: MLlib KMeans over the corpus vectors.
+
+    Returns (model, centroids_ndarray). The model's transform assigns
+    each row to its nearest centroid fully distributed; the centroid
+    matrix itself is tiny (n_cells x dim) and rides in the closure.
+    At 100 TB the fit runs on ``corpus.sample(...)`` — the quantizer
+    only needs a representative sample, not every row.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+    return model, np.array(model.clusterCenters())
+
+
+def ivf_assign(
+    corpus: DataFrame, model, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add the IVF cell id to every corpus row (distributed transform)."""
+    from pyspark.ml.functions import array_to_vector
+
+    assigned = model.transform(
+        corpus.withColumn("features", array_to_vector(F.col(vec_col)))
+    )
+    return assigned.withColumnRenamed("prediction", "ivf_cell").drop("features")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` cells whose
+    centroids are nearest the query, brute-force only inside them.
+
+    Expected candidate fraction ~ nprobe/n_cells; the cell filter is a
+    plain predicate, so with the assignment persisted (partitioned by
+    ``ivf_cell``) the scan prunes to the probed partitions. Euclidean
+    cell choice + cosine re-rank is the standard FAISS IVF-Flat shape.
+    """
+    import numpy as np
+
+    model, centroids = ivf_fit_centroids(corpus, vec_col, n_cells, seed)
+    bucketed = ivf_assign(corpus, model, vec_col)
+
+    q = np.array(query_vec.select(vec_col).first()[0], dtype=float)
+    probed = np.argsort(((centroids - q) ** 2).sum(axis=1))[:nprobe].tolist()
+
+    qdf = query_vec.select(F.col(vec_col).alias("qvec")).limit(1)
+    cos = F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 4)
+    return (
+        bucketed.filter(F.col("ivf_cell").isin(probed))
+        .crossJoin(F.broadcast(qdf))
         .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

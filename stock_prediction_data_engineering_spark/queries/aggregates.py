@@ -199,3 +199,39 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("urgent_revenue"),
         )
     )
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS n_urgent,
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS n_high,
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS n_medium,
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+           COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS n_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with an explicit value list (SURVEY §2
+    'absent categories' — trivially available, included for surface
+    completeness). Explicit values keep the plan a single pass: Spark
+    rewrites pivot-with-values to one conditional-agg stage, no extra
+    job to discover distinct keys."""
+    out = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PRIORITIES)
+        .count()
+    )
+    names = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    for val, name in zip(PRIORITIES, names):
+        # count() pivots to null for empty cells; the oracle's FILTER
+        # count yields 0 — align on 0
+        out = out.withColumn(name, F.coalesce(F.col(f"`{val}`"), F.lit(0)).cast("bigint"))
+    return out.select("o_orderstatus", *names)

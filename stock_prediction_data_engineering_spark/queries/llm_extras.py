@@ -84,6 +84,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, qv, k=10, num_planes=6)
 
 
+@query("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (L7 scale path #2): MLlib-KMeans
+    coarse quantizer, nprobe nearest cells brute-forced. Rows-only —
+    cell boundaries are model-dependent, not SQL-expressible."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    return similarity.ivf_topk(emb, qv, k=10, n_cells=8, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 

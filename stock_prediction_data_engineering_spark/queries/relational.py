@@ -178,3 +178,24 @@ def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.row_number().over(w).cast("bigint").alias("sort_rank"),
     )
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+    SELECT doc_id, substr(md5(text), 1, 1) AS md5_head
+    FROM documents
+    WHERE substr(md5(text), 1, 1) IN ('0', '1')
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 content-hash sample (the reproducible
+    train/holdout split a training-data pipeline actually uses —
+    TABLESAMPLE is engine- and run-dependent, md5-of-content is not).
+    The predicate is a pure per-row projection: no shuffle, prunes to
+    (doc_id, text) at the scan."""
+    docs = table(spark, sf_dir, "documents")
+    head = F.substring(F.md5("text"), 1, 1)
+    return docs.filter(head.isin("0", "1")).select(
+        "doc_id", head.alias("md5_head")
+    )

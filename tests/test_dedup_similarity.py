@@ -126,3 +126,28 @@ def test_embedding_near_dup_and_ann(spark):
 
     approx = [r.vec_id for r in lsh_topk(emb, emb.filter("vec_id = 0"), k=3, num_planes=2).collect()]
     assert 0 in approx  # the query itself is always in its own bucket
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with all cells probed is exhaustive (== brute force); with
+    half the cells probed, recall@5 against the real testdata corpus
+    stays useful and the query's own vector is always found."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0)
+
+    exact = [r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()]
+
+    full = [r.vec_id for r in ivf_topk(emb, qv, k=5, n_cells=4, nprobe=4).collect()]
+    assert full == exact  # probing every cell degenerates to exact
+
+    probed = [r.vec_id for r in ivf_topk(emb, qv, k=5, n_cells=8, nprobe=4).collect()]
+    assert probed[0] == 0  # query finds itself
+    assert len(set(probed) & set(exact)) >= 2

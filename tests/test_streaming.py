@@ -112,3 +112,60 @@ def test_foreach_batch_upsert(spark, tmp_path_factory):
     ).collect()[0]
     assert revised.close == 11.5  # update won over the old row
     shutil.rmtree(lake, ignore_errors=True)
+
+
+def test_apply_in_pandas_with_state_running_stats(spark, tmp_path_factory):
+    """Cross-batch state: split events into several files, stream them
+    one file per micro-batch, and check the final per-key running
+    stats equal the batch ground truth."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.streaming.stateful import running_stats
+
+    src = str(tmp_path_factory.mktemp("stateful_src"))
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+
+    emissions = []
+
+    def capture(df, epoch_id):
+        emissions.append((epoch_id, df.toPandas()))
+
+    q = (
+        running_stats(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(emissions) > 1  # state really crossed micro-batches
+    final = {}
+    for _, pdf in sorted(emissions, key=lambda t: t[0]):
+        for row in pdf.itertuples():
+            final[row.key] = (row.n_events, row.sum_value, row.min_value, row.max_value)
+
+    truth = {
+        r["key"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in batch.groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for k in truth:
+        assert final[k][0] == truth[k][0]
+        assert abs(final[k][1] - truth[k][1]) < 1e-6 * max(1.0, abs(truth[k][1]))
+        assert final[k][2] == truth[k][2] and final[k][3] == truth[k][3]
