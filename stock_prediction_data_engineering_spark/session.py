@@ -9,6 +9,7 @@ timestamp semantics match the DuckDB oracle (naive-UTC).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -51,6 +52,11 @@ def get_spark(
         # testdata events.ts is TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read as long and convert in catalog.table()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- catalog: bucketed tables land in a scratch warehouse ---
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"),
+        )
         # --- local-mode resources ---
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
