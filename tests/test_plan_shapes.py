@@ -107,3 +107,38 @@ def test_limit_becomes_take_ordered(spark):
     registry.load_all()
     df = registry.QUERIES["q_filter_limit"](spark, SF_SMOKE)
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics: a 90%-hot-key fact
+    joined to a medium dim gives identical aggregates salted and
+    plain, for inner and left joins (incl. unmatched left rows)."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 20000).select(
+        # 90% of rows share key 7; the rest spread over 0..99, with
+        # some keys (>=50) absent from the dim to exercise left-join nulls
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+
+    for how in ("inner", "left"):
+        plain = (
+            fact.join(dim, ["k"], how)
+            .groupBy("k", "name")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        )
+        salted = (
+            salted_join(fact, dim, ["k"], num_salts=8, how=how)
+            .groupBy("k", "name")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        )
+        diff = plain.unionByName(salted).groupBy("k", "name", "n", "s").count().filter(
+            "count != 2"
+        )
+        assert diff.count() == 0, f"salted {how} join diverged from plain"
