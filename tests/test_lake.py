@@ -75,3 +75,29 @@ def test_fetch_stage_quarantines_failures(spark):
     # deterministic synthetic bars
     again = fetch_bars(symbols, fetch_fn=flaky, num_tasks=2).toPandas()
     assert len(again) == len(bars)
+
+
+def test_stockbars_python_datasource(spark):
+    """The declarative form of the fetch stage: a registered Python
+    DataSource whose partitions are symbols, matching the mapInPandas
+    stage row-for-row."""
+    from stock_prediction_data_engineering_spark.sources import bars_datasource
+    from stock_prediction_data_engineering_spark.sources.api_source import fetch_bars
+
+    bars_datasource.register(spark)
+    via_source = (
+        spark.read.format("stockbars")
+        .option("symbols", "AAA,BBB,CCC")
+        .option("start", "2024-01-01")
+        .option("end", "2024-03-01")
+        .load()
+    )
+    assert via_source.rdd.getNumPartitions() == 3  # one task per symbol
+
+    symbols = spark.createDataFrame([("AAA",), ("BBB",), ("CCC",)], "symbol string")
+    via_stage = fetch_bars(symbols, start="2024-01-01", end="2024-03-01")
+
+    a = via_source.toPandas().sort_values(["company", "bar_date"]).reset_index(drop=True)
+    b = via_stage.toPandas().sort_values(["company", "bar_date"]).reset_index(drop=True)
+    assert a.shape == b.shape and len(a) == 90  # 30 bars x 3 symbols
+    assert a[["company", "close", "volume"]].equals(b[["company", "close", "volume"]])
