@@ -199,3 +199,53 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(head.isin("0", "1")).select(
         "doc_id", head.alias("md5_head")
     )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL-text interface —
+    customers above their nation's average balance. Catalyst
+    decorrelates this to an aggregate + join (no per-row re-execution);
+    SURVEY §2 'absent categories' notes the engine gets SQL text free.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide -> long): the inverse of q_pivot, a single
+    Expand pass with no shuffle."""
+    return (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
+    )

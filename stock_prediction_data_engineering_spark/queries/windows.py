@@ -149,3 +149,32 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "customer").select(
         "c_custkey", F.ntile(4).over(w).cast("int").alias("wealth_quartile")
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                    OVER (PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS DATE)
+                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS qty_30d
+    FROM lineitem
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling frame (W6): per-supplier 30-day trailing
+    quantity. Spark RANGE frames need a numeric ordering, so the date
+    becomes an epoch-day int; DuckDB orders by the date directly with
+    an INTERVAL bound — identical row inclusion."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_date(F.col("l_shipdate").cast("date")))
+        .rangeBetween(-30, 0)
+    )
+    return table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("qty_30d"),
+    )

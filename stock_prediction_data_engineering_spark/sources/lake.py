@@ -88,3 +88,37 @@ def ohlcv_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("year", F.year("bar_date"))
     )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Compact a small-files parquet directory in place (copy-on-write
+    through a staging dir) to ~``target_file_mb`` files; returns the
+    output file count.
+
+    The reference's layout deliberately creates one tiny file per
+    (company, year) — ~26.5k files at its own scale (SURVEY.md §4
+    'small-files problem'), which at 100 TB turns every scan into a
+    listing + open storm. Periodic compaction is the lake-maintenance
+    half of the fix; ``write_lake(files_per_partition=None)`` is the
+    write-side half.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        total += sum(
+            _os.path.getsize(_os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, total // (target_file_mb * 1024 * 1024))
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    _shutil.rmtree(path)
+    _os.rename(staging, path)
+    return n_files

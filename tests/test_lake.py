@@ -101,3 +101,21 @@ def test_stockbars_python_datasource(spark):
     b = via_stage.toPandas().sort_values(["company", "bar_date"]).reset_index(drop=True)
     assert a.shape == b.shape and len(a) == 90  # 30 bars x 3 symbols
     assert a[["company", "close", "volume"]].equals(b[["company", "close", "volume"]])
+
+
+def test_compact_parquet(spark, tmp_path_factory):
+    from stock_prediction_data_engineering_spark.sources.lake import compact_parquet
+
+    path = str(tmp_path_factory.mktemp("compact")) + "/events"
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src.repartition(32).write.parquet(path)  # the small-files anti-pattern
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 32
+
+    n = compact_parquet(spark, path, target_file_mb=128)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after == n < before
+    # content unchanged
+    assert spark.read.parquet(path).count() == src.count()
