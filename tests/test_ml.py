@@ -1,0 +1,41 @@
+"""MLlib feature/model pipeline over lake-derived OHLCV bars — the
+'stock prediction' downstream the reference's lake feeds."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+
+
+def test_bar_features_and_model(spark):
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.ml.features import (
+        FEATURE_COLS,
+        bar_features,
+        fit_return_model,
+    )
+    from stock_prediction_data_engineering_spark.sources.lake import ohlcv_from_events
+
+    bars = ohlcv_from_events(spark, SF_SMOKE)
+    feats = bar_features(bars)
+
+    # features exist, are finite, and the plan stays per-company
+    # partitioned (no single-partition window cliff)
+    assert feats.count() > 0
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    row = feats.select(
+        *[F.count(F.when(F.isnan(c) | F.col(c).isNull(), 1)).alias(c) for c in FEATURE_COLS]
+    ).collect()[0]
+    assert all(row[c] == 0 for c in FEATURE_COLS)
+
+    # label sanity: next-day return of the last day per company is
+    # dropped (no peeking past the frame)
+    last = bars.groupBy("company").agg(F.max("bar_date").alias("bar_date"))
+    leaked = feats.join(last, ["company", "bar_date"], "left_semi")
+    assert leaked.count() == 0
+
+    model, rmse = fit_return_model(feats)
+    assert rmse >= 0.0
+    pred = model.transform(feats)
+    assert pred.select("prediction").na.drop().count() == feats.count()
