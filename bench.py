@@ -32,6 +32,10 @@ HEADLINE_QUERIES = [
     "q_moving_avg",
     "q_rank_topk_per_group",
     "q_cumulative_sum",
+    # grouping-set / reshape / subquery shapes
+    "q_pivot",
+    "q_subquery_correlated",
+    "q_window_range_frame",
     # composite flagship
     "q_symbol_preprocess",
     # LLM-data ops
