@@ -216,9 +216,7 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelates this to an aggregate + join (no per-row re-execution);
     SURVEY §2 'absent categories' notes the engine gets SQL text free.
     """
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
         SELECT c_custkey, c_nationkey, c_acctbal

@@ -169,3 +169,61 @@ def test_apply_in_pandas_with_state_running_stats(spark, tmp_path_factory):
         assert final[k][0] == truth[k][0]
         assert abs(final[k][1] - truth[k][1]) < 1e-6 * max(1.0, abs(truth[k][1]))
         assert final[k][2] == truth[k][2] and final[k][3] == truth[k][3]
+
+
+def test_continuous_rollup_matches_batch(spark, tmp_path_factory):
+    """Stream events in several micro-batches into an upserted rollup
+    table; the final table must equal the one-shot batch rollup."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.streaming.rollup import (
+        start_continuous_rollup,
+    )
+    from stock_prediction_data_engineering_spark.streaming.windows import tumbling_agg
+
+    root = tmp_path_factory.mktemp("rollup")
+    src = str(root / "src")
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    # stage time-ordered arrival: 4 chronological slices with ordered
+    # mtimes, so no row is older than the already-advanced watermark
+    # (out-of-order rows beyond the delay are *supposed* to be dropped
+    # — that divergence from batch is the watermark contract, tested in
+    # test_streaming_tumbling_with_watermark)
+    import os
+    import time as _time
+
+    os.makedirs(src)
+    pdf = batch.toPandas().sort_values("ts").reset_index(drop=True)
+    # keep µs precision: datetime64[ns] would round-trip as
+    # TIMESTAMP(NANOS), which the session surfaces as a long
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    now = _time.time()
+    for i, part in enumerate(
+        [pdf.iloc[j : j + (len(pdf) + 3) // 4] for j in range(0, len(pdf), (len(pdf) + 3) // 4)]
+    ):
+        p = f"{src}/slice-{i}.parquet"
+        part.to_parquet(p, index=False)
+        os.utime(p, times=(now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # pandas parquet is TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        # (equal values — session TZ is pinned UTC)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    rollup_path = str(root / "rollup")
+    q = start_continuous_rollup(stream, rollup_path)
+    q.awaitTermination()
+
+    got = spark.read.parquet(rollup_path)
+    want = tumbling_agg(batch)
+    # identical (window, type) -> (count, sum) contents
+    diff = got.unionByName(want).groupBy(
+        "win_start", "win_end", "event_type", "n_events", "sum_value"
+    ).count().filter("count != 2")
+    assert diff.count() == 0
+    assert got.count() == want.count()
