@@ -53,7 +53,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # derive the sf number from the directory name (".../sf0.1" -> 0.1)
     tail = os.path.basename(sf_dir.rstrip("/"))
-    sf = float(tail[2:]) if tail.startswith("sf") else None
+    try:
+        sf = float(tail[2:]) if tail.startswith("sf") else None
+    except ValueError:
+        sf = None
 
     from stock_prediction_data_engineering_spark import registry
     from stock_prediction_data_engineering_spark.session import get_spark
