@@ -37,21 +37,33 @@ def write_lake(
     compression: str = "snappy",
     mode: str = "overwrite",
     files_per_partition: int | None = 1,
+    sort_cols: tuple[str, ...] | None = None,
+    writer_options: dict[str, str] | None = None,
 ) -> None:
     """Write ``df`` as a Hive-partitioned snappy-parquet lake.
 
     ``files_per_partition=1`` reproduces the reference's one-file-per-
     (company, year) grain; pass ``None`` to let upstream partitioning
     decide (the 100 TB default).
+
+    ``sort_cols`` sorts rows *within* each task before writing, which
+    clusters values so parquet row-group min/max stats become
+    selective: a predicate on a sort column then skips most row groups
+    at scan time (data skipping — the cheap half of Z-ordering, and
+    the right half for single-column range predicates like ``ts``).
     """
     if files_per_partition is not None:
         df = df.repartition(*[F.col(c) for c in partition_cols])
-    (
+    if sort_cols:
+        df = df.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+    w = (
         df.write.mode(mode)
         .partitionBy(*partition_cols)
         .option("compression", compression)
-        .parquet(path)
     )
+    for k, v in (writer_options or {}).items():
+        w = w.option(k, v)
+    w.parquet(path)
 
 
 def read_lake(spark: SparkSession, path: str) -> DataFrame:

@@ -119,3 +119,51 @@ def test_compact_parquet(spark, tmp_path_factory):
     assert after == n < before
     # content unchanged
     assert spark.read.parquet(path).count() == src.count()
+
+
+def test_sorted_write_enables_data_skipping(spark, tmp_path_factory):
+    """sort_cols clusters values per row group: min/max footer stats
+    become disjoint, so a range predicate can skip most row groups."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("skip")) + "/bars"
+    # one partition, many row groups: small row-group size forces
+    # several groups inside the single output file
+    df = (
+        spark.range(0, 200_000)
+        .select(
+            F.lit("AAA").alias("company"),
+            F.lit(2024).alias("year"),
+            (F.col("id") % 97).cast("double").alias("close"),
+            F.col("id").alias("seq"),
+        )
+    )
+    from stock_prediction_data_engineering_spark.sources.lake import write_lake
+
+    write_lake(
+        df,
+        path,
+        sort_cols=("close",),
+        writer_options={"parquet.block.size": str(64 * 1024)},
+    )
+
+    import glob
+
+    f = glob.glob(f"{path}/company=*/year=*/*.parquet")[0]
+    meta = pq.ParquetFile(f).metadata
+    assert meta.num_row_groups > 1
+    ranges = []
+    for i in range(meta.num_row_groups):
+        col = next(
+            meta.row_group(i).column(j)
+            for j in range(meta.row_group(i).num_columns)
+            if meta.row_group(i).column(j).path_in_schema == "close"
+        )
+        ranges.append((col.statistics.min, col.statistics.max))
+    # sorted write => row-group ranges are non-overlapping (each
+    # group's min >= previous group's max), i.e. a point/range filter
+    # touches a minimal set of groups
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo2 >= hi1 - 1e-9
