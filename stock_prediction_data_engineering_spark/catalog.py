@@ -35,17 +35,26 @@ BROADCAST_DIMS = ("region", "nation")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is nanosecond-precision parquet, surfaced as a long
-        # (session.py sets nanosAsLong). Truncate to µs TimestampType —
-        # integer division, since ~1.7e18 ns exceeds double's exact
-        # range. DuckDB truncates ns->µs the same way, so values hash
-        # identically.
-        from pyspark.sql import functions as F
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
+        # rejects outright. session.py sets nanosAsLong at build time,
+        # but this must also work on a caller-provided session (the
+        # correctness driver builds its own) — the conf is runtime-
+        # settable, so set it defensively before the read.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # locked-down session: proceed and hope it was preset
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # truncate ns -> µs TimestampType via integer division
+            # (~1.7e18 ns exceeds double's exact range). DuckDB
+            # truncates ns->µs the same way, so values hash identically.
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

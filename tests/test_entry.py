@@ -34,3 +34,29 @@ def test_contract_shape():
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert "q_symbol_preprocess" in os_
+
+
+def test_queries_run_on_a_plain_session():
+    """The correctness driver calls queries() with its OWN SparkSession
+    (no repo configs). Events-table reads must self-heal the
+    TIMESTAMP(NANOS) quirk on such a session — run one in a clean
+    subprocess to prove it."""
+    import subprocess
+    import sys
+
+    code = (
+        "from pyspark.sql import SparkSession\n"
+        "import __spark_entry__ as e\n"
+        "spark = SparkSession.builder.master('local[4]').appName('plain').getOrCreate()\n"
+        "n = e.queries()['q_tumbling_window'](spark, '/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('PLAIN_OK', n)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(__import__('pathlib').Path(__file__).resolve().parent.parent),
+    )
+    assert "PLAIN_OK" in out.stdout, out.stderr[-2000:]
