@@ -35,6 +35,12 @@ BROADCAST_DIMS = ("region", "nation")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    try:
+        # oracle parity is defined under naive-UTC timestamp semantics
+        # (SURVEY.md §5.4); pin it even on caller-provided sessions
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
         # rejects outright. session.py sets nanosAsLong at build time,
