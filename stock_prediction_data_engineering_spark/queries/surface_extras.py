@@ -1,0 +1,113 @@
+"""Additional oracle-checked surface queries (round-1 widening beyond
+SURVEY.md §2's declared roster): EXISTS-subquery, arg-min/max
+first/last lookup, exact interpolated percentile, and ordered string
+aggregation — shapes a reference user migrating real workloads hits
+immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "q_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS through SQL text — Catalyst rewrites to a left-semi join
+    (same plan as q_join_semi's DataFrame form)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@query(
+    "q_first_last_value",
+    oracle="""
+    SELECT user_id,
+           ROUND(arg_min(value, ts), 4) AS first_value,
+           ROUND(arg_max(value, ts), 4) AS last_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last observation per key by event time — min_by/max_by
+    aggregate form (one hash agg), not a window + filter (two passes).
+    Deterministic because (user_id, ts) is unique in the data."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("first_value"),
+            F.round(F.max_by("value", "ts"), 4).alias("last_value"),
+        )
+    )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Both engines use
+    linear interpolation on the sorted values, so results match to
+    rounding; the 100 TB variant is percentile_approx (one-pass
+    sketch), kept out of the hash-checked set."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        )
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY region_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list -> array_sort ->
+    concat_ws gives a deterministic join independent of row arrival
+    order (plain collect_list order is partition-dependent)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+    )

@@ -58,5 +58,6 @@ def load_all() -> None:
         scalar_functions,
         setops,
         streaming_batch,
+        surface_extras,
         windows,
     )
