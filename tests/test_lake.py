@@ -167,3 +167,46 @@ def test_sorted_write_enables_data_skipping(spark, tmp_path_factory):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert lo2 >= hi1 - 1e-9
+
+
+def test_overwrite_partitions_touches_only_changed(spark, tmp_path_factory):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.sources.lake import (
+        overwrite_partitions,
+        write_lake,
+    )
+
+    path = str(tmp_path_factory.mktemp("dyn")) + "/bars"
+    base = spark.createDataFrame(
+        [
+            ("AAA", 2023, "2023-06-01", 10.0),
+            ("AAA", 2024, "2024-06-01", 11.0),
+            ("BBB", 2024, "2024-06-01", 20.0),
+        ],
+        "company string, year int, bar_date string, close double",
+    )
+    write_lake(base, path)
+    untouched = sorted(glob.glob(f"{path}/company=BBB/year=2024/*.parquet"))
+    mtimes_before = [os.path.getmtime(f) for f in untouched]
+
+    # daily update: revises AAA/2024 only
+    update = spark.createDataFrame(
+        [("AAA", 2024, "2024-06-01", 11.5), ("AAA", 2024, "2024-06-02", 12.0)],
+        "company string, year int, bar_date string, close double",
+    )
+    overwrite_partitions(update, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 4  # 2023 row + BBB row + 2 revised AAA/2024 rows
+    revised = back.filter((F.col("company") == "AAA") & (F.col("year") == 2024))
+    assert sorted(r.close for r in revised.collect()) == [11.5, 12.0]
+    # BBB partition files untouched on disk
+    assert [os.path.getmtime(f) for f in sorted(
+        glob.glob(f"{path}/company=BBB/year=2024/*.parquet")
+    )] == mtimes_before
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
