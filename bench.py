@@ -16,7 +16,11 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+# runnable from any cwd: the engine package lives next to this file
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE_QUERIES = [
     # scan/agg shapes
