@@ -31,13 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    registry.load_all()
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Returned in curated priority order (registry.DRIVER_ORDER): the 45
+    SURVEY-declared queries first, then oracle-backed extras, then
+    rows-only queries — so a driver that checks only the first N entries
+    validates every declared, hash-checkable operator.
+    """
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query name (subset of ``queries()`` —
     rows-only operators are intentionally absent)."""
-    registry.load_all()
-    return dict(registry.ORACLES)
+    return registry.ordered_oracles()

@@ -36,6 +36,28 @@ def test_contract_shape():
     assert "q_symbol_preprocess" in os_
 
 
+def test_driver_priority_order():
+    """The external driver checks only the first DRIVER_CAP entries of
+    queries(), so dict order is contract: declared roster first, every
+    entry inside the cap window oracle-backed, rows-only past the cap."""
+    import __spark_entry__ as e
+    from stock_prediction_data_engineering_spark import registry
+
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+
+    assert names[: len(registry.DECLARED_ROSTER)] == list(registry.DECLARED_ROSTER)
+    window = names[: registry.DRIVER_CAP]
+    assert all(n in oracles for n in window), [
+        n for n in window if n not in oracles
+    ]
+    # every rows-only query sits past the cap window
+    assert all(n not in window for n in registry.ROWS_ONLY)
+    # the curated order is exhaustive (ordered_queries raises on drift,
+    # but assert equality of sets explicitly for a readable failure)
+    assert set(names) == set(registry.DRIVER_ORDER)
+
+
 def test_queries_run_on_a_plain_session():
     """The correctness driver calls queries() with its OWN SparkSession
     (no repo configs). Events-table reads must self-heal the
