@@ -143,12 +143,17 @@ def q_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile quartile bucketing (W5). Global window over a dimension
-    table — acceptable; fact-scale percentiles use percentile_approx."""
-    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    return table(spark, sf_dir, "customer").select(
-        "c_custkey", F.ntile(4).over(w).cast("int").alias("wealth_quartile")
-    )
+    """ntile quartile bucketing (W5), via the exact distributed NTILE
+    in operators/ranking.py: range-partitioned sort + per-partition
+    row_number + partition offsets — identical output to the SQL
+    ``ntile`` but with no single-partition window, so the same query
+    works on a fact table at 100 TB."""
+    from ..operators.ranking import global_ntile
+
+    cust = table(spark, sf_dir, "customer")
+    return global_ntile(
+        cust, 4, [F.col("c_acctbal").desc(), F.col("c_custkey")], "wealth_quartile"
+    ).select("c_custkey", "wealth_quartile")
 
 
 @query(

@@ -53,6 +53,38 @@ def test_window_partitions_by_key(spark):
     assert "SinglePartition" not in plan
 
 
+def test_ntile_has_no_single_partition_window(spark):
+    """q_ntile is a *global* rank but must still not plan a
+    single-partition window: the distributed NTILE range-partitions and
+    ranks per-slice (operators/ranking.py)."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark import registry
+    from stock_prediction_data_engineering_spark.operators.ranking import global_ntile
+
+    registry.load_all()
+    df = registry.QUERIES["q_ntile"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+    # exact-semantics check vs the SQL ntile on the same input
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    got = {
+        (r.c_custkey, r.wealth_quartile)
+        for r in df.collect()
+    }
+    cust.createOrReplaceTempView("ntile_cust")
+    want = {
+        (r.c_custkey, r.q)
+        for r in spark.sql(
+            "SELECT c_custkey, ntile(4) OVER "
+            "(ORDER BY c_acctbal DESC, c_custkey) AS q FROM ntile_cust"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_bucketed_join_elides_shuffle(spark, tmp_path_factory):
     """Two tables bucketed on the join key with equal bucket counts
     must sort-merge join with zero Exchange nodes."""
