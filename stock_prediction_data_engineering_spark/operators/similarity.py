@@ -129,6 +129,94 @@ def ivf_assign(
     return assigned.withColumnRenamed("prediction", "ivf_cell").drop("features")
 
 
+class IvfIndex:
+    """A built IVF-Flat index: tiny centroid matrix + the cell-assigned
+    corpus table. Build once, search many times — the KMeans quantizer
+    is never refit at query time.
+
+    When ``path`` was given to :func:`ivf_build`, ``table`` is the
+    read-back of a parquet lake partitioned by ``ivf_cell``, so the
+    per-query cell filter prunes to the probed partition directories
+    (static partition pruning) instead of scanning the corpus.
+    """
+
+    def __init__(self, table: DataFrame, centroids, vec_col: str, id_col: str):
+        self.table = table
+        self.centroids = centroids
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.centroids)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    path: str | None = None,
+) -> IvfIndex:
+    """Build the IVF index: fit the coarse quantizer on a sample, then
+    assign every corpus row to its cell (one distributed transform).
+
+    ``sample_fraction`` bounds the KMeans fit input — at 100 TB the
+    quantizer needs a representative sample, not every row; the full
+    corpus only flows through the (cheap, map-only) assignment.
+    ``path`` persists the assignment partitioned by ``ivf_cell`` so
+    later searches read only the probed cells' directories.
+    """
+    fit_input = (
+        corpus.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction is not None
+        else corpus
+    )
+    model, centroids = ivf_fit_centroids(fit_input, vec_col, n_cells, seed)
+    assigned = ivf_assign(corpus, model, vec_col)
+    if path is not None:
+        (
+            assigned.repartition("ivf_cell")
+            .write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(path)
+        )
+        assigned = corpus.sparkSession.read.parquet(path)
+    return IvfIndex(assigned, centroids, vec_col, id_col)
+
+
+def ivf_search(
+    index: IvfIndex,
+    query_vec: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a built index: probe the ``nprobe`` cells whose centroids
+    are nearest the query, brute-force cosine only inside them.
+
+    Expected candidate fraction ~ nprobe/n_cells; the cell filter is a
+    plain predicate over the persisted assignment, so a lake-backed
+    index prunes to the probed partitions. Euclidean cell choice +
+    cosine re-rank is the standard FAISS IVF-Flat shape.
+    """
+    import numpy as np
+
+    q = np.array(query_vec.select(index.vec_col).first()[0], dtype=float)
+    probed = np.argsort(((index.centroids - q) ** 2).sum(axis=1))[:nprobe].tolist()
+
+    qdf = query_vec.select(F.col(index.vec_col).alias("qvec")).limit(1)
+    cos = F.round(cosine_expr(F.col(index.vec_col), F.col("qvec")), 4)
+    return (
+        index.table.filter(F.col("ivf_cell").isin(probed))
+        .crossJoin(F.broadcast(qdf))
+        .select(F.col(index.id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(index.id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_vec: DataFrame,
@@ -139,31 +227,11 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF approximate top-k: probe the ``nprobe`` cells whose
-    centroids are nearest the query, brute-force only inside them.
-
-    Expected candidate fraction ~ nprobe/n_cells; the cell filter is a
-    plain predicate, so with the assignment persisted (partitioned by
-    ``ivf_cell``) the scan prunes to the probed partitions. Euclidean
-    cell choice + cosine re-rank is the standard FAISS IVF-Flat shape.
-    """
-    import numpy as np
-
-    model, centroids = ivf_fit_centroids(corpus, vec_col, n_cells, seed)
-    bucketed = ivf_assign(corpus, model, vec_col)
-
-    q = np.array(query_vec.select(vec_col).first()[0], dtype=float)
-    probed = np.argsort(((centroids - q) ** 2).sum(axis=1))[:nprobe].tolist()
-
-    qdf = query_vec.select(F.col(vec_col).alias("qvec")).limit(1)
-    cos = F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 4)
-    return (
-        bucketed.filter(F.col("ivf_cell").isin(probed))
-        .crossJoin(F.broadcast(qdf))
-        .select(F.col(id_col), cos.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+    """One-shot IVF approximate top-k: :func:`ivf_build` +
+    :func:`ivf_search`. Kept for self-contained queries; repeated
+    searches should build the index once and reuse it."""
+    index = ivf_build(corpus, vec_col, id_col, n_cells, seed)
+    return ivf_search(index, query_vec, k, nprobe)
 
 
 def lsh_topk(

@@ -151,3 +151,40 @@ def test_ivf_topk_recall(spark):
     probed = [r.vec_id for r in ivf_topk(emb, qv, k=5, n_cells=8, nprobe=4).collect()]
     assert probed[0] == 0  # query finds itself
     assert len(set(probed) & set(exact)) >= 2
+
+
+def test_ivf_build_once_search_many(spark, tmp_path):
+    """The persisted-index API: one ivf_build (quantizer fit + cell
+    assignment written partitioned by ivf_cell) serves many searches,
+    and matches the one-shot ivf_topk on the same parameters."""
+    import os
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    index = ivf_build(emb, n_cells=8, path=path)
+
+    # the lake is partitioned by cell → per-query partition pruning
+    cells = [d for d in os.listdir(path) if d.startswith("ivf_cell=")]
+    assert len(cells) == 8
+
+    for qid in (0, 7, 23):
+        qv = emb.filter(F.col("vec_id") == qid)
+        reused = [(r.vec_id, r.cosine) for r in ivf_search(index, qv, k=5, nprobe=4).collect()]
+        oneshot = [(r.vec_id, r.cosine) for r in ivf_topk(emb, qv, k=5, n_cells=8, nprobe=4).collect()]
+        assert reused == oneshot
+        assert reused[0][0] == qid  # query finds itself
+
+    # sampled fit still yields a working index (the 100 TB path)
+    sampled = ivf_build(emb, n_cells=4, sample_fraction=0.5)
+    qv = emb.filter(F.col("vec_id") == 0)
+    got = [r.vec_id for r in ivf_search(sampled, qv, k=3, nprobe=4).collect()]
+    assert got[0] == 0
