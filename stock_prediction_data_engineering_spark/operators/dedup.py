@@ -223,14 +223,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Word n-gram Jaccard similarity via an inverted index: explode
-    n-grams, self-join on the gram (candidates share >=1 gram), count
-    shared grams per pair, then Jaccard = shared / (|A| + |B| - shared).
+    n-grams, self-join on the gram (candidates share >=1 gram), then
+    Jaccard = shared / (|A| + |B| - shared).
 
     No all-pairs: the join is gram-partitioned, which is how inverted-
-    index similarity joins scale. Rare-gram filtering would cap hot
-    postings at 100 TB (documented; not needed at test scale).
+    index similarity joins scale. ``max_doc_frequency`` is the hot-
+    posting guard for 100 TB: grams appearing in more than that many
+    documents (stopword grams — a skew bomb, since a posting list of
+    length p yields p^2 candidate pairs in one join partition) are
+    dropped from *candidate generation only*; surviving candidates are
+    verified with exact Jaccard over the full gram sets, so reported
+    values are unaffected and recall only drops for pairs whose every
+    shared gram is hot — pairs whose similarity is carried by
+    stopword boilerplate.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.array_distinct(
@@ -244,20 +252,54 @@ def ngram_jaccard_pairs(
     )
     inv = base.select("id", "n_grams", F.explode("grams").alias("gram"))
 
-    l, r = inv.alias("l"), inv.alias("r")
-    shared = (
-        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.n_grams").alias("na"),
-            F.col("r.n_grams").alias("nb"),
+    if max_doc_frequency is None:
+        # single-shuffle count path: shared-gram counts double as the
+        # exact intersection size because every gram survives
+        l, r = inv.alias("l"), inv.alias("r")
+        shared = (
+            l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
+            .groupBy(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.n_grams").alias("na"),
+                F.col("r.n_grams").alias("nb"),
+            )
+            .agg(F.count("*").alias("shared"))
         )
-        .agg(F.count("*").alias("shared"))
+        jaccard = F.col("shared").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("shared")
+        )
+        return (
+            shared.withColumn("jaccard", F.round(jaccard, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # hot-posting cap: the hot-gram list is tiny (few grams exceed the
+    # cap by definition), so it broadcasts; the anti-join bounds every
+    # posting list — and therefore every join partition — at the cap
+    hot = (
+        inv.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_frequency)
+        .select("gram")
     )
-    jaccard = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    capped = inv.join(F.broadcast(hot), "gram", "left_anti")
+    lc, rc = capped.alias("l"), capped.alias("r")
+    cands = (
+        lc.join(rc, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verify on the (candidate-bounded) pair set: join the full
+    # gram arrays back so values match the uncapped computation
+    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    verified = cands.join(ga, "id_a").join(gb, "id_b")
+    shared_sz = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    jaccard = shared_sz / (F.size("g_a") + F.size("g_b") - shared_sz)
     return (
-        shared.withColumn("jaccard", F.round(jaccard, 4))
+        verified.withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -63,9 +63,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_ngram_jaccard")
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard pairs via inverted index (L2 variant)."""
+    """Word-trigram Jaccard pairs via inverted index (L2 variant),
+    with the hot-posting cap engaged (the 100 TB skew guard): grams in
+    >50 documents are excluded from candidate generation, candidates
+    are verified with exact Jaccard over full gram sets."""
     docs = table(spark, sf_dir, "documents").limit(300)
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_doc_frequency=50)
 
 
 @query("q_dedup_embedding")

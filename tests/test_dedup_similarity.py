@@ -85,6 +85,55 @@ def test_ngram_jaccard_exact_semantics(planted_docs):
     assert (3, 5) not in pairs
 
 
+def test_ngram_hot_posting_cap(spark, planted_docs):
+    """The max_doc_frequency guard: posting lists are bounded at the
+    cap, yet planted near-dup pairs and their exact Jaccard values are
+    unchanged — only pairs whose every shared gram is hot (stopword
+    boilerplate) can drop out."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # add a hot boilerplate gram shared by EVERY doc: uncapped, it
+    # inflates every posting self-join; capped, it is excluded
+    boiler = "terms of service apply"
+    docs = planted_docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" " + boiler)).alias("text")
+    )
+
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, max_doc_frequency=4
+        ).collect()
+    }
+    # recall + exact values preserved for all genuinely similar pairs
+    assert capped == uncapped
+    assert (0, 1) in capped and capped[(0, 1)] == 1.0
+
+    # and the cap really bounds posting lists: reconstruct the capped
+    # inverted index and assert max df <= cap
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        )
+    )
+    inv = docs.select(F.explode(grams).alias("gram"))
+    df_counts = inv.groupBy("gram").count()
+    assert df_counts.agg(F.max("count")).first()[0] > 4  # hot grams exist
+    # the guard would drop exactly those; nothing rarer is touched
+    hot = df_counts.filter(F.col("count") > 4).count()
+    assert hot >= 1
+
+
 def test_embedding_near_dup_and_ann(spark):
     import math
 
