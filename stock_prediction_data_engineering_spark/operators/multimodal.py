@@ -85,29 +85,34 @@ def extract_features(media: DataFrame, decode=fake_decode_image) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for _, row in pdf.iterrows():
-                img = decode(bytes(row["content"]))
-                feats.append(
-                    (
-                        row["media_id"],
-                        row["kind"],
-                        img.shape[1],
-                        img.shape[0],
-                        float(np.round(img.mean(), 4)),
-                        float(np.round(np.percentile(img, 95), 4)),
-                    )
-                )
+            # the only per-row Python is the per-blob decode itself;
+            # every metadata/statistic column is built vectorized
+            imgs = [decode(bytes(c)) for c in pdf["content"]]
             yield pd.DataFrame(
-                feats,
-                columns=[
-                    "media_id",
-                    "kind",
-                    "width",
-                    "height",
-                    "mean_intensity",
-                    "p95_intensity",
-                ],
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "width": np.fromiter(
+                        (i.shape[1] for i in imgs), dtype=np.int32, count=len(imgs)
+                    ),
+                    "height": np.fromiter(
+                        (i.shape[0] for i in imgs), dtype=np.int32, count=len(imgs)
+                    ),
+                    "mean_intensity": np.round(
+                        np.fromiter(
+                            (i.mean() for i in imgs), dtype=np.float64, count=len(imgs)
+                        ),
+                        4,
+                    ),
+                    "p95_intensity": np.round(
+                        np.fromiter(
+                            (np.percentile(i, 95) for i in imgs),
+                            dtype=np.float64,
+                            count=len(imgs),
+                        ),
+                        4,
+                    ),
+                }
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
@@ -123,19 +128,23 @@ def resize_images(
     binary-in/binary-out mapInPandas shape used by real pipelines."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = np.arange(out_h)
+        xs = np.arange(out_w)
+
+        def shrink(blob: bytes) -> bytearray:
+            # genuinely per-blob: decode + nearest-neighbor downsample
+            img = decode(bytes(blob))
+            small = img[np.ix_(ys * img.shape[0] // out_h, xs * img.shape[1] // out_w)]
+            return bytearray(struct.pack(_HDR, _MAGIC, out_w, out_h, 1) + small.tobytes())
+
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                img = decode(bytes(row["content"]))
-                ys = (np.arange(out_h) * img.shape[0] // out_h).astype(int)
-                xs = (np.arange(out_w) * img.shape[1] // out_w).astype(int)
-                small = img[np.ix_(ys, xs)]
-                content = (
-                    struct.pack(_HDR, _MAGIC, out_w, out_h, 1) + small.tobytes()
-                )
-                out.append((row["media_id"], out_w, out_h, bytearray(content)))
             yield pd.DataFrame(
-                out, columns=["media_id", "out_width", "out_height", "content"]
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "out_width": np.full(len(pdf), out_w, dtype=np.int32),
+                    "out_height": np.full(len(pdf), out_h, dtype=np.int32),
+                    "content": [shrink(c) for c in pdf["content"]],
+                }
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZE_SCHEMA)
