@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .functions.cleaning import clean_money, clean_percent
 from .sources.api_source import fetch_bars
-from .sources.lake import write_lake
+from .sources.lake import read_lake, write_lake
 
 RAW_SCREENER_SCHEMA = (
     "`Symbol` string, `Name` string, `Last Sale` string, `Net Change` double, "
@@ -101,11 +101,14 @@ def run(
     Returns the processed symbols DataFrame (the reference's golden
     artifact shape)."""
     raw = load_raw_screener(spark, screener_csv)
-    bars = ingest_bars(raw, lake_path, start, end, fetch_fn)
-    probe = (
-        bars.filter(F.col("fetch_error").isNull())
-        .groupBy(F.col("company").alias("Symbol"))
-        .agg(F.count("*").alias("history_cnt"), (F.count("*") > 0).alias("has_data"))
+    ingest_bars(raw, lake_path, start, end, fetch_fn)
+    # probe the WRITTEN lake rather than re-aggregating the fetch-stage
+    # DataFrame: the latter would re-run fetch_fn for every symbol (the
+    # lake write already executed it once), doubling upstream API calls
+    # and risking lake/probe inconsistency with a non-idempotent fetcher
+    lake = read_lake(spark, lake_path)
+    probe = lake.groupBy(F.col("company").alias("Symbol")).agg(
+        F.count("*").alias("history_cnt"), (F.count("*") > 0).alias("has_data")
     )
     full = probe.agg(F.max("history_cnt")).collect()[0][0]
     return preprocess_symbols(raw, probe, full_history=full)

@@ -43,8 +43,10 @@ def write_lake(
     """Write ``df`` as a Hive-partitioned snappy-parquet lake.
 
     ``files_per_partition=1`` reproduces the reference's one-file-per-
-    (company, year) grain; pass ``None`` to let upstream partitioning
-    decide (the 100 TB default).
+    (company, year) grain; larger values salt the repartition key so
+    each Hive partition splits across that many tasks/files (parallel
+    writes + bounded file sizes for hot partitions); pass ``None`` to
+    let upstream partitioning decide (the 100 TB default).
 
     ``sort_cols`` sorts rows *within* each task before writing, which
     clusters values so parquet row-group min/max stats become
@@ -53,7 +55,24 @@ def write_lake(
     the right half for single-column range predicates like ``ts``).
     """
     if files_per_partition is not None:
-        df = df.repartition(*[F.col(c) for c in partition_cols])
+        keys = [F.col(c) for c in partition_cols]
+        if files_per_partition > 1:
+            # deterministic salt: same rows -> same file assignment.
+            # The explicit partition count matters: AQE would otherwise
+            # coalesce the small salted shuffle back into one task and
+            # silently undo the file split.
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(files_per_partition),
+            )
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+            df = (
+                df.withColumn("__file_salt", salt)
+                .repartition(n, *keys, F.col("__file_salt"))
+                .drop("__file_salt")
+            )
+        else:
+            df = df.repartition(*keys)
     if sort_cols:
         df = df.sortWithinPartitions(*[F.col(c) for c in sort_cols])
     w = (
@@ -102,12 +121,31 @@ def ohlcv_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _discover_partition_cols(path: str) -> tuple[str, ...]:
+    """Partition columns of a Hive-layout lake, from the directory
+    names (``k=v`` levels), root-to-leaf order."""
+    import os as _os
+
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d
+            for d in sorted(_os.listdir(cur))
+            if "=" in d and _os.path.isdir(_os.path.join(cur, d))
+        ]
+        if not subdirs:
+            return tuple(cols)
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = _os.path.join(cur, subdirs[0])
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> int:
-    """Compact a small-files parquet directory in place (copy-on-write
-    through a staging dir) to ~``target_file_mb`` files; returns the
-    output file count.
+    """Compact a small-files parquet lake in place (copy-on-write
+    through a staging dir) toward ~``target_file_mb`` files, preserving
+    any Hive ``k=v`` partition layout; returns the target file count.
 
     The reference's layout deliberately creates one tiny file per
     (company, year) — ~26.5k files at its own scale (SURVEY.md §4
@@ -115,24 +153,46 @@ def compact_parquet(
     listing + open storm. Periodic compaction is the lake-maintenance
     half of the fix; ``write_lake(files_per_partition=None)`` is the
     write-side half.
+
+    Crash safety: the live path is swapped via rename-old → rename-
+    staging → delete-old, so at every instant a complete copy of the
+    data exists on disk (a crash mid-swap is recoverable from either
+    the ``.old`` or ``.compacting`` directory; the previous rmtree-
+    then-rename left a window with no data at all).
     """
     import os as _os
     import shutil as _shutil
 
     total = 0
+    leaf_dirs: set[str] = set()
     for root, _dirs, files in _os.walk(path):
-        total += sum(
-            _os.path.getsize(_os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
-    n_files = max(1, total // (target_file_mb * 1024 * 1024))
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            leaf_dirs.add(root)
+            total += sum(_os.path.getsize(_os.path.join(root, f)) for f in pq)
+    n_files = int(max(1, total // (target_file_mb * 1024 * 1024)))
 
+    partition_cols = _discover_partition_cols(path)
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".compacting"
-    df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    _shutil.rmtree(path)
+    if partition_cols:
+        # per-partition file budget from the overall size target
+        per_part = max(1, n_files // max(1, len(leaf_dirs)))
+        write_lake(
+            df,
+            staging,
+            partition_cols=partition_cols,
+            files_per_partition=per_part,
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+
+    old = path.rstrip("/") + ".old"
+    if _os.path.exists(old):
+        _shutil.rmtree(old)
+    _os.rename(path, old)
     _os.rename(staging, path)
+    _shutil.rmtree(old)
     return n_files
 
 

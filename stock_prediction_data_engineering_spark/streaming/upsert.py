@@ -30,15 +30,23 @@ def upsert_batch(
         merged = keep.unionByName(batch)
     else:
         merged = batch
-    # rewrite through a staging dir: a parquet read can't overwrite its
-    # own input in place
-    staging = lake_path + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    final = spark.read.parquet(staging)
-    final.write.mode("overwrite").parquet(lake_path)
+    # rewrite through a staging dir (a parquet read can't overwrite its
+    # own input in place), then swap at the directory level: rename-old
+    # → rename-staging → delete-old. A complete copy of the data exists
+    # on disk at every instant; the previous overwrite-through-the-live-
+    # path truncated the lake before the new files landed, so a failure
+    # mid-write left an empty lake.
     import shutil
 
-    shutil.rmtree(staging, ignore_errors=True)
+    staging = lake_path + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    old = lake_path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(lake_path):
+        os.rename(lake_path, old)
+    os.rename(staging, lake_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def foreach_batch_upserter(lake_path: str, keys: list[str]):

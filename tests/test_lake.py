@@ -121,6 +121,74 @@ def test_compact_parquet(spark, tmp_path_factory):
     assert spark.read.parquet(path).count() == src.count()
 
 
+def test_files_per_partition_honored(spark, tmp_path_factory):
+    """files_per_partition=k must actually split each Hive partition
+    across up to k files (salted repartition), not silently behave
+    like k=1."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.sources.lake import write_lake
+
+    df = spark.range(0, 50_000).select(
+        F.lit("AAA").alias("company"),
+        F.lit(2024).alias("year"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 97).cast("double").alias("close"),
+    )
+    root = str(tmp_path_factory.mktemp("fpp"))
+
+    write_lake(df, root + "/one", files_per_partition=1)
+    assert len(glob.glob(root + "/one/company=AAA/year=2024/*.parquet")) == 1
+
+    write_lake(df, root + "/four", files_per_partition=4)
+    n = len(glob.glob(root + "/four/company=AAA/year=2024/*.parquet"))
+    assert 2 <= n <= 4, n
+    # same rows either way
+    assert (
+        spark.read.parquet(root + "/four").count()
+        == spark.read.parquet(root + "/one").count()
+        == 50_000
+    )
+
+
+def test_compact_preserves_hive_layout(spark, tmp_path_factory):
+    """Compacting a partitioned lake must keep the company=/year=
+    directory scheme (partition pruning survives) and the data."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.sources.lake import (
+        compact_parquet,
+        ohlcv_from_events,
+        write_lake,
+    )
+
+    path = str(tmp_path_factory.mktemp("compact_hive")) + "/ohlcv"
+    bars = ohlcv_from_events(spark, SF_SMOKE)
+    write_lake(bars, path)
+    before_files = glob.glob(f"{path}/company=*/year=*/*.parquet")
+    assert before_files
+    want = bars.count()
+
+    compact_parquet(spark, path, target_file_mb=128)
+
+    after_files = glob.glob(f"{path}/company=*/year=*/*.parquet")
+    assert after_files, "hive layout lost by compaction"
+    assert not glob.glob(f"{path}/*.parquet"), "data files leaked to lake root"
+    assert not os.path.exists(path + ".old") and not os.path.exists(
+        path + ".compacting"
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == want
+    # partition pruning still applies after compaction
+    plan = (
+        back.filter(F.col("company") == "SYM001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
 def test_sorted_write_enables_data_skipping(spark, tmp_path_factory):
     """sort_cols clusters values per row group: min/max footer stats
     become disjoint, so a range predicate can skip most row groups."""

@@ -63,3 +63,56 @@ def test_pipeline_replays_reference_dag(spark, tmp_path_factory):
     assert one.count() == 30
     assert "PartitionFilters: [isnotnull(company" in \
         one._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_fetches_each_symbol_once(spark, tmp_path_factory):
+    """run() must execute the fetch stage exactly once per symbol: the
+    probe aggregates the WRITTEN lake, not the un-cached fetch
+    DataFrame (which would re-run fetch_fn for every symbol)."""
+    from stock_prediction_data_engineering_spark import pipeline
+    from stock_prediction_data_engineering_spark.sources.api_source import synthetic_fetch
+
+    root = tmp_path_factory.mktemp("fetchonce")
+    csv_path = str(root / "screener.csv")
+    with open(csv_path, "w") as f:
+        f.write(DIRTY_CSV)
+    calls_log = str(root / "calls.log")
+
+    def counting(sym, start, end):
+        # fetch runs in Python worker processes: count via file appends
+        with open(calls_log, "a") as fh:
+            fh.write(sym + "\n")
+        return synthetic_fetch(sym, start, end)
+
+    pipeline.run(
+        spark, csv_path, str(root / "lake"),
+        start="2024-01-01", end="2024-02-01", fetch_fn=counting,
+    )
+    with open(calls_log) as fh:
+        calls = sorted(line.strip() for line in fh)
+    # 5 clean-symbol rows in DIRTY_CSV (AAA BBB CCC EEE FLAKY); each
+    # fetched exactly once
+    assert calls == ["AAA", "BBB", "CCC", "EEE", "FLAKY"], calls
+
+
+def test_pipeline_rerun_is_idempotent(spark, tmp_path_factory):
+    """A second run() over the same lake path is overwrite-equal — the
+    reference's batch-retry semantics (dags/...aws_s3.py:18,
+    README.md:67) without manual cleanup."""
+    from stock_prediction_data_engineering_spark import pipeline
+    from stock_prediction_data_engineering_spark.sources.api_source import synthetic_fetch
+
+    root = tmp_path_factory.mktemp("rerun")
+    csv_path = str(root / "screener.csv")
+    with open(csv_path, "w") as f:
+        f.write(DIRTY_CSV)
+    lake = str(root / "lake")
+
+    args = dict(start="2024-01-01", end="2024-02-01", fetch_fn=synthetic_fetch)
+    first = pipeline.run(spark, csv_path, lake, **args).collect()
+    lake_rows_1 = spark.read.parquet(lake).count()
+    second = pipeline.run(spark, csv_path, lake, **args).collect()
+    lake_rows_2 = spark.read.parquet(lake).count()
+
+    assert first == second
+    assert lake_rows_1 == lake_rows_2 > 0
