@@ -40,9 +40,15 @@ HEADLINE_QUERIES = [
     "q_pivot",
     "q_subquery_correlated",
     "q_window_range_frame",
+    # set-ops / scalar-function families
+    "q_union",
+    "q_string_functions",
+    # distributed global rank
+    "q_ntile",
     # composite flagship
     "q_symbol_preprocess",
     # LLM-data ops
+    "q_dedup_minhash",
     "q_dedup_exact",
     "q_token_explode",
     "q_text_stats",
@@ -74,14 +80,17 @@ def main() -> None:
 
     for t in TABLES:
         table(spark, sf_dir, t).count()
-    # Two passes: pass 0 is untimed and exists to pay each plan's
-    # one-off whole-stage-codegen (Janino) compilation; pass 1 is the
-    # reported measurement. This is the standard warm-run protocol —
-    # on a long-running cluster every recurring query runs compiled.
+    # Two runs per query, back to back: run 0 is untimed and pays the
+    # plan's one-off whole-stage-codegen (Janino) compilation; run 1 is
+    # the reported measurement. Back-to-back (rather than two whole
+    # passes) keeps each plan's generated classes hot in the codegen
+    # cache — interleaving 20+ queries between a plan's two runs evicts
+    # large plans and re-charges compilation to the measured run. On a
+    # long-running cluster every recurring query runs compiled.
     times: dict[str, float] = {}
-    for measured in (False, True):
-        for name in HEADLINE_QUERIES:
-            fn = registry.QUERIES[name]
+    for name in HEADLINE_QUERIES:
+        fn = registry.QUERIES[name]
+        for measured in (False, True):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # force full evaluation of every operator in the plan

@@ -34,19 +34,43 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     )
 
 
-def _seeded_hasher(seed: int):
-    # closure factory: a default-arg lambda (s, i=seed) would be seen
-    # by PySpark as a TWO-argument higher-order lambda and silently
-    # receive the element index instead of the seed
-    return lambda s: F.xxhash64(s, F.lit(seed))
+_MERSENNE = 2147483647  # 2^31 - 1: keeps a*h+b inside long range
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """num_hashes-wide MinHash signature: for seed i, min over shingles
-    of xxhash64(shingle, i). One array expression, fully codegen'd."""
+def shingle_hashes(shingles: Column) -> Column:
+    """Base hash per shingle, reduced mod 2^31-1. Each shingle STRING
+    is hashed exactly once; the per-seed MinHash values are then cheap
+    linear mixes of this base hash (the universal-hashing-family
+    construction). Hashing the string once instead of once per seed is
+    a ~num_hashes-fold cut in string hashing — the dominant cost of
+    signature computation."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def _mix_coeffs(seed: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the linear hash family h_i = a*h + b
+    mod p: a in [1, p-1], b in [0, p-1]. Knuth multiplicative constants
+    keep the seeds well spread; no RNG state, reproducible anywhere."""
+    a = (seed * 2654435761 + 1) % (_MERSENNE - 1) + 1
+    b = (seed * 40503 + 9176) % _MERSENNE
+    return a, b
+
+
+def _mixer(a: int, b: int):
+    # closure factory: a default-arg lambda would be seen by PySpark as
+    # a multi-argument higher-order lambda and silently receive the
+    # element index
+    return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE))
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-wide MinHash signature over pre-hashed shingles
+    (see :func:`shingle_hashes`): for seed i, min over shingles of
+    (a_i * h + b_i) mod p. One array expression, fully codegen'd,
+    long arithmetic only."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, _seeded_hasher(i)))
+            F.array_min(F.transform(hashes, _mixer(*_mix_coeffs(i))))
             for i in range(num_hashes)
         ]
     )
@@ -79,23 +103,46 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH.
 
-    Pipeline: shingle -> 64-hash MinHash signature -> 16 bands of 4 ->
-    explode bands -> self-join on (band, band_hash) for candidates ->
-    verify with exact Jaccard over shingle sets -> threshold.
+    Pipeline: shingle -> base-hash each shingle once -> 64 linear-mix
+    MinHash values -> 16 bands of 4 -> explode bands -> self-join on
+    (band, band_hash) for candidates -> verify with Jaccard over the
+    hashed shingle sets -> threshold.
+
+    Shuffle discipline (the part that matters at 100 TB): the band
+    table carries ONLY (id, band, band_hash) — never the shingle
+    arrays — so the 16-way band explode shuffles 24 bytes per band,
+    not 16 copies of each document's shingles. Candidate pairs are
+    deduplicated first and only then joined back to the (long-typed)
+    shingle-hash arrays for verification, so array payloads move
+    through exactly one candidate-bounded hash join per side, and the
+    verify intersect runs on longs, not strings.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        char_shingles(text_col, k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # Spread the CPU-heavy signature computation regardless of the
+    # input's file layout: a single small parquet file would otherwise
+    # put the whole shingle->hash->sig->band pipeline in ONE task
+    # (bytes-based split sizing can't see per-row compute cost).
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = docs.repartition(n_parts)
+    # chained projections so each array (shingles, base hashes,
+    # signature) is materialized once per row instead of being
+    # re-evaluated inside every downstream expression
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            char_shingles(text_col, k).alias("shingles"),
+        )
+        .withColumn("sh_hashes", shingle_hashes(F.col("shingles")))
+        .withColumn("sig", minhash_signature(F.col("sh_hashes"), num_hashes))
+        .select("id", "sh_hashes", "sig")
+    )
 
     banded = base.select(
         "id",
-        "shingles",
         F.explode(_band_structs(F.col("sig"), bands, rows_per_band)).alias("b"),
-    ).select("id", "shingles", "b.band", "b.band_hash")
+    ).select("id", "b.band", "b.band_hash")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -106,21 +153,31 @@ def minhash_lsh_pairs(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Explicit partition count for the verify stage: candidate rows are
+    # tiny in BYTES but each costs an array intersect in CPU, so AQE's
+    # byte-based coalescing would squeeze them into a few tasks and
+    # run the verification nearly single-threaded. A user-specified
+    # count is exempt from coalescing — and the key is deliberately
+    # id_a ALONE: repartitioning on (id_a, id_b) would be recognized as
+    # redundant with dropDuplicates' own hash partitioning and
+    # optimized away, re-exposing the coalescible exchange.
+    cands = cands.repartition(n_parts, "id_a")
 
+    ha = base.select(F.col("id").alias("id_a"), F.col("sh_hashes").alias("h_a"))
+    hb = base.select(F.col("id").alias("id_b"), F.col("sh_hashes").alias("h_b"))
+    verified = cands.join(ha, "id_a").join(hb, "id_b")
+    # array_intersect/array_union have set semantics (distinct output),
+    # so this is Jaccard of the hashed shingle sets; a 2^31 hash space
+    # makes within-doc collisions negligible
     jaccard = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b"))
+        F.size(F.array_intersect("h_a", "h_b")).cast("double")
+        / F.size(F.array_union("h_a", "h_b"))
     )
     return (
-        cands.withColumn("jaccard", F.round(jaccard, 4))
+        verified.withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
