@@ -9,6 +9,22 @@ upload to S3 (:74-91). In Spark the identical ``k=v`` layout is one
 free, and an object store is just a different path scheme
 (``s3a://…``) with the committer replacing walk-and-put.
 
+Object-store status (SURVEY.md §2.1 S5): paths are resolved through
+the Hadoop FileSystem API, so any scheme with a registered
+implementation works unchanged — ``write_lake(df, "s3a://bucket/…")``
+needs only the hadoop-aws jar plus credentials, and for production
+S3 the zero-rename magic committer::
+
+    spark.hadoop.fs.s3a.committer.name=magic
+    spark.sql.sources.commitProtocolClass=
+        org.apache.spark.internal.io.cloud.PathOutputCommitProtocol
+    spark.sql.parquet.output.committer.class=
+        org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter
+
+Those jars are not in this harness, so S3 itself is out-of-harness;
+the URI path resolution (scheme-qualified rather than raw OS paths)
+is exercised in tests via ``file://`` URIs.
+
 Differences from the reference, by design (SURVEY.md §1.2):
 
 - the partition key columns are NOT duplicated inside the data files

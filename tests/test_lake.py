@@ -189,6 +189,29 @@ def test_compact_preserves_hive_layout(spark, tmp_path_factory):
     assert "PartitionFilters" in plan
 
 
+def test_write_lake_resolves_uri_schemes(spark, tmp_path_factory):
+    """Lake paths go through the Hadoop FileSystem API: a scheme-
+    qualified URI (file://...) must behave identically to a bare OS
+    path. This is the same resolution path an s3a:// URI takes; the
+    S3 connector itself is out-of-harness (see sources/lake.py)."""
+    from stock_prediction_data_engineering_spark.sources.lake import (
+        read_lake,
+        write_lake,
+    )
+
+    root = tmp_path_factory.mktemp("uri")
+    df = spark.createDataFrame(
+        [("AAA", 2024, 1.5), ("BBB", 2023, 2.5)],
+        "company string, year int, close double",
+    )
+    uri = f"file://{root}/lake"
+    write_lake(df, uri)
+    # written through the URI, visible at the OS path, layout intact
+    assert glob.glob(f"{root}/lake/company=*/year=*/*.parquet")
+    assert read_lake(spark, uri).count() == 2
+    assert read_lake(spark, f"{root}/lake").count() == 2
+
+
 def test_sorted_write_enables_data_skipping(spark, tmp_path_factory):
     """sort_cols clusters values per row group: min/max footer stats
     become disjoint, so a range predicate can skip most row groups."""
