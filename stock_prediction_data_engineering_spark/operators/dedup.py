@@ -363,6 +363,93 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Dedup resolution: candidate pairs -> clusters -> canonical survivor
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in ``pairs``, where ``component``
+    is the minimum id reachable through the pair graph — the cluster
+    labeling step that turns near-dup PAIRS into dedup GROUPS.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; rounds run until a
+    fixed point. Convergence is bounded by the cluster diameter, and
+    LSH-derived near-dup clusters are dense (nearly cliques), so 2-3
+    rounds are typical; ``max_iterations`` guards pathological chains.
+
+    Scale notes: each round is one join + one hash aggregate, both on
+    (id, label) longs — shuffle volume O(edges). The per-round
+    ``localCheckpoint`` truncates the otherwise exponentially-growing
+    lineage (the standard Spark pattern for iterative algorithms), and
+    the convergence check is a 1-row count action. For graphs with
+    long chains at extreme scale, the O(log n)-round alternating
+    star algorithms are the drop-in upgrade; near-dup graphs don't
+    need them.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_labels = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.component") != F.col("n.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Attach (component, is_canonical) to every document: documents in
+    the same connected component of ``pairs`` share a component label
+    (the minimum member id); the minimum-id member is the canonical
+    survivor, everything else in the component is a duplicate.
+    Singletons (no pair) are their own canonical component."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        docs.join(comp, docs[id_col] == comp.id, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("is_canonical", F.col("component") == F.col(id_col))
+        .drop("id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (delegates candidate generation to LSH)
 
 

@@ -42,6 +42,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_resolve",
+    oracle="""
+    SELECT doc_id,
+           CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS component,
+           doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+    FROM documents
+    """,
+)
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION: pair graph -> connected components -> one
+    canonical survivor per cluster (operators/dedup.py
+    connected_components / resolve_duplicates — the iterative
+    min-label-propagation operator).
+
+    Driven here by exact-duplicate pairs, whose clusters are cliques —
+    so the iterative distributed algorithm has an ANSI-SQL oracle
+    (min id per identical-text group) and gets a hash-checked
+    correctness signal; the same operator consumes MinHash/SimHash
+    pair outputs unchanged (tests cover multi-hop chains that plain
+    GROUP BY cannot express).
+    """
+    from ..operators.dedup import resolve_duplicates
+
+    docs = table(spark, sf_dir, "documents")
+    with_hash = docs.select("doc_id", F.md5("text").alias("h"))
+    l, r = with_hash.alias("l"), with_hash.alias("r")
+    pairs = l.join(
+        r, (F.col("l.h") == F.col("r.h")) & (F.col("l.doc_id") < F.col("r.doc_id"))
+    ).select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+    return resolve_duplicates(docs, pairs).select(
+        "doc_id", "component", "is_canonical"
+    )
+
+
+@query(
     "q_text_stats",
     oracle="""
     SELECT lang,

@@ -124,6 +124,7 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 
 ORACLE_EXTRAS: tuple[str, ...] = (
     # Bonus oracle-backed surface beyond SURVEY §2's coverage table.
+    "q_dedup_resolve",
     "q_pivot",
     "q_unpivot",
     "q_hash_sample",

@@ -134,6 +134,55 @@ def test_ngram_hot_posting_cap(spark, planted_docs):
     assert hot >= 1
 
 
+def test_connected_components_multihop(spark):
+    """Label propagation must close transitive chains: A~B, B~C, C~D
+    puts all four in one component even though A and D never pair —
+    exactly what a per-pair GROUP BY cannot express."""
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_resolve_duplicates_keeps_one_per_cluster(spark, planted_docs):
+    """End-to-end dedup: minhash pairs -> components -> exactly one
+    canonical doc per near-dup cluster; unrelated docs stay canonical
+    singletons."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        resolve_duplicates,
+    )
+
+    pairs = minhash_lsh_pairs(planted_docs, jaccard_threshold=0.5)
+    resolved = resolve_duplicates(planted_docs, pairs)
+    rows = {r.doc_id: (r.component, r.is_canonical) for r in resolved.collect()}
+    # docs 0/1/2/4 form one near-dup cluster with 0 canonical
+    assert rows[0] == (0, True)
+    for d in (1, 2, 4):
+        assert rows[d] == (0, False)
+    # unrelated docs are their own canonical components
+    assert rows[3] == (3, True) and rows[5] == (5, True)
+    # exactly one canonical row per component
+    per_comp = (
+        resolved.groupBy("component")
+        .agg(F.sum(F.col("is_canonical").cast("int")).alias("n_canon"))
+        .collect()
+    )
+    assert all(r.n_canon == 1 for r in per_comp)
+
+
 def test_embedding_near_dup_and_ann(spark):
     import math
 
