@@ -234,6 +234,81 @@ def ivf_topk(
     return ivf_search(index, query_vec, k, nprobe)
 
 
+class LshIndex:
+    """A built hyperplane-LSH index: the bucket-assigned corpus table.
+    Build once, search many times. When ``path`` was given to
+    :func:`lsh_build`, ``table`` reads a lake partitioned by
+    ``bucket``, so per-query bucket predicates prune to the probed
+    partition directories."""
+
+    def __init__(self, table: DataFrame, num_planes: int, vec_col: str, id_col: str):
+        self.table = table
+        self.num_planes = num_planes
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+
+def lsh_build(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    path: str | None = None,
+) -> LshIndex:
+    """Assign every corpus row its hyperplane-LSH bucket (one map-only
+    pass — hyperplanes are hash-synthesized, nothing is fit) and
+    optionally persist partitioned by bucket for partition-pruned
+    searches."""
+    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), num_planes))
+    if path is not None:
+        (
+            bucketed.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        bucketed = corpus.sparkSession.read.parquet(path)
+    return LshIndex(bucketed, num_planes, vec_col, id_col)
+
+
+def lsh_search(
+    index: LshIndex,
+    query_vec: DataFrame,
+    k: int = 10,
+    multi_probe: int = 0,
+) -> DataFrame:
+    """Search a built LSH index: scan the query's bucket, plus — with
+    ``multi_probe`` > 0 — every bucket within that Hamming distance of
+    the query signature (flipping the least-confident sign bits is the
+    classic multi-probe LSH recall widener; here all single/double bit
+    flips, since planes are unweighted). Candidates grow by
+    ~C(planes, multi_probe) buckets while the corpus scan stays
+    bucket-bounded."""
+    qrow = query_vec.select(F.col(index.vec_col).alias("qvec")).limit(1)
+    q_bucket_df = qrow.withColumn(
+        "bucket", lsh_bucket(F.col("qvec"), index.num_planes)
+    )
+    q_bucket = q_bucket_df.select("bucket").first()[0]
+
+    buckets = {q_bucket}
+    if multi_probe >= 1:
+        for p in range(index.num_planes):
+            buckets.add(q_bucket ^ (1 << p))
+    if multi_probe >= 2:
+        for p1 in range(index.num_planes):
+            for p2 in range(p1 + 1, index.num_planes):
+                buckets.add(q_bucket ^ (1 << p1) ^ (1 << p2))
+
+    cos = F.round(cosine_expr(F.col(index.vec_col), F.col("qvec")), 4)
+    return (
+        index.table.filter(F.col("bucket").isin(sorted(buckets)))
+        .crossJoin(F.broadcast(qrow))
+        .select(F.col(index.id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(index.id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     query_vec: DataFrame,
@@ -242,20 +317,10 @@ def lsh_topk(
     id_col: str = "vec_id",
     num_planes: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: restrict the scan to the query's LSH bucket.
-
-    With B buckets the expected candidate set is corpus/B; the bucket
-    assignment itself is a one-time cost that would be precomputed and
-    persisted in a real deployment (here inline for self-containment).
+    """One-shot approximate top-k from the query's own LSH bucket:
+    :func:`lsh_build` + :func:`lsh_search` without persistence. With B
+    buckets the expected candidate set is corpus/B; repeated searches
+    should build the index once (optionally persisted) and reuse it.
     """
-    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), num_planes))
-    q = query_vec.select(F.col(vec_col).alias("qvec")).withColumn(
-        "bucket", lsh_bucket(F.col("qvec"), num_planes)
-    )
-    cos = F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 4)
-    return (
-        bucketed.join(F.broadcast(q), "bucket")
-        .select(F.col(id_col), cos.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+    index = lsh_build(corpus, vec_col, id_col, num_planes)
+    return lsh_search(index, query_vec, k)

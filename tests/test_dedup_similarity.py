@@ -286,3 +286,37 @@ def test_ivf_build_once_search_many(spark, tmp_path):
     qv = emb.filter(F.col("vec_id") == 0)
     got = [r.vec_id for r in ivf_search(sampled, qv, k=3, nprobe=4).collect()]
     assert got[0] == 0
+
+
+def test_lsh_build_search_and_multiprobe(spark, tmp_path):
+    """Persisted LSH index: bucket-partitioned lake, searches match the
+    one-shot path, and multi-probe widens (never shrinks) recall."""
+    import os
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_build,
+        lsh_search,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    index = lsh_build(emb, num_planes=4, path=path)
+    assert [d for d in os.listdir(path) if d.startswith("bucket=")]
+
+    qv = emb.filter(F.col("vec_id") == 3)
+    reused = [(r.vec_id, r.cosine) for r in lsh_search(index, qv, k=5).collect()]
+    oneshot = [(r.vec_id, r.cosine) for r in lsh_topk(emb, qv, k=5, num_planes=4).collect()]
+    assert reused == oneshot
+    assert reused[0][0] == 3  # query finds itself in its own bucket
+
+    exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
+    base_hits = {r.vec_id for r in lsh_search(index, qv, k=5).collect()} & exact
+    probe_hits = {
+        r.vec_id for r in lsh_search(index, qv, k=5, multi_probe=2).collect()
+    } & exact
+    assert len(probe_hits) >= len(base_hits)
