@@ -19,6 +19,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a document/vector table to the session's shuffle
+    parallelism before CPU-heavy per-row work (signatures, bit votes,
+    gram explodes). Input split sizing is byte-based, so a small file
+    would otherwise pin an expensive pipeline to one task; the explicit
+    count also keeps AQE from coalescing it back."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash signatures (JVM-side)
 
@@ -120,12 +130,8 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
-    # Spread the CPU-heavy signature computation regardless of the
-    # input's file layout: a single small parquet file would otherwise
-    # put the whole shingle->hash->sig->band pipeline in ONE task
-    # (bytes-based split sizing can't see per-row compute cost).
     n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = docs.repartition(n_parts)
+    docs = _spread(docs)
     # chained projections so each array (shingles, base hashes,
     # signature) is materialized once per row instead of being
     # re-evaluated inside every downstream expression
@@ -230,7 +236,7 @@ def simhash_pairs(
     pair within hamming distance 3 collides on at least one chunk.
     Self-join per chunk, verify exact hamming distance.
     """
-    sims = docs.select(
+    sims = _spread(docs).select(
         F.col(id_col).alias("id"),
         simhash64(F.split(F.trim(F.col(text_col)), r"\s+")).alias("simhash"),
     )
@@ -304,9 +310,9 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
-    base = docs.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
-        "n_grams", F.size("grams")
-    )
+    base = _spread(docs).select(
+        F.col(id_col).alias("id"), grams.alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
     inv = base.select("id", "n_grams", F.explode("grams").alias("gram"))
 
     if max_doc_frequency is None:
@@ -465,7 +471,7 @@ def embedding_near_dup_pairs(
     for the signature construction."""
     from .similarity import cosine_expr, lsh_bucket
 
-    tagged = embeddings.select(
+    tagged = _spread(embeddings).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).withColumn("bucket", lsh_bucket(F.col("vec"), num_planes=num_planes))
 
