@@ -46,7 +46,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (L2 variant) with chunk blocking; returns
     the per-chunk candidate statistics so the operator is observable
     even with zero sub-threshold pairs."""
-    docs = table(spark, sf_dir, "documents").limit(500)
+    # deterministic id-prefix cap (a bare limit() funnels the plan
+    # through a SinglePartition exchange and is order-dependent)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sims = docs.select(
         "doc_id",
         dedup.simhash64(F.split(F.trim(F.col("text")), r"\s+")).alias("simhash"),
@@ -67,7 +69,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the hot-posting cap engaged (the 100 TB skew guard): grams in
     >50 documents are excluded from candidate generation, candidates
     are verified with exact Jaccard over full gram sets."""
-    docs = table(spark, sf_dir, "documents").limit(300)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_doc_frequency=50)
 
 
@@ -147,7 +149,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language identification: explode trigrams,
     broadcast-join tiny per-language profiles, argmax hits."""
-    d = table(spark, sf_dir, "documents").limit(500)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return text.identify_language(d)
 
 

@@ -166,17 +166,19 @@ def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global total-order sort, materialized as a rank column so the
     order-insensitive hash still verifies the ordering (SURVEY §2.6 O1).
 
-    Note: a single-partition row_number is fine at dimension-table
-    scale; for 100 TB fact data the engine's ordered-output path is
-    orderBy() (range-partitioned sort) without a global rank.
+    The rank comes from the distributed two-phase global rank
+    (operators/ranking.py): range-partitioned sort + per-slice offsets,
+    identical output to a global row_number with no single-partition
+    window — the same query holds on fact tables.
     """
-    from pyspark.sql import Window
+    from ..operators.ranking import _with_global_rank
 
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_acctbal",
-        F.row_number().over(w).cast("bigint").alias("sort_rank"),
+    cust = table(spark, sf_dir, "customer")
+    ranked, _total = _with_global_rank(
+        cust, [F.col("c_acctbal").desc(), F.col("c_custkey")], "__rank"
+    )
+    return ranked.select(
+        "c_custkey", "c_acctbal", F.col("__rank").cast("bigint").alias("sort_rank")
     )
 
 

@@ -53,6 +53,21 @@ def test_window_partitions_by_key(spark):
     assert "SinglePartition" not in plan
 
 
+def test_no_query_plans_a_single_partition_window(spark):
+    """Global audit over EVERY registered query: no executed plan may
+    contain both a Window operator and a SinglePartition exchange —
+    the un-partitioned-window cliff class, with no exemptions."""
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        plan = _plan(fn(spark, SF_SMOKE))
+        if "Window" in plan and "SinglePartition" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
+
+
 def test_ntile_has_no_single_partition_window(spark):
     """q_ntile is a *global* rank but must still not plan a
     single-partition window: the distributed NTILE range-partitions and
