@@ -85,6 +85,95 @@ def test_streaming_stateful_dedup(spark):
     assert row.n > 0 and row.n == row.n_ids
 
 
+def test_stream_stream_interval_join(spark):
+    """Watermarked stream-stream self-join: every event pairs with the
+    same user's events in the preceding 30 minutes. Verified against
+    the identical batch-mode range join."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.streaming.joins import interval_join
+
+    left = _stream_events(spark).select("user_id", "ts", "event_id")
+    right = (
+        _stream_events(spark)
+        .select(
+            F.col("user_id").alias("user_id_r"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event_id"),
+        )
+    )
+    lw = left.withWatermark("ts", "1 hour")
+    rw = right.withWatermark("r_ts", "1 hour")
+    joined = lw.join(
+        rw,
+        (lw.user_id == rw.user_id_r)
+        & (rw.r_ts >= lw.ts - F.expr("INTERVAL 30 minutes"))
+        & (rw.r_ts <= lw.ts),
+        "inner",
+    ).select("user_id", "event_id", "r_event_id")
+    _run_to_completion(joined, "ssj_out")
+    got = spark.sql("SELECT count(*) AS n FROM ssj_out").collect()[0].n
+
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    b = batch.select("user_id", "ts", "event_id")
+    r = batch.select(
+        F.col("user_id").alias("user_id_r"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    want = b.join(
+        r,
+        (b.user_id == r.user_id_r)
+        & (r.r_ts >= b.ts - F.expr("INTERVAL 30 minutes"))
+        & (r.r_ts <= b.ts),
+    ).count()
+    assert got == want > 0
+
+    # the operator wrapper builds the same plan
+    l2 = _stream_events(spark).select("user_id", "ts", "event_id")
+    r2 = _stream_events(spark).select(
+        F.col("user_id").alias("user_id_r"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    wrapped = interval_join(
+        l2,
+        r2,
+        key="user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        interval="30 minutes",
+        watermark="1 hour",
+    ).select("user_id", "event_id", "r_event_id")
+    _run_to_completion(wrapped, "ssj_wrapped_out")
+    assert spark.sql("SELECT count(*) AS n FROM ssj_wrapped_out").collect()[0].n == want
+
+
+def test_stream_static_enrichment(spark):
+    """Stream-static join: enrich the event stream with the customer
+    dimension (broadcast lookup, stateless)."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.streaming.joins import enrich_with_dim
+
+    dim = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = enrich_with_dim(
+        _stream_events(spark).select("user_id", "event_id"), dim, on="user_id"
+    )
+    _run_to_completion(enriched, "enrich_out")
+    out = spark.sql("SELECT * FROM enrich_out")
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert out.count() == n_events
+    # every event whose user exists in the dim got a segment
+    matched = out.filter("c_mktsegment IS NOT NULL").count()
+    assert matched > 0
+
+
 def test_foreach_batch_upsert(spark, tmp_path_factory):
     from pyspark.sql import functions as F
 
