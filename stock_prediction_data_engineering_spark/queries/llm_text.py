@@ -11,7 +11,7 @@ rows-only queries — their outputs are not ANSI-SQL-expressible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -102,6 +102,83 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "q_corpus_curation",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id, lang, n_chars, text,
+               min(doc_id) OVER (PARTITION BY text) AS keeper,
+               len(string_split(text, ' ')) AS word_cnt
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(word_cnt AS BIGINT) AS word_cnt
+    FROM canon
+    WHERE doc_id = keeper
+      AND n_chars BETWEEN 50 AND 20000
+      AND word_cnt >= 10
+      AND CAST(len(replace(text, ' ', '')) AS DOUBLE) / word_cnt
+          BETWEEN 2.0 AND 12.0
+    ORDER BY doc_id
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data curation composite: exact-dedup to the
+    canonical copy (min doc_id per identical text, a per-text window —
+    partitioned, scale-safe), then quality gates (length band, minimum
+    word count, mean-word-length band — the stopword/garbage
+    heuristics every corpus pipeline applies before training). One
+    pass, no UDFs; every predicate sits on scan-derived columns."""
+    d = table(spark, sf_dir, "documents")
+    word_cnt = F.size(F.split("text", " "))
+    keeper = F.min("doc_id").over(Window.partitionBy("text"))
+    mean_wlen = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / F.col("word_cnt")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", "text", word_cnt.alias("word_cnt"))
+        .withColumn("keeper", keeper)
+        .filter(
+            (F.col("doc_id") == F.col("keeper"))
+            & F.col("n_chars").between(50, 20000)
+            & (F.col("word_cnt") >= 10)
+            & mean_wlen.between(2.0, 12.0)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("word_cnt").cast("bigint").alias("word_cnt"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (lang = 'en' AND substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7'))
+       OR (lang <> 'en' AND substr(md5(text), 1, 1) IN ('0','1','2','3'))
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content hash: keep ~50% of
+    'en' docs and ~25% of every other stratum, by first-hex-digit
+    membership of md5(text). Unlike TABLESAMPLE/rand this is
+    reproducible across engines, runs, and repartitioning — the
+    property a train/holdout split actually needs — and it is a pure
+    per-row predicate: no shuffle, no state."""
+    d = table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5("text"), 1, 1)
+    keep = (
+        (F.col("lang") == "en") & digit.isin(*"01234567")
+    ) | ((F.col("lang") != "en") & digit.isin(*"0123"))
+    return d.filter(keep).select("doc_id", "lang")
 
 
 @query(

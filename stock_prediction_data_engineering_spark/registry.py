@@ -125,6 +125,8 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 ORACLE_EXTRAS: tuple[str, ...] = (
     # Bonus oracle-backed surface beyond SURVEY §2's coverage table.
     "q_dedup_resolve",
+    "q_corpus_curation",
+    "q_stratified_sample",
     "q_top_revenue_orders",
     "q_nation_market_share",
     "q_supplier_ship_delay_rank",
