@@ -222,3 +222,60 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts_asof").alias("quote_ts_us"),
         F.col("quote_value_asof").alias("quote_value"),
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH probe AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    quote AS (
+        SELECT user_id, ts, MAX(value) AS next_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS probe_ts_us,
+           CASE WHEN q.ts - p.ts <= INTERVAL 2 HOUR
+                THEN epoch_us(q.ts) END AS next_ts_us,
+           CASE WHEN q.ts - p.ts <= INTERVAL 2 HOUR
+                THEN q.next_value END AS next_value
+    FROM probe p
+    ASOF LEFT JOIN quote q
+      ON p.user_id = q.user_id AND p.ts <= q.ts
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (J8 variant, the pandas merge_asof
+    surface): each purchase annotated with the same user's NEXT click
+    within 2 hours, or nulls if none. Same single-shuffle union+window
+    plan as backward — the timeline is just scanned in reverse; oracle
+    is DuckDB's native forward ASOF (p.ts <= q.ts) with an interval
+    guard."""
+    ev = table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    quote = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_value"))
+    )
+    joined = asof_join(
+        probe,
+        quote,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts", "next_value"],
+        direction="forward",
+        tolerance="2 hours",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("probe_ts_us"),
+        F.unix_micros("ts_asof").alias("next_ts_us"),
+        F.col("next_value_asof").alias("next_value"),
+    )

@@ -125,6 +125,7 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 ORACLE_EXTRAS: tuple[str, ...] = (
     # Bonus oracle-backed surface beyond SURVEY §2's coverage table.
     "q_dedup_resolve",
+    "q_join_asof_forward",
     "q_corpus_curation",
     "q_stratified_sample",
     "q_top_revenue_orders",
