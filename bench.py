@@ -45,8 +45,11 @@ HEADLINE_QUERIES = [
     "q_string_functions",
     # distributed global rank
     "q_ntile",
-    # composite flagship
+    # composite flagship + analytical composites
     "q_symbol_preprocess",
+    "q_top_revenue_orders",
+    # LLM curation composite
+    "q_corpus_curation",
     # LLM-data ops
     "q_dedup_minhash",
     "q_dedup_exact",
