@@ -235,3 +235,82 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count yields 0 — align on 0
         out = out.withColumn(name, F.coalesce(F.col(f"`{val}`"), F.lit(0)).cast("bigint"))
     return out.select("o_orderstatus", *names)
+
+
+@query(
+    "q_value_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100)
+                    AS BIGINT) AS xi
+        FROM events GROUP BY event_type, day
+    ),
+    lagged AS (
+        SELECT event_type, xi,
+               lag(xi) OVER (PARTITION BY event_type ORDER BY day) AS yi
+        FROM daily
+    ),
+    sums AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(xi) AS sx, SUM(yi) AS sy,
+               SUM(xi * yi) AS sxy, SUM(xi * xi) AS sxx, SUM(yi * yi) AS syy
+        FROM lagged WHERE yi IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+               AS autocorr
+    FROM sums
+    """,
+)
+def q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily total value per event type —
+    the stationarity probe a return-prediction pipeline runs first.
+
+    Pearson r is assembled from INTEGER component sums: the exact
+    decimal day total is scaled to cents (a lossless long, since
+    inputs carry <=2 decimals), so n, Σx, Σy, Σxy, Σx², Σy² are
+    integer arithmetic and bit-identical across engines; the final
+    formula is a fixed sequence of double ops on identical integers.
+    A native corr() aggregate accumulates doubles in shuffle order and
+    would not hash-match. Two shuffles total (daily agg, per-type
+    sums); the lag window is per-type, never global.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import dsum
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(dsum("value") * 100).cast("long").alias("xi"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "xi", F.lag("xi").over(w).alias("yi")
+    ).filter(F.col("yi").isNotNull())
+
+    sums = lagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("yi") * F.col("yi")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(corr, 4).alias("autocorr"),
+    )

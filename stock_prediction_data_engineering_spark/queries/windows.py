@@ -157,6 +157,49 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gapfill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS day_avg
+      FROM events GROUP BY user_id, day
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+                                         CAST(max(day) AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM daily GROUP BY user_id
+    )
+    SELECT s.user_id, s.day,
+           last_value(d.day_avg IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg,
+           d.day_avg IS NOT NULL AS is_observed
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill / daily resample (operators/resample.py): the
+    regularized per-key daily series every OHLCV model needs — one row
+    per user per day in their span, missing days forward-filled from
+    the last observation. Spine generated JVM-side by sequence();
+    fill is a per-key window — one shuffle end to end."""
+    from ..functions.exact import davg
+    from ..operators.resample import calendar_gapfill
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(davg("value").alias("day_avg"))
+    )
+    filled = calendar_gapfill(daily, ["user_id"], "day", ["day_avg"])
+    return filled.select(
+        "user_id", "day", F.col("day_avg").alias("filled_avg"), "is_observed"
+    )
+
+
+@query(
     "q_window_range_frame",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -126,6 +126,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     # Bonus oracle-backed surface beyond SURVEY §2's coverage table.
     "q_dedup_resolve",
     "q_join_asof_forward",
+    "q_gapfill_daily",
+    "q_value_autocorr",
     "q_corpus_curation",
     "q_stratified_sample",
     "q_top_revenue_orders",

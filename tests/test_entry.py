@@ -70,9 +70,15 @@ def test_queries_run_on_a_plain_session():
         "from pyspark.sql import SparkSession\n"
         "import __spark_entry__ as e\n"
         "spark = SparkSession.builder.master('local[4]').appName('plain').getOrCreate()\n"
-        "n = e.queries()['q_tumbling_window'](spark, '/root/testdata/sf0.001').count()\n"
-        "assert n > 0, n\n"
-        "print('PLAIN_OK', n)\n"
+        "qs = e.queries()\n"
+        "# events-table nanos quirk, distributed rank collect, iterative\n"
+        "# localCheckpoint, interval arithmetic — each must survive a\n"
+        "# bare session exactly as the external driver runs them\n"
+        "for name in ('q_tumbling_window', 'q_ntile', 'q_batch_assign',\n"
+        "             'q_dedup_resolve', 'q_join_asof_forward'):\n"
+        "    n = qs[name](spark, '/root/testdata/sf0.001').count()\n"
+        "    assert n > 0, (name, n)\n"
+        "print('PLAIN_OK')\n"
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
