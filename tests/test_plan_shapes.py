@@ -156,6 +156,26 @@ def test_limit_becomes_take_ordered(spark):
     assert "TakeOrderedAndProject" in _plan(df)
 
 
+def test_analytical_composites_plan_shape(spark):
+    """TPC-H-shaped composites: dims broadcast (no sort-merge at test
+    scale), minimal exchanges, and the top-k plans as
+    TakeOrderedAndProject rather than a global sort."""
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    plan = _plan(registry.QUERIES["q_top_revenue_orders"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+    plan = _plan(registry.QUERIES["q_nation_market_share"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+    plan = _plan(registry.QUERIES["q_supplier_ship_delay_rank"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must not change join semantics: a 90%-hot-key fact
     joined to a medium dim gives identical aggregates salted and
