@@ -41,6 +41,46 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.unionByName(sigs)
 
 
+@query(
+    "q_udtf_chunk_text",
+    oracle="""
+    SELECT doc_id,
+           CAST(u.i AS INTEGER) AS chunk_idx,
+           array_to_string(parts[u.i * 32 + 1 : u.i * 32 + 32], ' ') AS chunk,
+           CAST(len(parts[u.i * 32 + 1 : u.i * 32 + 32]) AS INTEGER) AS n_words
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) t,
+         LATERAL (SELECT unnest(generate_series(
+                      0, CAST(ceil(len(parts) / 32.0) AS BIGINT) - 1)) AS i) u
+    """,
+)
+def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for embedding/context windows via a real
+    Python UDTF (SURVEY §2.10 D4 — the one-row-to-many surface as the
+    first-class API, not an explode rewrite): each doc expands to
+    32-word chunks through a registered ``@udtf`` class applied with a
+    correlated LATERAL join; oracle is DuckDB list slicing. The UDTF
+    is partition-parallel like any projection — rows never leave
+    their task."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_words int")
+    class ChunkText:
+        def eval(self, text: str, size: int):
+            words = text.split(" ") if text is not None else []
+            for i in range(0, len(words), size):
+                part = words[i : i + size]
+                yield (i // size, " ".join(part), len(part))
+
+    spark.udtf.register("chunk_text", ChunkText)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM documents, LATERAL chunk_text(text, 32) c
+        """
+    )
+
+
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (L2 variant) with chunk blocking; returns
