@@ -55,6 +55,82 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows):
     assert got == want
 
 
+@given(lrows=left_rows, rrows=right_rows)
+@prop_settings
+def test_asof_forward_with_tolerance_matches_bruteforce(spark, lrows, rrows):
+    from stock_prediction_data_engineering_spark.operators.asof import asof_join
+
+    seen = {}
+    for k, ts, v in rrows:
+        seen.setdefault((k, ts), v)
+    rrows = [(k, ts, v) for (k, ts), v in seen.items()]
+
+    left = spark.createDataFrame(lrows, "k string, ts int, lval int")
+    right = spark.createDataFrame(rrows, "k string, ts int, rval int")
+    out = asof_join(
+        left, right, "k", "ts", "ts", ["rval"],
+        direction="forward", tolerance=5,
+    ).collect()
+
+    def expect(k, ts):
+        cands = [(rts, v) for (rk, rts, v) in rrows if rk == k and ts <= rts <= ts + 5]
+        return min(cands)[1] if cands else None
+
+    got = sorted((r.k, r.ts, r.lval, r.rval_asof) for r in out)
+    want = sorted((k, ts, lv, expect(k, ts)) for (k, ts, lv) in lrows)
+    assert got == want
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(0, 20), st.integers(-5, 5)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@prop_settings
+def test_gapfill_matches_bruteforce(spark, obs):
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.resample import (
+        calendar_gapfill,
+    )
+
+    # one observation per (key, day)
+    seen = {}
+    for k, d, v in obs:
+        seen.setdefault((k, d), v)
+    obs = [(k, d, v) for (k, d), v in seen.items()]
+
+    df = spark.createDataFrame(obs, "k string, d int, v int").select(
+        "k", F.date_add(F.lit("2024-01-01").cast("date"), F.col("d")).alias("d"), "v"
+    )
+    out = calendar_gapfill(df, ["k"], "d", ["v"]).collect()
+
+    per_key = {}
+    for k, d, v in obs:
+        per_key.setdefault(k, {})[d] = v
+    want = []
+    for k, days in per_key.items():
+        lo, hi = min(days), max(days)
+        last = None
+        for d in range(lo, hi + 1):
+            observed = d in days
+            if observed:
+                last = days[d]
+            want.append((k, d, last, observed))
+    got = sorted(
+        (
+            r.k,
+            (r.d - __import__("datetime").date(2024, 1, 1)).days,
+            r.v,
+            r.is_observed,
+        )
+        for r in out
+    )
+    assert got == sorted(want)
+
+
 @given(
     fact=st.lists(
         st.tuples(st.sampled_from(KEYS), st.integers(0, 9)), min_size=0, max_size=20
