@@ -111,3 +111,57 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
         )
     )
+
+
+@query(
+    "q_data_validation",
+    oracle="""
+    SELECT 'not_null_c_name' AS rule, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM customer
+    UNION ALL
+    SELECT 'in_range_c_acctbal', COUNT(*),
+           CAST(SUM(CASE WHEN c_acctbal IS NOT NULL
+                          AND NOT (c_acctbal BETWEEN -1000 AND 10000)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'accepted_values_c_mktsegment', COUNT(*),
+           CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL
+                          AND c_mktsegment NOT IN ('MACHINERY','AUTOMOBILE',
+                                                   'HOUSEHOLD','BUILDING','FURNITURE')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'unique_c_custkey', (SELECT COUNT(*) FROM customer),
+           CAST(COALESCE(SUM(c), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM customer
+          GROUP BY c_custkey HAVING COUNT(*) > 1)
+    """,
+)
+def q_data_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (operators/validate.py) — the
+    reference's own roadmap gap (reference README.md:50). All
+    row-local rules compile into ONE conditional-aggregation scan;
+    uniqueness adds one keyed aggregate. Output is the long-form
+    (rule, n_rows, n_violations) report."""
+    from ..operators.validate import (
+        accepted_values,
+        in_range,
+        not_null,
+        unique,
+        violations,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    rules = [
+        not_null("c_name"),
+        in_range("c_acctbal", -1000, 10000),
+        accepted_values(
+            "c_mktsegment",
+            ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"],
+        ),
+        unique("c_custkey"),
+    ]
+    return violations(cust, rules)

@@ -129,6 +129,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_gapfill_daily",
     "q_value_autocorr",
     "q_udtf_chunk_text",
+    "q_data_validation",
     "q_corpus_curation",
     "q_stratified_sample",
     "q_top_revenue_orders",

@@ -374,3 +374,54 @@ def test_overwrite_partitions_touches_only_changed(spark, tmp_path_factory):
     )] == mtimes_before
     # conf restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_validation_rules_catch_planted_violations(spark):
+    """operators/validate.py: planted nulls, out-of-range values,
+    unaccepted categories, and duplicate keys are each counted by
+    their rule; failing_rows surfaces examples."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.validate import (
+        accepted_values,
+        failing_rows,
+        in_range,
+        matches,
+        not_null,
+        unique,
+        violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "AAA", 10.0, "Tech"),
+            (2, None, 20.0, "Tech"),        # null name
+            (3, "CCC", -999.0, "Misc"),     # out of range + bad sector
+            (3, "DDD", 30.0, "Tech"),       # duplicate key
+            (5, "ee", 40.0, "Tech"),        # fails ticker regex
+        ],
+        "id long, name string, bal double, sector string",
+    )
+    rules = [
+        not_null("name"),
+        in_range("bal", 0.0, 100.0),
+        accepted_values("sector", ["Tech"]),
+        matches("name", "^[A-Z]+$"),
+        unique("id"),
+    ]
+    rep = {r.rule: (r.n_rows, r.n_violations) for r in violations(df, rules).collect()}
+    assert rep == {
+        "not_null_name": (5, 1),
+        "in_range_bal": (5, 1),
+        "accepted_values_sector": (5, 1),
+        "matches_name": (5, 1),
+        "unique_id": (5, 2),  # both rows of the duplicated key count
+    }
+    bad = failing_rows(df, not_null("name")).collect()
+    assert [r.id for r in bad] == [2]
+
+    # a clean table reports zero everywhere
+    clean = df.filter(F.col("id") == 1)
+    assert all(
+        r.n_violations == 0 for r in violations(clean, rules).collect()
+    )
