@@ -43,10 +43,28 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sliding_window")  # rows-only: overlapping windows aren't plain SQL
+@query(
+    "q_sliding_window",
+    oracle="""
+    SELECT ws * 1000000 AS win_start_us, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT e.event_type, e.value,
+             (CAST(floor(epoch(e.ts)) AS BIGINT)
+              - CAST(floor(epoch(e.ts)) AS BIGINT) % 900 - u.k * 900) AS ws
+      FROM events e, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) u
+    )
+    GROUP BY ws, event_type
+    """,
+)
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 minutes (T2) — each event lands
-    in 4 windows; same expression runs under readStream."""
+    in exactly width/slide = 4 windows; the same expression runs under
+    readStream. Oracle: explicit window expansion (epoch floored to
+    the slide, minus k slides for k in 0..3 — no filter needed because
+    the width is an exact multiple of the slide), which is the
+    relational definition of Spark's F.window(width, slide)."""
     from ..streaming.windows import sliding_agg
 
     ev = table(spark, sf_dir, "events")
@@ -58,9 +76,37 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_session_window")  # rows-only: data-driven window extents
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows with a 30-minute gap (T3)."""
+    """Per-user session windows with a 30-minute gap (T3). Oracle:
+    gaps-and-islands (new-session flag + running sum = session id) —
+    the relational definition of Spark's session_window, whose end is
+    last event + gap. Same-timestamp ties are gap-0 and therefore
+    always co-session, so the labeling is deterministic."""
     from ..streaming.windows import session_agg
 
     ev = table(spark, sf_dir, "events")

@@ -130,6 +130,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_value_autocorr",
     "q_udtf_chunk_text",
     "q_data_validation",
+    "q_sliding_window",      # T2: oracle via explicit window expansion
+    "q_session_window",      # T3: oracle via gaps-and-islands
     "q_corpus_curation",
     "q_stratified_sample",
     "q_top_revenue_orders",
@@ -157,8 +159,6 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_grouped_map_zscore",          # D2 applyInPandas
     "q_multimodal_features",         # L8 binary payload decode
     "q_multimodal_frame_sample",
-    "q_sliding_window",              # T2 overlapping windows
-    "q_session_window",              # T3 gap-based sessions
     "q_approx_count_distinct",       # A6 HLL++ sketch
     "q_lang_id",                     # n-gram heuristic, engine-specific
     "q_doc_fingerprint_rolling",     # rolling-hash fold
