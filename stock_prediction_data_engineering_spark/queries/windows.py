@@ -226,3 +226,38 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("qty_30d"),
     )
+
+
+@query(
+    "q_rank_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_best
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one per-key window (W3
+    completeness): rank, dense_rank, percent_rank, cume_dist,
+    nth_value. Ratios are quotients of small integers — identical
+    doubles on both engines; round(4) guards display-width only."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_best"),
+    )

@@ -132,6 +132,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_data_validation",
     "q_sliding_window",      # T2: oracle via explicit window expansion
     "q_session_window",      # T3: oracle via gaps-and-islands
+    "q_rank_functions",      # W3 completeness: pct_rank/cume_dist/nth_value
     "q_corpus_curation",
     "q_stratified_sample",
     "q_top_revenue_orders",
