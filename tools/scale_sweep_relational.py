@@ -1,0 +1,127 @@
+"""Relational scaling sweep: replicate the fact tables k-fold (keys
+shifted so join semantics are preserved) and compare warm per-query
+times against the 1x base — fresh measured evidence that each query
+shape scales sublinearly on fixed cores.
+
+Replication semantics: orders/lineitem replicas shift o_orderkey /
+l_orderkey by i*stride (joins stay 1:N exactly as at 1x, every
+customer simply owns k times the orders); events replicas shift
+event_id. Dimensions (customer, supplier, part, nation, region) and
+the document corpus are not replicated — they are the broadcast side
+by design.
+
+Usage: python tools/scale_sweep_relational.py [k]   (default 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SWEEP_QUERIES = [
+    "q_multi_agg",
+    "q_rollup",
+    "q_join_multiway",
+    "q_join_asof",
+    "q_window_lag_return",
+    "q_cumulative_sum",
+    "q_window_range_frame",
+    "q_top_revenue_orders",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_gapfill_daily",
+    "q_value_autocorr",
+    "q_rank_functions",
+    "q_ntile",
+]
+
+COPY_TABLES = (
+    "region nation customer supplier part documents embeddings".split()
+)
+KEY_STRIDE = 10_000_000_000
+
+
+def build_replicated(spark, src_dir: str, out_dir: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in COPY_TABLES:
+        shutil.copy(f"{src_dir}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+    def replicate(name: str, shift_cols: list[str]):
+        df = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        reps = []
+        for i in range(k):
+            r = df
+            for c in shift_cols:
+                r = r.withColumn(c, F.col(c) + F.lit(i * KEY_STRIDE))
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    replicate("orders", ["o_orderkey"])
+    replicate("lineitem", ["l_orderkey"])
+    replicate("events", ["event_id"])
+
+
+def time_queries(spark, registry, sf_dir: str) -> dict[str, float]:
+    times = {}
+    for name in SWEEP_QUERIES:
+        fn = registry.QUERIES[name]
+        for measured in (False, True):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if measured:
+                times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from stock_prediction_data_engineering_spark import registry
+    from stock_prediction_data_engineering_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="scale_sweep_relational")
+    work = tempfile.mkdtemp(prefix="sweep_rel_")
+    rep_dir = f"{work}/sf_rep{k}"
+    build_replicated(spark, src, rep_dir, k)
+
+    base = time_queries(spark, registry, src)
+    rep = time_queries(spark, registry, rep_dir)
+    report = {
+        name: {
+            "base_sec": base[name],
+            f"x{k}_sec": rep[name],
+            "ratio": round(rep[name] / base[name], 2) if base[name] else None,
+        }
+        for name in SWEEP_QUERIES
+    }
+    total_ratio = round(sum(rep.values()) / sum(base.values()), 2)
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "total_base_sec": round(sum(base.values()), 2),
+                f"total_x{k}_sec": round(sum(rep.values()), 2),
+                "total_ratio": total_ratio,
+                "queries": report,
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
