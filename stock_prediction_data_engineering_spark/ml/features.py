@@ -69,3 +69,13 @@ def fit_return_model(features: DataFrame):
         labelCol="label", predictionCol="prediction", metricName="rmse"
     ).evaluate(pred)
     return model, rmse
+
+
+def score_rmse(model, features: DataFrame) -> float:
+    """Held-out RMSE of a fitted return model on a feature table."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    pred = model.transform(features)
+    return RegressionEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="rmse"
+    ).evaluate(pred)

@@ -39,3 +39,37 @@ def test_bar_features_and_model(spark):
     assert rmse >= 0.0
     pred = model.transform(feats)
     assert pred.select("prediction").na.drop().count() == feats.count()
+
+
+def test_walk_forward_backtest(spark):
+    """Walk-forward splits: train always strictly precedes its test
+    window, test windows tile the post-run-in span without overlap,
+    and the per-fold held-out RMSE harness runs end to end."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.ml.backtest import (
+        walk_forward_rmse,
+        walk_forward_splits,
+    )
+    from stock_prediction_data_engineering_spark.ml.features import bar_features
+    from stock_prediction_data_engineering_spark.sources.lake import ohlcv_from_events
+
+    feats = bar_features(ohlcv_from_events(spark, SF_SMOKE))
+    folds = walk_forward_splits(feats, "bar_date", n_folds=3)
+    assert len(folds) == 3
+
+    total_rows = feats.count()
+    seen_test = 0
+    for f in folds:
+        max_train = f.train.agg(F.max("bar_date")).first()[0]
+        min_test = f.test.agg(F.min("bar_date")).first()[0]
+        if max_train is not None and min_test is not None:
+            assert max_train < min_test  # never trains on the future
+        seen_test += f.test.count()
+        # train grows monotonically (walk-forward, not sliding)
+        if f.fold > 0:
+            assert f.train.count() >= folds[f.fold - 1].train.count()
+    assert 0 < seen_test < total_rows
+
+    scores = walk_forward_rmse(feats, n_folds=3)
+    assert scores and all(r >= 0.0 for (_i, r) in scores)
