@@ -193,3 +193,61 @@ def q_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select(
         "event_id", adj("value").alias("adj_value")
     )
+
+
+@query(
+    "q_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_comp
+    FROM embeddings
+    """,
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions beyond explode (F5 completeness):
+    filter + transform + aggregate folds and array_max, all JVM-side
+    lambda expressions inside whole-stage codegen — the idiom every
+    embedding-column pipeline leans on. Fold order is array order on
+    both engines, so the double accumulation is deterministic."""
+    emb = table(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(sq_norm, 4).alias("sq_norm"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_comp"),
+    )
+
+
+@query(
+    "q_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           json_extract(props, '$.missing') IS NULL AS k_missing
+    FROM events
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed processing (F6 completeness): parse the JSON props
+    into a MapType column, then key-cardinality, element_at lookup,
+    and missing-key semantics — the map side of the JSON surface
+    (q_json_extract covers scalar extraction)."""
+    from pyspark.sql.types import MapType, StringType
+
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", MapType(StringType(), StringType()))
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").cast("bigint").alias("k_value"),
+        F.element_at(m, "missing").isNull().alias("k_missing"),
+    )

@@ -133,6 +133,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_sliding_window",      # T2: oracle via explicit window expansion
     "q_session_window",      # T3: oracle via gaps-and-islands
     "q_rank_functions",      # W3 completeness: pct_rank/cume_dist/nth_value
+    "q_array_hof",           # F5 completeness: filter/transform/aggregate
+    "q_map_functions",       # F6 completeness: MapType surface
     "q_corpus_curation",
     "q_stratified_sample",
     "q_top_revenue_orders",
