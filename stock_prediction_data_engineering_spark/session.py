@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start AQE from a fine-grained shuffle (8x the static default)
+        # and let it coalesce down: small inputs still collapse to a
+        # handful of tasks, while window/agg stages on grown data keep
+        # enough granularity that per-task sort state stays bounded —
+        # AQE can merge partitions but never split them, so the
+        # initial number is the scale ceiling
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * shuffle),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- python boundary: always Arrow ---
