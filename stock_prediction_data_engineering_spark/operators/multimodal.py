@@ -54,12 +54,60 @@ def media_table(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """Real image decode (PIL/OpenCV) — not available in this
-    environment; see module docstring."""
+    """Image decode. PGM (P5, the netpbm grayscale format) is decoded
+    for real with pure numpy — no codec libraries needed; the
+    synthetic SGMM header is handled for fixtures; compressed formats
+    (JPEG/PNG) would dispatch to PIL/OpenCV, which are not in this
+    environment."""
+    if content[:2] == b"P5":
+        return decode_pgm(content)
+    if content[: len(_MAGIC)] == _MAGIC:
+        return fake_decode_image(content)
     raise NotImplementedError(
-        "image codec libraries are not installed in this environment; "
-        "use fake_decode_image for the dataflow tests"
+        "compressed image codecs (JPEG/PNG) need PIL/OpenCV, which are "
+        "not installed in this environment; PGM and SGMM decode natively"
     )
+
+
+def decode_pgm(content: bytes) -> np.ndarray:
+    """Real decode of binary PGM (netpbm 'P5'): ASCII header
+    (magic, width, height, maxval — '#' comments allowed) followed by
+    raw big-endian samples. Pure numpy; returns (h, w) uint8/uint16."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while True:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(content) and content[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            break
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        return content[start:pos]
+
+    magic = token()
+    if magic != b"P5":
+        raise ValueError(f"not a binary PGM: magic={magic!r}")
+    w, h, maxval = int(token()), int(token()), int(token())
+    pos += 1  # single whitespace byte after maxval, then raster
+    dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+    img = np.frombuffer(content, dtype=dtype, count=w * h, offset=pos)
+    return img.reshape(h, w).astype(np.uint16 if maxval > 255 else np.uint8)
+
+
+def encode_pgm(img: np.ndarray, maxval: int = 255) -> bytes:
+    """Inverse of :func:`decode_pgm` (test fixture + resize output)."""
+    h, w = img.shape
+    header = f"P5\n{w} {h}\n{maxval}\n".encode()
+    payload = (
+        img.astype(">u2") if maxval > 255 else img.astype(np.uint8)
+    ).tobytes()
+    return header + payload
 
 
 def fake_decode_image(content: bytes) -> np.ndarray:

@@ -103,3 +103,40 @@ def test_fake_decode_rejects_foreign_bytes():
 
     with pytest.raises(ValueError):
         fake_decode_image(b"JPEGnotreally" + b"\x00" * 64)
+
+
+def test_pgm_decode_real_format(spark):
+    """decode_image handles real binary PGM (P5) with pure numpy —
+    header comments, 8- and 16-bit samples — and the full feature-
+    extraction stage runs over PGM payloads end to end."""
+    import numpy as np
+
+    from stock_prediction_data_engineering_spark.operators.multimodal import (
+        decode_image,
+        encode_pgm,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(7)
+    img8 = rng.integers(0, 256, size=(12, 20), dtype=np.uint8)
+    raw = encode_pgm(img8)
+    # header comment is legal PGM and must be skipped
+    commented = raw.replace(b"P5\n", b"P5\n# made by a scanner\n", 1)
+    for payload in (raw, commented):
+        back = decode_image(payload)
+        assert back.shape == (12, 20)
+        assert np.array_equal(back, img8)
+
+    img16 = rng.integers(0, 65536, size=(5, 7)).astype(np.uint16)
+    back16 = decode_image(encode_pgm(img16, maxval=65535))
+    assert back16.dtype == np.uint16 and np.array_equal(back16, img16)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(raw), (20, 12, 1, 0, "pgm"))],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int, format:string>",
+    )
+    feats = extract_features(media, decode=decode_image).collect()
+    assert len(feats) == 1
+    assert feats[0].width == 20 and feats[0].height == 12
+    assert abs(feats[0].mean_intensity - float(np.round(img8.mean(), 4))) < 1e-9
