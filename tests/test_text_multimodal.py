@@ -140,3 +140,40 @@ def test_pgm_decode_real_format(spark):
     assert len(feats) == 1
     assert feats[0].width == 20 and feats[0].height == 12
     assert abs(feats[0].mean_intensity - float(np.round(img8.mean(), 4))) < 1e-9
+
+
+def test_wav_decode_and_audio_features(spark):
+    """Real PCM WAV round-trip (stdlib wave + numpy) and the audio
+    feature stage over binary payloads."""
+    import numpy as np
+
+    from stock_prediction_data_engineering_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    t = np.arange(16000, dtype=np.float64) / 16000.0
+    tone = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16).reshape(-1, 1)
+    blob = encode_wav(tone, rate=16000)
+
+    back, rate = decode_wav(blob)
+    assert rate == 16000 and back.shape == (16000, 1)
+    assert np.array_equal(back, tone)
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(blob), (0, 0, 1, 16000, "wav")),
+            (2, "image", bytearray(b"xx"), (1, 1, 1, 0, "sgmm")),  # filtered out
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int, format:string>",
+    )
+    rows = extract_audio_features(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.sample_rate == 16000 and r.n_frames == 16000
+    assert abs(r.duration_s - 1.0) < 1e-9
+    # RMS of a full-scale-12000 sine is ~12000/sqrt(2)
+    assert abs(r.rms - 12000 / np.sqrt(2)) < 60
+    assert 11900 <= r.peak <= 12000
