@@ -270,8 +270,10 @@ def q_udaf_range_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_multimodal_features")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns -> decoded features via mapInPandas (L8).
-    Decode kernel is the deterministic synthetic stand-in; see
-    operators/multimodal.py for the real-codec boundary."""
+    Image rows are REAL binary PGM decoded by the pure-numpy P5
+    kernel; audio/video rows use the deterministic synthetic
+    container (operators/multimodal.py documents the codec
+    boundary)."""
     media = multimodal.media_table(spark, n=64)
     return multimodal.extract_features(media)
 

@@ -78,11 +78,17 @@ def test_multimodal_feature_pipeline(spark):
     media = media_table(spark, n=12)
     feats = extract_features(media).toPandas().set_index("media_id")
     assert len(feats) == 12
-    # features must agree with a local decode of the same payload
+    # features must agree with a local decode of the same payload —
+    # image rows are REAL binary PGM now, so use the dispatching decoder
     mid, kind, content, meta = synth_media(3, "image")
-    img = fake_decode_image(bytes(content))
+    assert meta[4] == "pgm" and bytes(content)[:2] == b"P5"
+    img = decode_image(bytes(content))
     assert feats.loc[3, "width"] == img.shape[1]
     assert abs(feats.loc[3, "mean_intensity"] - round(float(img.mean()), 4)) < 1e-9
+    # audio/video rows still use the synthetic container
+    _mid, _kind, a_content, a_meta = synth_media(4, "audio")
+    assert a_meta[4] == "sgmm"
+    assert fake_decode_image(bytes(a_content)).shape == (a_meta[1], a_meta[0])
 
     small = resize_images(media, 8, 8).toPandas()
     assert (small.out_width == 8).all()
