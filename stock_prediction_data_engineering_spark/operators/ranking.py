@@ -43,8 +43,18 @@ def _with_global_rank(
     """
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
+    # localCheckpoint PINS the range partitioning: the counts job below
+    # and the caller's final job must see the exact same row->partition
+    # assignment, but RangePartitioner's reservoir sampling is seeded
+    # by the (per-job) RDD id — two executions of the same plan can
+    # pick different boundaries once the input is large enough to be
+    # sampled rather than read whole. Materializing the shuffled
+    # partitions once removes that cross-job nondeterminism (caught at
+    # sf0.1: ranks drifted by up to ±40 between the two jobs).
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = {
         r[_PID]: r["cnt"]

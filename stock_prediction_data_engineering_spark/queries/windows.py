@@ -113,17 +113,22 @@ def q_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
                     OVER (PARTITION BY l_suppkey
-                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS running_qty
     FROM lineitem
     """,
 )
 def q_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per key (W4)."""
+    """Running total per key (W4). The ordering ends with l_quantity:
+    larger scale factors contain duplicate (l_orderkey, l_linenumber)
+    pairs, and a tie with differing quantities would make the running
+    sum order-dependent; with the quantity tiebreak any remaining ties
+    are between identical rows, whose swap leaves the output multiset
+    unchanged."""
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return table(spark, sf_dir, "lineitem").select(

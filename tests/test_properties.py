@@ -159,3 +159,27 @@ def test_salted_join_matches_bruteforce(spark, fact, dim, how):
         elif how == "left":
             want.append((k, v, None))
     assert got == sorted(want)
+
+
+def test_global_rank_exact_at_sampling_scale(spark):
+    """The two-phase global rank must be exact when the input is big
+    enough that RangePartitioner samples instead of reading whole —
+    the regime where unpinned cross-job boundaries drift (caught at
+    sf0.1: ranks off by ±40)."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.ranking import (
+        _with_global_rank,
+    )
+
+    df = spark.range(0, 60_000).select(
+        F.xxhash64("id").alias("v"), F.col("id")
+    )
+    ranked, total = _with_global_rank(df, [F.col("v"), F.col("id")], "r")
+    assert total == 60_000
+    rows = ranked.select("v", "id", "r").collect()
+    want = {
+        (v, i): pos + 1
+        for pos, (v, i) in enumerate(sorted((r.v, r.id) for r in rows))
+    }
+    assert all(want[(r.v, r.id)] == r.r for r in rows)
