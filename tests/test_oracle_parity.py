@@ -89,3 +89,36 @@ def test_rows_only_queries_nonempty(spark):
     for name in rows_only:
         df = registry.QUERIES[name](spark, SF_ORACLE)
         assert df.count() > 0, f"{name}: empty result"
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SF01_SWEEP"),
+    reason="slow; set SPARK_GRAFT_SF01_SWEEP=1 to sweep all oracles at sf0.1",
+)
+def test_all_oracles_exact_at_sf01(spark):
+    """Opt-in scale sweep: every oracle query exact at sf0.1 too.
+    This is the regime that caught the rank boundary-drift and the
+    cumulative-sum tie bugs — run it whenever ordering, ranking, or
+    aggregation code changes."""
+    import duckdb
+
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.1/{t}.parquet')"
+        )
+    failures = []
+    for name, sql in registry.ORACLES.items():
+        sdf = registry.QUERIES[name](spark, "/root/testdata/sf0.1").toPandas()
+        odf = con.sql(sql).df()
+        a, b = canonicalize(sdf), canonicalize(odf)
+        if len(a) != len(b) or not a.astype(str).equals(b.astype(str)):
+            failures.append(name)
+    assert failures == []
