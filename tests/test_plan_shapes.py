@@ -81,7 +81,11 @@ def test_ntile_has_no_single_partition_window(spark):
     df = registry.QUERIES["q_ntile"](spark, SF_SMOKE)
     plan = _plan(df)
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # the range-partitioned sort is pinned by a localCheckpoint (cross-job
+    # boundary determinism — see operators/ranking.py), so the downstream
+    # plan starts from the checkpointed slices and the per-slice window
+    # must be keyed on the slice id, never a global partition
+    assert "__rank_pid" in plan
 
     # exact-semantics check vs the SQL ntile on the same input
     cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
