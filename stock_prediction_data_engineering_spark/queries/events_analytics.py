@@ -1,0 +1,182 @@
+"""Event-stream analytics composites over the ``events`` table:
+funnel conversion, SCD2 validity intervals, cohort retention.
+
+The reference's roadmap ends at "daily stock data updates"
+(reference README.md:10,49); a production event lake adds these three
+classic analyses on top of the same table. All three are expressed as
+keyed shuffles and per-key windows — no global window, no driver-side
+loop — so each plan survives a 100x scale-up: the funnel is three
+min-aggregates chained by user_id equi-joins (AQE-skew-eligible), the
+SCD2 pass is one per-key window, and retention is two hash aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           epoch_us(s1.t_view) AS t_view_us,
+           COALESCE(epoch_us(s2.t_click), -1) AS t_click_us,
+           COALESCE(epoch_us(s3.t_purchase), -1) AS t_purchase_us,
+           1 + CAST(s2.user_id IS NOT NULL AS INT)
+             + CAST(s3.user_id IS NOT NULL AS INT) AS funnel_depth
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user: each stage's
+    first event must be strictly after the previous stage's.
+
+    Three conditional min-aggregates chained by user_id equi-joins —
+    every shuffle is keyed on user_id and each stage's output is at
+    most one row per user, so stage N's join input shrinks
+    monotonically. Unreached stages carry a -1 sentinel (not NULL) so
+    the cross-engine value hash is exact.
+    """
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t_view").alias("t_view_us"),
+            F.coalesce(F.unix_micros("t_click"), F.lit(-1)).alias("t_click_us"),
+            F.coalesce(F.unix_micros("t_purchase"), F.lit(-1)).alias("t_purchase_us"),
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("funnel_depth"),
+        )
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           epoch_us(ts) AS valid_from_us,
+           COALESCE(
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)), -1
+           ) AS valid_to_us,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current,
+           value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each per-user attribute update becomes
+    a validity interval [valid_from, valid_to), open-ended on the
+    latest row. This is the standard lakehouse dimension-history
+    derivation (change feed -> interval table, joinable as-of any
+    point in time).
+
+    One window partitioned by user_id with a unique (ts, event_id)
+    ordering — per-key state only, no global sort. The open end uses a
+    -1 sentinel instead of NULL for exact cross-engine hashing.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.coalesce(F.unix_micros(nxt), F.lit(-1)).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        "value",
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.act_week) / 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_active
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    GROUP BY c.cohort_week, week_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted in each later activity week (offset in weeks).
+
+    Two hash aggregates (cohort assignment, distinct activity weeks)
+    and one user_id equi-join — the join carries one row per user per
+    active week, already distinct, so the final aggregate's input is
+    bounded by |users| x |weeks|, not by raw event count.
+    """
+    ev = table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

@@ -202,3 +202,45 @@ def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("tf"))
     )
+
+
+@query(
+    "q_vocab_topk",
+    oracle="""
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY df DESC, tf DESC, token
+    LIMIT 100
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-100 terms by document frequency
+    (the first step of a vocab/IDF table or a BPE seed lexicon).
+
+    Explode -> two-level aggregate (term frequency + distinct-doc
+    count; the distinct expands to a (token, doc_id) partial agg so
+    the shuffle carries postings, not raw tokens) -> final
+    orderBy().limit(), which plans as TakeOrderedAndProject — each
+    task keeps only its local top-100, the driver merges k-sized
+    heaps, no global sort. (df, tf, token) is a total order, so the
+    selected 100 rows are deterministic across engines.
+    """
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "token")
+        .limit(100)
+    )

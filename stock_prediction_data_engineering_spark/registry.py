@@ -148,6 +148,10 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_first_last_value",
     "q_percentile",
     "q_string_agg",
+    "q_vocab_topk",          # L4 completeness: DF-ranked vocabulary build
+    "q_funnel_conversion",   # event analytics: ordered 3-stage funnel
+    "q_scd2_intervals",      # lakehouse dimension history (SCD2)
+    "q_retention_cohorts",   # cohort retention triangle
 )
 
 ROWS_ONLY: tuple[str, ...] = (
@@ -200,6 +204,7 @@ def load_all() -> None:
     from .queries import (  # noqa: F401
         aggregates,
         composite,
+        events_analytics,
         joins,
         lake_q,
         llm_extras,
