@@ -59,6 +59,9 @@ HEADLINE_QUERIES = [
     "q_topk_similar",
     # event-time windows
     "q_tumbling_window",
+    # event analytics (funnel / retention)
+    "q_funnel_conversion",
+    "q_retention_cohorts",
 ]
 
 
