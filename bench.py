@@ -62,6 +62,12 @@ HEADLINE_QUERIES = [
     # event analytics (funnel / retention)
     "q_funnel_conversion",
     "q_retention_cohorts",
+    # finance indicators (stacked per-key windows)
+    "q_bollinger_bands",
+    "q_rsi",
+    # corpus curation (higher-order array exprs + n-gram audit join)
+    "q_quality_rules",
+    "q_contamination_check",
 ]
 
 

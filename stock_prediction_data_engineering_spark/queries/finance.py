@@ -1,0 +1,222 @@
+"""Stock-domain feature queries — the indicator family the reference's
+lake exists to feed ("further analysis ... SageMaker",
+/root/reference/README.md:46): VWAP, Bollinger bands, drawdown, RSI.
+
+All rebased onto the driver testdata (`events` as the per-key price
+series, `lineitem` as the trade tape) per the FIXTURES.md convention.
+Every window partitions by key before ordering — per-key-bounded state
+at 100 TB, no global sorts.
+
+Cross-engine float discipline (SURVEY.md §2 legend): component sums
+accumulate in exact DECIMAL, the final indicator is one deterministic
+double expression written identically on both sides, and the emitted
+value is `floor(x * scale)` as BIGINT — floor of a bit-identical IEEE
+double is stable where round() half-up tie-breaking is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+DEC = "decimal(18,4)"
+
+
+def _per_user() -> Window:
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@query(
+    "q_vwap",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                      * 10000) AS BIGINT) AS vwap_c
+    FROM lineitem
+    GROUP BY l_suppkey, ship_month
+    """,
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per supplier-month: the canonical
+    VWAP shape (Σ price·volume / Σ volume) with lineitem as the trade
+    tape (extendedprice = price·qty already). One partial+final hash
+    aggregate — a single shuffle on the group key at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    vwap = (
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+        / F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+    )
+    return li.groupBy(
+        "l_suppkey",
+        F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"),
+    ).agg(F.floor(vwap * 10000).cast("bigint").alias("vwap_c"))
+
+
+@query(
+    "q_bollinger_bands",
+    oracle="""
+    WITH acc AS (
+      SELECT event_id, user_id,
+             COUNT(value) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                      OVER w AS DOUBLE) AS sxx
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST(floor((sx / n) * 10000) AS BIGINT) AS mid_c,
+           CASE WHEN n > 1 THEN CAST(floor(
+               ((sx / n) + 2 * sqrt(greatest((n * sxx - sx * sx) / (n * (n - 1)), 0)))
+               * 10000) AS BIGINT) END AS upper_c,
+           CASE WHEN n > 1 THEN CAST(floor(
+               ((sx / n) - 2 * sqrt(greatest((n * sxx - sx * sx) / (n * (n - 1)), 0)))
+               * 10000) AS BIGINT) END AS lower_c
+    FROM acc
+    """,
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-row SMA ± 2σ) per key. The window produces
+    only exact accumulators (n, Σx, Σx² in DECIMAL — inputs have ≤2
+    decimals so the squares are exact at scale 4); mean/σ/bands are one
+    deterministic double expression over them, identical on both
+    engines, so the sample-variance algebraic form is safe
+    cross-engine. Single rows frame reused by all three accumulators —
+    one shuffle + one in-partition sort."""
+    d2 = "decimal(18,2)"
+    w = _per_user().rowsBetween(-19, Window.currentRow)
+    v = F.col("value").cast(d2)
+    n = F.count("value").over(w)
+    sx = F.sum(v).over(w).cast("double")
+    sxx = F.sum(v * v).over(w).cast("double")
+    mid = sx / n
+    # nullif keeps ANSI mode from throwing on the n=1 rows; their
+    # upper/lower bands are masked to NULL below either way
+    var = F.greatest(
+        (n * sxx - sx * sx) / F.nullif(n * (n - 1), F.lit(0)), F.lit(0.0)
+    )
+    sd = F.sqrt(var)
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            n.alias("n"),
+            mid.alias("mid"),
+            sd.alias("sd"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("mid") * 10000).cast("bigint").alias("mid_c"),
+            F.when(
+                F.col("n") > 1,
+                F.floor((F.col("mid") + 2 * F.col("sd")) * 10000).cast("bigint"),
+            ).alias("upper_c"),
+            F.when(
+                F.col("n") > 1,
+                F.floor((F.col("mid") - 2 * F.col("sd")) * 10000).cast("bigint"),
+            ).alias("lower_c"),
+        )
+    )
+
+
+@query(
+    "q_drawdown",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor((value / CAST(MAX(CAST(value AS DECIMAL(18,4))) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                - 1) * 10000) AS BIGINT) AS drawdown_bp
+    FROM events
+    """,
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row drawdown from the running peak (value/runmax − 1, in
+    basis points) — the risk metric behind max-drawdown backtests.
+    Running MAX over DECIMAL is exact; values are strictly positive in
+    the testdata so the ratio is well-defined. One per-key window."""
+    w = _per_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runmax = F.max(F.col("value").cast(DEC)).over(w).cast("double")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor((F.col("value") / runmax - 1) * 10000)
+        .cast("bigint")
+        .alias("drawdown_bp"),
+    )
+
+
+@query(
+    "q_rsi",
+    oracle="""
+    WITH diffs AS (
+      SELECT event_id, user_id, ts,
+             CAST(value AS DECIMAL(18,4))
+               - lag(CAST(value AS DECIMAL(18,4))) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS diff
+      FROM events
+    ),
+    sums AS (
+      SELECT event_id, user_id,
+             SUM(CASE WHEN diff > 0 THEN diff ELSE CAST(0 AS DECIMAL(18,4)) END)
+                 OVER w AS gain_s,
+             SUM(CASE WHEN diff < 0 THEN -diff ELSE CAST(0 AS DECIMAL(18,4)) END)
+                 OVER w AS loss_s
+      FROM diffs
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST(floor(100 * CAST(gain_s AS DOUBLE)
+                      / CAST(nullif(gain_s + loss_s, 0) AS DOUBLE) * 100) AS BIGINT)
+               AS rsi_c
+    FROM sums
+    """,
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI per key, in the division-safe form
+    100·gains/(gains+losses) (algebraically equal to 100−100/(1+RS)).
+    Gains/losses accumulate as exact DECIMAL window sums over lag
+    diffs; a flat window (gains+losses = 0) yields NULL via nullif on
+    the exact decimal — no float-epsilon ambiguity. Two stacked
+    windows share one (user_id) partitioning: a single shuffle."""
+    wl = _per_user()
+    w = wl.rowsBetween(-13, Window.currentRow)
+    v = F.col("value").cast(DEC)
+    diff = v - F.lag(v).over(wl)
+    zero = F.lit(0).cast(DEC)
+    d = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        diff.alias("diff"),
+    )
+    gain_s = F.sum(
+        F.when(F.col("diff") > 0, F.col("diff")).otherwise(zero)
+    ).over(w)
+    loss_s = F.sum(
+        F.when(F.col("diff") < 0, -F.col("diff")).otherwise(zero)
+    ).over(w)
+    d = d.select(
+        "event_id", "user_id", gain_s.alias("gain_s"), loss_s.alias("loss_s")
+    )
+    rsi = (
+        100
+        * F.col("gain_s").cast("double")
+        / F.nullif(F.col("gain_s") + F.col("loss_s"), F.lit(0).cast(DEC)).cast(
+            "double"
+        )
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        F.floor(rsi * 100).cast("bigint").alias("rsi_c"),
+    )

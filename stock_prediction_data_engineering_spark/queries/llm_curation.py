@@ -1,0 +1,235 @@
+"""Training-corpus curation queries (SURVEY.md §2.11 north star):
+Gopher-style quality rules, benchmark-contamination detection,
+domain-mixture sampling, and merge-candidate bigram counting — the
+filter/audit layer a 100 TB pretraining pipeline runs between raw
+ingest and tokenization.
+
+All text features are JVM-side higher-order array expressions (split /
+transform / filter / array_distinct) — no Python in the per-document
+path. The testdata corpus is single-space-separated word soup (no
+newlines/punctuation), so the rule set targets repetition and
+stopword-density signals rather than line/markup heuristics; the
+operators generalize unchanged to real text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# word 3-gram list, distinct per document, as a SQL expression over a
+# `words` array column; guarded so short docs yield an empty list
+# (Spark's sequence(1, n) would count DOWN for n < 1)
+_TRIGRAMS = (
+    "CASE WHEN size(words) >= 3 THEN "
+    "transform(sequence(1, size(words) - 2), "
+    "i -> array_join(slice(words, i, 3), ' ')) "
+    "ELSE array() END"
+)
+_BIGRAMS = (
+    "CASE WHEN size(words) >= 2 THEN "
+    "transform(sequence(1, size(words) - 1), "
+    "i -> concat(element_at(words, i), ' ', element_at(words, i + 1))) "
+    "ELSE array() END"
+)
+
+
+@query(
+    "q_quality_rules",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_len,
+             string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS wc
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, wc,
+             CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE) / wc * 10000)
+                  AS BIGINT) AS ttr_bp,
+             CASE WHEN wc >= 2 THEN CAST(floor(
+                 (1 - CAST(len(list_distinct(list_transform(range(1, wc),
+                           i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE) / (wc - 1))
+                 * 10000) AS BIGINT) END AS dup_bigram_bp,
+             CAST(floor(CAST(len(list_filter(w, x -> x IN ('a', 'the')))
+                             AS DOUBLE) / wc * 10000) AS BIGINT) AS stop_bp,
+             CAST(floor(CAST(n_len - wc + 1 AS DOUBLE) / wc * 100)
+                  AS BIGINT) AS mean_wlen_c
+      FROM feat
+    )
+    SELECT doc_id, CAST(wc AS BIGINT) AS word_cnt,
+           ttr_bp, dup_bigram_bp, stop_bp, mean_wlen_c,
+           (wc BETWEEN 20 AND 1000 AND ttr_bp >= 3000
+            AND coalesce(dup_bigram_bp, 0) <= 2500 AND stop_bp <= 1500)
+               AS passes
+    FROM m
+    """,
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scorecard (Gopher/C4-style rule family):
+    word count bounds, type-token ratio, duplicate-bigram fraction
+    (repetition), stopword density, mean word length — plus the
+    combined keep/drop flag. One projection pass, no shuffle; ratios
+    are quotients of exact integers emitted via floor (tie-safe)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_len"),
+        F.split("text", " ").alias("words"),
+    )
+    d = d.select(
+        "doc_id",
+        "n_len",
+        F.size("words").alias("wc"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+        F.size(F.array_distinct(F.expr(_BIGRAMS))).alias("n_distinct_bg"),
+        F.size(
+            F.filter("words", lambda x: x.isin("a", "the"))
+        ).alias("n_stop"),
+    )
+    ttr_bp = F.floor(F.col("n_distinct").cast("double") / F.col("wc") * 10000).cast(
+        "bigint"
+    )
+    dup_bg_bp = F.when(
+        F.col("wc") >= 2,
+        F.floor(
+            (1 - F.col("n_distinct_bg").cast("double") / (F.col("wc") - 1)) * 10000
+        ).cast("bigint"),
+    )
+    stop_bp = F.floor(F.col("n_stop").cast("double") / F.col("wc") * 10000).cast(
+        "bigint"
+    )
+    mean_wlen_c = F.floor(
+        (F.col("n_len") - F.col("wc") + 1).cast("double") / F.col("wc") * 100
+    ).cast("bigint")
+    d = d.select(
+        "doc_id",
+        F.col("wc").cast("bigint").alias("word_cnt"),
+        ttr_bp.alias("ttr_bp"),
+        dup_bg_bp.alias("dup_bigram_bp"),
+        stop_bp.alias("stop_bp"),
+        mean_wlen_c.alias("mean_wlen_c"),
+    )
+    passes = (
+        F.col("word_cnt").between(20, 1000)
+        & (F.col("ttr_bp") >= 3000)
+        & (F.coalesce(F.col("dup_bigram_bp"), F.lit(0)) <= 2500)
+        & (F.col("stop_bp") <= 1500)
+    )
+    return d.withColumn("passes", passes)
+
+
+@query(
+    "q_contamination_check",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS g
+      FROM documents
+    )
+    SELECT t.doc_id AS train_doc_id, b.doc_id AS bench_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM grams t JOIN grams b USING (g)
+    WHERE b.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+    GROUP BY train_doc_id, bench_doc_id
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: word-3-gram overlap between the
+    training corpus and a held-out benchmark slice (deterministic
+    doc_id % 97 membership), reporting shared distinct n-grams per
+    (train, bench) document pair.
+
+    Scale shape: grams are distinct-per-doc before the join (bounds
+    posting duplication), and the benchmark side of an eval-suite is
+    tiny relative to a 100 TB corpus — it broadcasts, so the audit is
+    a map-side join over the training grams with no all-pairs blowup.
+    The aggregate then shuffles only matched pairs."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_TRIGRAMS))).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "g"
+    )
+    train = grams.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("train_doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@query(
+    "q_domain_mixture",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                           OR substr(md5(text), 1, 1) IN ('0','1','2','3')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling audit: per-source kept counts under a
+    weighted keep rule (priority sources kept whole, the long tail
+    content-hash-sampled to ~1/4) — the deterministic reweighting step
+    that shapes a pretraining mixture. Membership is md5-of-content, so
+    the sample is reproducible across engines and runs (TABLESAMPLE is
+    neither). One scan + one small aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    keep = F.col("source").isin("src0", "src1", "src2", "src3", "src4") | F.substring(
+        F.md5("text"), 1, 1
+    ).isin("0", "1", "2", "3")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+@query(
+    "q_token_bigrams",
+    oracle="""
+    WITH w AS (
+      SELECT string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS wc
+      FROM documents
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(list_transform(range(1, wc),
+                    i -> words[i] || ' ' || words[i + 1])) AS bigram
+      FROM w WHERE wc >= 2
+    )
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 50
+    """,
+)
+def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus word bigrams — the pair-count scan at the heart of
+    a BPE merge step (most frequent adjacent pair wins). Explode →
+    partial+final count → TakeOrderedAndProject: the full bigram table
+    never sorts globally, only the top-k heap moves to one task."""
+    docs = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("words")
+    )
+    return (
+        docs.select(F.explode(F.expr(_BIGRAMS)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(50)
+    )

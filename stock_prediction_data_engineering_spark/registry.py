@@ -152,6 +152,14 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_funnel_conversion",   # event analytics: ordered 3-stage funnel
     "q_scd2_intervals",      # lakehouse dimension history (SCD2)
     "q_retention_cohorts",   # cohort retention triangle
+    "q_vwap",                # finance: volume-weighted average price
+    "q_bollinger_bands",     # finance: 20-row SMA +/- 2 sigma bands
+    "q_drawdown",            # finance: drawdown from running peak
+    "q_rsi",                 # finance: 14-period relative strength index
+    "q_quality_rules",       # curation: Gopher-style quality scorecard
+    "q_contamination_check", # curation: benchmark n-gram contamination
+    "q_domain_mixture",      # curation: weighted domain resampling audit
+    "q_token_bigrams",       # curation: BPE-ish merge-candidate counts
 )
 
 ROWS_ONLY: tuple[str, ...] = (
@@ -205,8 +213,10 @@ def load_all() -> None:
         aggregates,
         composite,
         events_analytics,
+        finance,
         joins,
         lake_q,
+        llm_curation,
         llm_extras,
         llm_text,
         llm_vector,
