@@ -220,3 +220,104 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(rsi * 100).cast("bigint").alias("rsi_c"),
     )
+
+
+@query(
+    "q_market_beta",
+    oracle="""
+    WITH user_day AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,4))) AS s, COUNT(*) AS c
+      FROM events GROUP BY user_id, day
+    ),
+    market AS (
+      SELECT day,
+             CAST(floor(CAST(SUM(s) AS DOUBLE) / SUM(c) * 10000) AS BIGINT) AS m
+      FROM user_day GROUP BY day
+    ),
+    j AS (
+      SELECT u.user_id,
+             CAST(floor(CAST(u.s AS DOUBLE) / u.c * 10000) AS BIGINT) AS x,
+             md.m
+      FROM user_day u JOIN market md USING (day)
+    ),
+    comp AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(m) AS sm, SUM(x * m) AS sxm, SUM(m * m) AS smm
+      FROM j GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_days,
+           CAST(floor(CAST(n * sxm - sx * sm AS DOUBLE)
+                      / CAST(nullif(n * smm - sm * sm, 0) AS DOUBLE)
+                      * 10000) AS BIGINT) AS beta_c
+    FROM comp
+    """,
+)
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key market beta: regress each key's daily average against
+    the same-day market-wide average (cov/var over integer-scaled
+    day values — every component sum is exact, the one division is a
+    deterministic double). The market series derives from the SAME
+    per-(user, day) aggregate the per-user series uses — one scan of
+    events, a tiny broadcast join on day, then one keyed aggregate:
+    three shuffles total and nothing global at any scale."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast(DEC).alias("v"),
+    )
+    user_day = ev.groupBy("user_id", "day").agg(
+        F.sum("v").alias("s"), F.count("*").alias("c")
+    )
+    market = user_day.groupBy("day").agg(
+        F.floor(F.sum("s").cast("double") / F.sum("c") * 10000)
+        .cast("bigint")
+        .alias("m")
+    )
+    j = user_day.select(
+        "user_id",
+        "day",
+        F.floor(F.col("s").cast("double") / F.col("c") * 10000)
+        .cast("bigint")
+        .alias("x"),
+    ).join(F.broadcast(market), "day")
+    comp = j.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("x") * F.col("m")).alias("sxm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+    )
+    num = (F.col("n") * F.col("sxm") - F.col("sx") * F.col("sm")).cast("double")
+    den = F.nullif(
+        F.col("n") * F.col("smm") - F.col("sm") * F.col("sm"), F.lit(0)
+    ).cast("double")
+    return comp.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.floor(num / den * 10000).cast("bigint").alias("beta_c"),
+    )
+
+
+@query("q_ema_macd")
+def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA / MACD indicator stack per key (operators/ewm.py): the
+    per-key exponential recurrence Spark SQL windows cannot express,
+    run as an Arrow-batched grouped map. Rows-only by design — the
+    recurrence has no ANSI-SQL oracle; tests/test_finance.py checks
+    it against an explicit brute-force recurrence instead."""
+    from ..operators.ewm import macd_features
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = macd_features(ev, ["user_id"], ["ts", "event_id"], "value")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ema_fast",
+        "ema_slow",
+        "macd",
+        "macd_signal",
+        "macd_hist",
+    )

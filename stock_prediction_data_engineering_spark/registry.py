@@ -160,6 +160,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_contamination_check", # curation: benchmark n-gram contamination
     "q_domain_mixture",      # curation: weighted domain resampling audit
     "q_token_bigrams",       # curation: BPE-ish merge-candidate counts
+    "q_market_beta",         # finance: per-key beta vs market composite
 )
 
 ROWS_ONLY: tuple[str, ...] = (
@@ -177,6 +178,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_approx_count_distinct",       # A6 HLL++ sketch
     "q_lang_id",                     # n-gram heuristic, engine-specific
     "q_doc_fingerprint_rolling",     # rolling-hash fold
+    "q_ema_macd",                    # per-key EMA recurrence (grouped map)
 )
 
 DRIVER_ORDER: tuple[str, ...] = (
