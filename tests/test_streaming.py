@@ -316,3 +316,74 @@ def test_continuous_rollup_matches_batch(spark, tmp_path_factory):
     ).count().filter("count != 2")
     assert diff.count() == 0
     assert got.count() == want.count()
+
+
+def test_streaming_macd_matches_batch(spark, tmp_path_factory):
+    """Indicator maintenance across micro-batches: stream the events
+    table in three time-ordered files and check every emitted MACD row
+    is bit-identical to the batch recurrence over the full history
+    (the prepend-continuation argument in streaming/indicators.py)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.ewm import macd_features
+    from stock_prediction_data_engineering_spark.streaming.indicators import (
+        streaming_macd,
+    )
+
+    src = str(tmp_path_factory.mktemp("macd_src"))
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "event_id", "ts", "value")
+    )
+    pdf = batch.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(src, f"part-{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf.iloc[cuts[i] : cuts[i + 1]]), path)
+        os.utime(path, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emissions = []
+
+    def capture(df, epoch_id):
+        emissions.append((epoch_id, df.toPandas()))
+
+    q = (
+        streaming_macd(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len([e for _, e in emissions if len(e)]) >= 3  # state crossed batches
+    got = (
+        pd.concat([e for _, e in emissions], ignore_index=True)
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(got) == n
+
+    truth = (
+        macd_features(
+            spark.createDataFrame(pdf), ["user_id"], ["ts", "event_id"], "value"
+        )
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    for col in ("ema_fast", "ema_slow", "macd", "macd_signal", "macd_hist"):
+        diff = (got[col] - truth[col]).abs().max()
+        assert diff < 1e-9, (col, diff)
