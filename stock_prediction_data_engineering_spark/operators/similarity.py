@@ -316,11 +316,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_planes: int = 8,
+    multi_probe: int = 1,
 ) -> DataFrame:
-    """One-shot approximate top-k from the query's own LSH bucket:
-    :func:`lsh_build` + :func:`lsh_search` without persistence. With B
-    buckets the expected candidate set is corpus/B; repeated searches
-    should build the index once (optionally persisted) and reuse it.
-    """
+    """One-shot approximate top-k: :func:`lsh_build` +
+    :func:`lsh_search` without persistence. Defaults to one round of
+    multi-probe (all Hamming-1 buckets): a single bucket holds
+    ~corpus/2^planes rows, which caps recall at that same fraction on
+    weakly-clustered data (tools/ann_recall.py measures this), so the
+    widened probe set is the sane default; pass multi_probe=0 for the
+    narrowest scan. Repeated searches should build the index once
+    (optionally persisted) and reuse it."""
     index = lsh_build(corpus, vec_col, id_col, num_planes)
-    return lsh_search(index, query_vec, k)
+    return lsh_search(index, query_vec, k, multi_probe=multi_probe)

@@ -320,3 +320,24 @@ def test_lsh_build_search_and_multiprobe(spark, tmp_path):
         r.vec_id for r in lsh_search(index, qv, k=5, multi_probe=2).collect()
     } & exact
     assert len(probe_hits) >= len(base_hits)
+
+
+def test_ann_recall_beats_random_scan_floor(spark):
+    """ANN quality gate (tools/ann_recall.py): on a scan of fraction f
+    of the corpus, random selection recalls ~f of the true top-k, so
+    an index only earns its keep with recall/f > 1. Both approximate
+    paths must clear the floor; IVF (data-adaptive quantizer) must
+    also reach absolute recall >= 0.4 at its default nprobe."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from ann_recall import measure
+
+    from conftest import SF_ORACLE
+
+    m = measure(spark, SF_ORACLE, k=10, query_mod=251)  # 2 queries, fast
+    assert m["n_queries"] >= 2
+    assert m["lift_lsh"] > 1.0, m
+    assert m["lift_ivf"] > 1.0, m
+    assert m["recall_ivf"] >= 0.4, m

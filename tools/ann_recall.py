@@ -1,0 +1,111 @@
+"""ANN quality harness: recall@k of the approximate similarity paths
+(hyperplane-LSH, IVF-Flat) against brute-force cosine ground truth,
+reported next to the *scan fraction* each path actually examined.
+
+A correct-but-low-recall ANN index is as broken as a slow one — but
+recall must be judged against work: on weakly-structured vectors the
+information-theoretic floor for any method scanning fraction f of the
+corpus is recall ≈ f, so the quality signal is the LIFT recall/f
+(>1 means the index captures real cosine locality). This is the
+measurement loop for tuning num_planes / n_cells / nprobe /
+multi_probe. Queries are a deterministic vec_id slice, so runs are
+reproducible.
+
+Usage: python tools/ann_recall.py   # env: SPARK_GRAFT_SF_DIR, ANN_K
+Prints one JSON line with recall, scan fraction, and lift per path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.catalog import table
+    from stock_prediction_data_engineering_spark.operators import similarity as sim
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count() - 1
+    query_ids = [
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    params = {"num_planes": 6, "multi_probe": 1, "n_cells": 16, "nprobe": 4}
+    hits_lsh = hits_ivf = total = 0
+    scanned_lsh = scanned_ivf = 0
+    for qid in query_ids:
+        qvec = emb.filter(F.col("vec_id") == qid).select("embedding")
+        corpus = emb.filter(F.col("vec_id") != qid)
+        exact = {
+            r.vec_id for r in sim.brute_force_topk(corpus, qvec, k=k).collect()
+        }
+        lsh = {
+            r.vec_id
+            for r in sim.lsh_topk(
+                corpus,
+                qvec,
+                k=k,
+                num_planes=params["num_planes"],
+                multi_probe=params["multi_probe"],
+            ).collect()
+        }
+        ivf = {
+            r.vec_id
+            for r in sim.ivf_topk(
+                corpus,
+                qvec,
+                k=k,
+                n_cells=params["n_cells"],
+                nprobe=params["nprobe"],
+            ).collect()
+        }
+        hits_lsh += len(exact & lsh)
+        hits_ivf += len(exact & ivf)
+        total += len(exact)
+        # candidate-set sizes actually examined by each path
+        idx = sim.lsh_build(corpus, num_planes=params["num_planes"])
+        qb = (
+            qvec.select(
+                sim.lsh_bucket(F.col("embedding"), params["num_planes"]).alias("b")
+            ).first()[0]
+        )
+        probes = {qb} | {qb ^ (1 << p) for p in range(params["num_planes"])}
+        scanned_lsh += idx.table.filter(F.col("bucket").isin(sorted(probes))).count()
+        scanned_ivf += round(n_corpus * params["nprobe"] / params["n_cells"])
+    f_lsh = scanned_lsh / (len(query_ids) * n_corpus)
+    f_ivf = scanned_ivf / (len(query_ids) * n_corpus)
+    r_lsh = hits_lsh / total
+    r_ivf = hits_ivf / total
+    return {
+        "k": k,
+        "n_queries": len(query_ids),
+        "recall_lsh": round(r_lsh, 4),
+        "scan_frac_lsh": round(f_lsh, 4),
+        "lift_lsh": round(r_lsh / f_lsh, 2),
+        "recall_ivf": round(r_ivf, 4),
+        "scan_frac_ivf": round(f_ivf, 4),
+        "lift_ivf": round(r_ivf / f_ivf, 2),
+        "params": params,
+    }
+
+
+def main() -> None:
+    from stock_prediction_data_engineering_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    k = int(os.environ.get("ANN_K", "10"))
+    spark = get_spark(app_name="ann_recall")
+    print(json.dumps(measure(spark, sf_dir, k=k)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
