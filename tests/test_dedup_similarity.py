@@ -310,7 +310,10 @@ def test_lsh_build_search_and_multiprobe(spark, tmp_path):
 
     qv = emb.filter(F.col("vec_id") == 3)
     reused = [(r.vec_id, r.cosine) for r in lsh_search(index, qv, k=5).collect()]
-    oneshot = [(r.vec_id, r.cosine) for r in lsh_topk(emb, qv, k=5, num_planes=4).collect()]
+    oneshot = [
+        (r.vec_id, r.cosine)
+        for r in lsh_topk(emb, qv, k=5, num_planes=4, multi_probe=0).collect()
+    ]
     assert reused == oneshot
     assert reused[0][0] == 3  # query finds itself in its own bucket
 

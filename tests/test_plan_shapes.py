@@ -213,3 +213,20 @@ def test_salted_join_matches_plain_join(spark):
             "count != 2"
         )
         assert diff.count() == 0, f"salted {how} join diverged from plain"
+
+
+def test_finance_indicator_plan_shapes(spark):
+    """Bollinger's three window accumulators must share one (user_id)
+    hash partitioning (a single exchange feeding one Window op);
+    market beta must broadcast the tiny per-day market table and keep
+    exactly the three keyed aggregation exchanges."""
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    boll = _plan(registry.QUERIES["q_bollinger_bands"](spark, SF_SMOKE))
+    assert boll.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in boll
+
+    beta = _plan(registry.QUERIES["q_market_beta"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in beta or "BroadcastExchange" in beta
+    assert "SinglePartition" not in beta
