@@ -299,6 +299,93 @@ def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_feature_matrix",
+    oracle="""
+    WITH acc AS (
+      SELECT event_id, user_id, value,
+             lag(CAST(value AS DECIMAL(18,4))) OVER wl AS prev_v,
+             lag(CAST(value AS DECIMAL(18,4)), 10) OVER wl AS prev10_v,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w5 AS DOUBLE)
+                 / COUNT(value) OVER w5 AS ma5,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w20 AS DOUBLE)
+                 / COUNT(value) OVER w20 AS ma20,
+             COUNT(value) OVER w20 AS n20,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w20 AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                      OVER w20 AS DOUBLE) AS sxx
+      FROM events
+      WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id),
+             w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST(floor((value / CAST(nullif(prev_v, 0) AS DOUBLE) - 1) * 10000)
+                AS BIGINT) AS ret_bp,
+           CAST(floor(ma5 * 10000) AS BIGINT) AS ma5_c,
+           CAST(floor(ma20 * 10000) AS BIGINT) AS ma20_c,
+           CASE WHEN n20 > 1 THEN CAST(floor(
+               sqrt(greatest((n20 * sxx - sx * sx) / (n20 * (n20 - 1)), 0))
+               * 10000) AS BIGINT) END AS vol20_c,
+           CAST((CAST(value AS DECIMAL(18,4)) - prev10_v) AS DOUBLE) AS mom10
+    FROM acc
+    """,
+)
+def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass feature assembly — the shape a training pipeline runs
+    nightly over every symbol: lag return, 5/20-row moving averages,
+    20-row volatility, 10-step momentum. Every frame shares the ONE
+    (user_id)/(ts, event_id) window partitioning, so five features
+    cost exactly one shuffle + one in-partition sort (pinned in
+    tests/test_plan_shapes.py) — adding a feature to this matrix is
+    marginal-cost-zero in data movement at any scale."""
+    d2 = "decimal(18,2)"
+    wl = _per_user()
+    w5 = wl.rowsBetween(-4, Window.currentRow)
+    w20 = wl.rowsBetween(-19, Window.currentRow)
+    v = F.col("value")
+    vdec = v.cast(DEC)
+    v2 = v.cast(d2)
+    acc = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag(vdec).over(wl).alias("prev_v"),
+        F.lag(vdec, 10).over(wl).alias("prev10_v"),
+        (F.sum(vdec).over(w5).cast("double") / F.count("value").over(w5)).alias(
+            "ma5"
+        ),
+        (F.sum(vdec).over(w20).cast("double") / F.count("value").over(w20)).alias(
+            "ma20"
+        ),
+        F.count("value").over(w20).alias("n20"),
+        F.sum(v2).over(w20).cast("double").alias("sx"),
+        F.sum(v2 * v2).over(w20).cast("double").alias("sxx"),
+    )
+    n20, sx, sxx = F.col("n20"), F.col("sx"), F.col("sxx")
+    var = F.greatest(
+        (n20 * sxx - sx * sx) / F.nullif(n20 * (n20 - 1), F.lit(0)), F.lit(0.0)
+    )
+    return acc.select(
+        "event_id",
+        "user_id",
+        F.floor(
+            (F.col("value") / F.nullif(F.col("prev_v"), F.lit(0).cast(DEC)).cast("double") - 1)
+            * 10000
+        )
+        .cast("bigint")
+        .alias("ret_bp"),
+        F.floor(F.col("ma5") * 10000).cast("bigint").alias("ma5_c"),
+        F.floor(F.col("ma20") * 10000).cast("bigint").alias("ma20_c"),
+        F.when(n20 > 1, F.floor(F.sqrt(var) * 10000).cast("bigint")).alias(
+            "vol20_c"
+        ),
+        (F.col("value").cast(DEC) - F.col("prev10_v")).cast("double").alias("mom10"),
+    )
+
+
 @query("q_ema_macd")
 def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA / MACD indicator stack per key (operators/ewm.py): the

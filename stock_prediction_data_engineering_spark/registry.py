@@ -161,6 +161,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_domain_mixture",      # curation: weighted domain resampling audit
     "q_token_bigrams",       # curation: BPE-ish merge-candidate counts
     "q_market_beta",         # finance: per-key beta vs market composite
+    "q_feature_matrix",      # finance: one-shuffle 5-feature assembly
 )
 
 ROWS_ONLY: tuple[str, ...] = (

@@ -230,3 +230,9 @@ def test_finance_indicator_plan_shapes(spark):
     beta = _plan(registry.QUERIES["q_market_beta"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in beta or "BroadcastExchange" in beta
     assert "SinglePartition" not in beta
+
+    # five features, one data movement: all frames share the per-key
+    # partitioning, so the whole matrix is a single exchange
+    feat = _plan(registry.QUERIES["q_feature_matrix"](spark, SF_SMOKE))
+    assert feat.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in feat

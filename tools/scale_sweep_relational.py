@@ -39,6 +39,9 @@ SWEEP_QUERIES = [
     "q_value_autocorr",
     "q_rank_functions",
     "q_ntile",
+    "q_bollinger_bands",
+    "q_market_beta",
+    "q_feature_matrix",
 ]
 
 COPY_TABLES = (
