@@ -62,9 +62,10 @@ HEADLINE_QUERIES = [
     # event analytics (funnel / retention)
     "q_funnel_conversion",
     "q_retention_cohorts",
-    # finance indicators (stacked per-key windows)
+    # finance indicators (stacked per-key windows; one-shuffle matrix)
     "q_bollinger_bands",
     "q_rsi",
+    "q_feature_matrix",
     # corpus curation (higher-order array exprs + n-gram audit join)
     "q_quality_rules",
     "q_contamination_check",

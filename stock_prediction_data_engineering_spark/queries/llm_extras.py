@@ -91,7 +91,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sims = docs.select(
         "doc_id",
-        dedup.simhash64(F.split(F.trim(F.col("text")), r"\s+")).alias("simhash"),
+        dedup.simhash64_np(F.split(F.trim(F.col("text")), r"\s+")).alias("simhash"),
     )
     pairs = dedup.simhash_pairs(docs, max_hamming=20)
     stats = pairs.agg(

@@ -344,3 +344,27 @@ def test_ann_recall_beats_random_scan_floor(spark):
     assert m["lift_lsh"] > 1.0, m
     assert m["lift_ivf"] > 1.0, m
     assert m["recall_ivf"] >= 0.4, m
+
+
+def test_simhash_np_matches_jvm_reference(spark):
+    """The vectorized SimHash kernel must be bit-identical to the JVM
+    aggregate-fold reference on real documents."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        simhash64,
+        simhash64_np,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    toks = F.split(F.trim("text"), r"\s+")
+    both = docs.select(
+        "doc_id",
+        simhash64(toks).alias("jvm"),
+        simhash64_np(toks).alias("np"),
+    ).collect()
+    assert len(both) == 100
+    for r in both:
+        assert r.jvm == r.np, (r.doc_id, r.jvm, r.np)
