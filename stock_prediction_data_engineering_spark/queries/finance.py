@@ -386,6 +386,59 @@ def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ohlc_candles",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM ranked
+    GROUP BY user_id, day
+    """,
+)
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candle building — THE bars operation of the reference's domain
+    (its lake stores exactly these per-day OHLCV rows,
+    dags/stock_data_airflow_local_aws_s3.py:36-42): aggregate a tick
+    stream into per-key daily open/high/low/close/volume. First/last
+    tick via two row_numbers over the same (key, day) partitioning
+    (one shuffle, shared sort) folded with conditional aggregates —
+    min/max/count ride the same hash aggregate. Values are raw column
+    picks (no float arithmetic), so cross-engine parity is exact."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value"
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_ticks"),
+    )
+
+
 @query("q_ema_macd")
 def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA / MACD indicator stack per key (operators/ewm.py): the

@@ -162,6 +162,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_token_bigrams",       # curation: BPE-ish merge-candidate counts
     "q_market_beta",         # finance: per-key beta vs market composite
     "q_feature_matrix",      # finance: one-shuffle 5-feature assembly
+    "q_ohlc_candles",        # finance: tick stream -> daily OHLCV bars
 )
 
 ROWS_ONLY: tuple[str, ...] = (
