@@ -1,0 +1,242 @@
+"""Statistical analytics over the event stream: time-weighted
+averages, pairwise series correlation, exact anomaly gating, and
+fixed-width histograms.
+
+Cross-engine float discipline (registry header): every component sum
+is an exact integer/DECIMAL; each query emits at most ONE double
+expression, written token-identically in the DuckDB oracle; anomaly
+gating avoids floats entirely (the variance inequality is cleared of
+divisions, so the comparison is exact integer algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+DEC = "decimal(18,4)"
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
+             date_diff('microsecond', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(dt_us) AS BIGINT) AS n_intervals,
+           CAST(floor(CAST(SUM(v * dt_us) AS DOUBLE)
+                      / CAST(SUM(dt_us) AS DOUBLE) * 10000) AS BIGINT)
+             AS twap_c
+    FROM seq
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per key: each observation holds
+    until the next one, so it is weighted by its interval length
+    (exact integer microseconds) — the TWAP shape used for irregular
+    tick series, where a plain mean over-weights bursts.
+
+    One per-key window (lead) followed by a keyed aggregate on the
+    SAME key — the aggregate reuses the window's hash partitioning,
+    so the whole query is a single exchange at any scale. Weighted
+    sums accumulate in DECIMAL x BIGINT (exact); the one double
+    division is floor-scaled identically in the oracle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("value").cast(DEC).alias("v"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "dt_us"
+        ),
+    )
+    return (
+        seq.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("dt_us").cast("bigint").alias("n_intervals"),
+            F.floor(
+                F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double")
+                * 10000
+            )
+            .cast("bigint")
+            .alias("twap_c"),
+        )
+    )
+
+
+@query(
+    "q_event_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS x
+      FROM events GROUP BY event_type, day
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.x AS xa, b.x AS xb
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type
+    ),
+    comp AS (
+      SELECT type_a, type_b, COUNT(*) AS n,
+             SUM(xa) AS sx, SUM(xb) AS sy,
+             SUM(xa * xb) AS sxy, SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+      FROM pairs GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           CAST(floor(
+             CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+                  - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                  AS DOUBLE)
+             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                         - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                         AS DOUBLE)
+                    * CAST(CAST(n AS DECIMAL(38,0)) * CAST(syy AS DECIMAL(38,0))
+                           - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                           AS DOUBLE))
+             * 1000000) AS BIGINT) AS corr_ppm
+    FROM comp
+    """,
+)
+def q_event_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event-type daily series —
+    the cross-asset correlation matrix in the stock domain.
+
+    Scale shape: one keyed aggregate compresses the fact table to a
+    (type, day) series — the ONLY pass over raw data — then the
+    self-join and the component aggregate run on the tiny compressed
+    series. K series means K(K-1)/2 pairs of day-rows, never a fact-
+    table cross join. Component sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    exact BIGINTs in integer cents; the final combination is widened
+    to DECIMAL(38,0) (still exact) and collapsed in one deterministic
+    double expression — numerator / sqrt(dx·dy) — floor-scaled to ppm.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg((F.sum(F.col("value").cast(DEC)) * 100).cast("bigint").alias("x"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("x").alias("xb")
+    )
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    comp = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d38("n") * d38("sxy") - d38("sx") * d38("sy")).cast("double")
+    dx = (d38("n") * d38("sxx") - d38("sx") * d38("sx")).cast("double")
+    dy = (d38("n") * d38("syy") - d38("sy") * d38("sy")).cast("double")
+    return comp.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.floor(num / F.sqrt(dx * dy) * 1000000).cast("bigint").alias("corr_ppm"),
+    )
+
+
+@query(
+    "q_anomaly_gate",
+    oracle="""
+    WITH cents AS (
+      SELECT event_id, user_id, value,
+             CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS xc
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id, COUNT(*) AS n, SUM(xc) AS s, SUM(xc * xc) AS s2
+      FROM cents GROUP BY user_id
+    )
+    SELECT c.event_id, c.user_id, c.value
+    FROM cents c JOIN stats t USING (user_id)
+    WHERE t.n >= 3
+      AND (c.xc * t.n - t.s) * (c.xc * t.n - t.s)
+          > 4 * (t.n * t.s2 - t.s * t.s)
+    """,
+)
+def q_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key outlier gate: events more than 2 sigma from their key's
+    mean — with the inequality (x-mu)^2 > 4*sigma^2 cleared of
+    divisions to (x*n - s)^2 > 4*(n*s2 - s^2), so the entire test is
+    EXACT integer algebra in cents: no float, no sqrt, bit-identical
+    on any engine.
+
+    Two passes over the key's rows (stats aggregate, then the gate
+    join) — both keyed on user_id, so the join inherits the
+    aggregate's partitioning; at 100 TB the stats side is one row per
+    key and broadcast-eligible.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("xc"),
+    )
+    stats = cents.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("s"),
+        F.sum(F.col("xc") * F.col("xc")).alias("s2"),
+    )
+    dev = F.col("xc") * F.col("n") - F.col("s")
+    var4 = 4 * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+    return (
+        cents.join(stats, "user_id")
+        .filter((F.col("n") >= 3) & (dev * dev > var4))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+             AS total_price_c
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: floor-bucketed numeric
+    binning + exact DECIMAL mass per bin — the profiling primitive
+    behind equi-width distribution sketches.
+
+    One partial+final hash aggregate on a derived key; the floor
+    division by a constant is deterministic on IEEE doubles (division
+    is correctly rounded), so bucket ids — and the exact integer-cent
+    mass per bucket — are engine-independent.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("bigint")
+            .alias("total_price_c"),
+        )
+    )

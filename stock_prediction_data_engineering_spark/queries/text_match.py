@@ -1,0 +1,173 @@
+"""Text matching / cleaning operators a training-data pipeline needs
+beyond dedup: TF-IDF term weighting, blocked fuzzy (edit-distance)
+matching for entity resolution, and PII-style redaction.
+
+All three stay JVM-side (explode + hash aggregates, a blocked
+equi-join, regexp_replace chains) — no Python in the per-row path —
+and every computed column follows the cross-engine hash-stability
+discipline from the registry header (exact integer/DECIMAL component
+sums; any double expression written identically in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, tfidf_ppb
+    FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             tf.tf * 1000000000 // dfreq.df AS tfidf_ppb,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * 1000000000 // dfreq.df DESC, tf.token
+             ) AS rk
+      FROM tf JOIN dfreq USING (token)
+    )
+    WHERE rk <= 5
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document — the relevance weighting a
+    corpus pipeline uses for keyword extraction and quality filtering.
+
+    Shape at scale: explode -> (doc, token) hash aggregate (tf) ->
+    token-keyed aggregate (df; postings, not raw tokens, cross the
+    wire) -> broadcast df back onto tf -> per-doc window top-5. Every
+    shuffle is keyed (doc_id+token, token, doc_id); nothing global —
+    not even a corpus-size count (see below), so the plan has no
+    single-partition stage at all.
+
+    Weighting variant: EXACT linear idf — floor(tf * 1e9 / df) in pure
+    integer arithmetic, with df emitted so any downstream idf variant
+    is derivable. The classic log-idf is NOT hash-safe across engines:
+    JVM Math.log and libm ln are each within 1 ulp of true but
+    disagree on ~3% of inputs (measured 87/2500 here), and the
+    registry discipline forbids hashed values built on
+    non-correctly-rounded floats. The corpus-size factor N of
+    tf*N/df is a constant that never changes per-doc ranking, so it
+    is deliberately dropped rather than paying a global count.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    tfidf = F.expr("tf * 1000000000 div df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_ppb"), "token")
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select("doc_id", "token", "tf", "df", tfidf.alias("tfidf_ppb"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "token", "tf", "df", "tfidf_ppb")
+    )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blk AS (
+      SELECT p_name,
+             substr(p_name, 1, 1) AS blk_c,
+             CAST(floor(length(p_name) / 4) AS BIGINT) AS blk_l
+      FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev_dist
+    FROM blk a JOIN blk b
+      ON a.blk_c = b.blk_c AND a.blk_l = b.blk_l AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): near-identical part
+    names by Levenshtein distance <= 4.
+
+    The scale design is the blocking, not the distance function:
+    candidates come from an equi-join on (first char, length bucket)
+    — a keyed shuffle whose fan-out is bounded by block size — never
+    an all-pairs cross join; the quadratic edit-distance only runs
+    inside blocks. Dedup to distinct names first: fuzzy matching is a
+    vocabulary-sized problem (64 distinct names here, ~thousands in
+    real catalogs), independent of fact-table row count.
+    """
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    blk = names.select(
+        "p_name",
+        F.substring("p_name", 1, 1).alias("blk_c"),
+        F.floor(F.length("p_name") / 4).alias("blk_l"),
+    )
+    a = blk.select(
+        F.col("p_name").alias("name_a"), "blk_c", "blk_l"
+    )
+    b = blk.select(
+        F.col("p_name").alias("name_b"), "blk_c", "blk_l"
+    )
+    return (
+        a.join(b, ["blk_c", "blk_l"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev_dist") <= 4)
+        .select("name_a", "name_b", "lev_dist")
+    )
+
+
+# One regex dialect note (docstring-level contract): both patterns below
+# use only portable syntax — literal classes, +, @ — that Java regex
+# (Spark) and RE2 (DuckDB) treat identically. DuckDB's regexp_replace
+# needs the explicit 'g' flag to replace ALL matches (Spark always does).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_DIGITS_RE = "[0-9]+"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(
+             regexp_replace(props, '{_EMAIL_RE}', '<email>', 'g'),
+             '{_DIGITS_RE}', '#', 'g') AS props_redacted,
+           regexp_replace(
+             regexp_replace(props, '{_EMAIL_RE}', '<email>', 'g'),
+             '{_DIGITS_RE}', '#', 'g') <> props AS was_redacted
+    FROM events
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: mask email-shaped tokens then digit runs
+    in the event payload — the standard pre-training scrub pass.
+
+    Pure narrow map (two chained regexp_replace JVM expressions, no
+    shuffle, no UDF): at 100 TB this pipelines inside the scan stage
+    with zero exchanges, and the predicate-free projection keeps
+    whole-stage codegen fused end to end.
+    """
+    ev = table(spark, sf_dir, "events")
+    redacted = F.regexp_replace(
+        F.regexp_replace("props", _EMAIL_RE, "<email>"), _DIGITS_RE, "#"
+    )
+    return ev.select(
+        "event_id",
+        redacted.alias("props_redacted"),
+        (redacted != F.col("props")).alias("was_redacted"),
+    )

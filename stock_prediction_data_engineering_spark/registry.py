@@ -163,6 +163,13 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_market_beta",         # finance: per-key beta vs market composite
     "q_feature_matrix",      # finance: one-shuffle 5-feature assembly
     "q_ohlc_candles",        # finance: tick stream -> daily OHLCV bars
+    "q_tfidf",               # text: TF-IDF top-5 terms per document
+    "q_fuzzy_match",         # text: blocked Levenshtein entity matching
+    "q_pii_redact",          # text: email/digit redaction scrub pass
+    "q_twap",                # stats: time-weighted average per key
+    "q_event_corr",          # stats: pairwise series correlation
+    "q_anomaly_gate",        # stats: exact-integer 2-sigma outlier gate
+    "q_histogram",           # stats: fixed-width numeric binning
 )
 
 ROWS_ONLY: tuple[str, ...] = (
@@ -227,7 +234,9 @@ def load_all() -> None:
         relational,
         scalar_functions,
         setops,
+        stats,
         streaming_batch,
         surface_extras,
+        text_match,
         windows,
     )
