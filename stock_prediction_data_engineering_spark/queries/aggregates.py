@@ -173,6 +173,43 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A7, completing rollup/cube): per-flag
+    totals, per-status totals, and the grand total in one pass —
+    subtotal shapes ROLLUP cannot express (it only nests prefixes).
+
+    Same Expand-node economics as q_rollup: pre-aggregate to the
+    finest (flag, status) grain first so the 3x grouping-set
+    replication happens on ~|groups| rows instead of the fact table.
+    """
+    pre = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt_p"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_p"),
+        )
+    )
+    return pre.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum("cnt_p").alias("cnt"),
+        F.sum("qty_p").cast("double").alias("sum_qty"),
+    )
+
+
+@query(
     "q_conditional_agg",
     oracle="""
     SELECT o_orderstatus,

@@ -170,6 +170,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_event_corr",          # stats: pairwise series correlation
     "q_anomaly_gate",        # stats: exact-integer 2-sigma outlier gate
     "q_histogram",           # stats: fixed-width numeric binning
+    "q_grouping_sets",       # A7 completeness: explicit grouping sets
 )
 
 ROWS_ONLY: tuple[str, ...] = (
