@@ -92,7 +92,10 @@ def main() -> None:
     from stock_prediction_data_engineering_spark.catalog import TABLES, table
 
     for t in TABLES:
-        table(spark, sf_dir, t).count()
+        try:
+            table(spark, sf_dir, t).count()
+        except Exception:
+            pass  # a missing/broken table shows up per-query, not here
     # Two runs per query, back to back: run 0 is untimed and pays the
     # plan's one-off whole-stage-codegen (Janino) compilation; run 1 is
     # the reported measurement. Back-to-back (rather than two whole
@@ -100,30 +103,41 @@ def main() -> None:
     # cache — interleaving 20+ queries between a plan's two runs evicts
     # large plans and re-charges compilation to the measured run. On a
     # long-running cluster every recurring query runs compiled.
+    # Per-query fault isolation: one broken query must never wipe the
+    # whole bench artifact (round 2 lost its perf number to a crash at
+    # query 6 of 33). Failures are reported in the JSON and the total
+    # covers the survivors.
     times: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name in HEADLINE_QUERIES:
-        fn = registry.QUERIES[name]
-        for measured in (False, True):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # force full evaluation of every operator in the plan
-            df.write.format("noop").mode("overwrite").save()
-            if measured:
-                times[name] = round(time.perf_counter() - t0, 3)
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            failed[name] = "not registered"
+            continue
+        try:
+            for measured in (False, True):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # force full evaluation of every operator in the plan
+                df.write.format("noop").mode("overwrite").save()
+                if measured:
+                    times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            times.pop(name, None)
+            failed[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "timing": "warm (2nd run; pass 0 pays per-plan codegen)",
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "timing": "warm (2nd run; pass 0 pays per-plan codegen)",
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
     spark.stop()
 
 

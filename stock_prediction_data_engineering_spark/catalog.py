@@ -32,6 +32,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS = ("region", "nation")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP, whatever the reader
+    produced. Spark's parquet reader has surfaced TIMESTAMP(NANOS) three
+    different ways across versions, and downstream code (``unix_micros``,
+    watermarks, window()) requires TIMESTAMP:
+
+    - ``bigint`` — older readers under ``nanosAsLong=true``: integer
+      ns→µs division (ns magnitudes ~1.7e18 exceed double's exact
+      range, so never go through float), then ``timestamp_micros``.
+    - ``timestamp_ntz`` — Spark 4.1+ native NANOS read (the legacy conf
+      no longer takes effect): cast to TIMESTAMP. The session timezone
+      is pinned UTC everywhere in this engine, so the cast is exactly
+      the naive-UTC semantics the DuckDB oracles assume, and the
+      reader has already truncated ns→µs the same way DuckDB does.
+    - ``timestamp`` — already what we want: leave untouched.
+
+    Every ts consumer (queries, streaming fixtures, z-order keys) must
+    go through this ONE function rather than re-deriving the branch.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -42,24 +71,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-        # rejects outright. session.py sets nanosAsLong at build time,
-        # but this must also work on a caller-provided session (the
-        # correctness driver builds its own) — the conf is runtime-
-        # settable, so set it defensively before the read.
+        # events.ts is TIMESTAMP(NANOS) parquet. Older Spark readers
+        # reject it unless nanosAsLong=true (then it reads as bigint);
+        # Spark 4.1+ reads it natively as TIMESTAMP_NTZ and ignores the
+        # conf. Set the conf defensively for old readers, then let
+        # normalize_ts() handle whichever dtype actually arrived.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # locked-down session: proceed and hope it was preset
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            # truncate ns -> µs TimestampType via integer division
-            # (~1.7e18 ns exceeds double's exact range). DuckDB
-            # truncates ns->µs the same way, so values hash identically.
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -26,34 +26,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+# TIMESTAMP_NTZ columns are formatted by the *separate*
+# timestampNTZFormat option (its default truncates to millis, which
+# silently drops µs on the round-trip); pin a µs pattern for it too.
+# No zone designator — NTZ carries none.
+TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _ts_opts(rw):
+    return rw.option("timestampFormat", TS_FMT).option(
+        "timestampNTZFormat", TS_NTZ_FMT
+    )
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").option("timestampFormat", TS_FMT).json(path)
+    _ts_opts(df.write.mode("overwrite")).json(path)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
-    return (
-        spark.read.schema(schema).option("timestampFormat", TS_FMT).json(path)
-    )
+    return _ts_opts(spark.read.schema(schema)).json(path)
 
 
 def write_csv(df: DataFrame, path: str) -> None:
-    (
-        df.write.mode("overwrite")
-        .option("header", "true")
-        .option("timestampFormat", TS_FMT)
-        .csv(path)
-    )
+    _ts_opts(df.write.mode("overwrite").option("header", "true")).csv(path)
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
-    return (
-        spark.read.schema(schema)
-        .option("header", "true")
-        .option("timestampFormat", TS_FMT)
-        .csv(path)
-    )
+    return _ts_opts(spark.read.schema(schema).option("header", "true")).csv(path)
 
 
 def write_orc(df: DataFrame, path: str) -> None:

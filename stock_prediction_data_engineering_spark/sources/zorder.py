@@ -62,7 +62,11 @@ def zorder_key(
         if dt == "date":
             return F.unix_date(F.col(c)).cast("double")
         if dt.startswith("timestamp"):
-            return F.unix_micros(F.col(c)).cast("double")
+            # unix_micros requires TIMESTAMP; TIMESTAMP_NTZ (Spark 4.1+
+            # parquet NANOS reads) casts through it. The tz offset is a
+            # constant shift, which the min/max normalization cancels,
+            # so key ordering is identical either way.
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
         return F.col(c).cast("double")
 
     stats = df.agg(

@@ -61,11 +61,20 @@ def test_no_query_plans_a_single_partition_window(spark):
 
     registry.load_all()
     offenders = []
+    unanalyzable = {}
     for name, fn in registry.QUERIES.items():
-        plan = _plan(fn(spark, SF_SMOKE))
+        # isolate per query: one query whose *analysis* throws must not
+        # abort the audit of the rest (it masked the real offender set
+        # in round 2) — collect it and fail with the full list instead
+        try:
+            plan = _plan(fn(spark, SF_SMOKE))
+        except Exception as exc:  # noqa: BLE001
+            unanalyzable[name] = str(exc).splitlines()[0][:160]
+            continue
         if "Window" in plan and "SinglePartition" in plan:
             offenders.append(name)
     assert offenders == [], offenders
+    assert unanalyzable == {}, unanalyzable
 
 
 def test_ntile_has_no_single_partition_window(spark):

@@ -21,12 +21,19 @@ def _stream_events(spark):
     if _STAGE_DIR is None:
         _STAGE_DIR = tempfile.mkdtemp(prefix="stream_events_")
         shutil.copy(f"{SF_SMOKE}/events.parquet", _STAGE_DIR)
-    from pyspark.sql import functions as F
+    from stock_prediction_data_engineering_spark.catalog import normalize_ts
 
     schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(_STAGE_DIR)
-    # ts arrives as nanos-long (same parquet quirk as the catalog)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # ts arrives reader-dependent (nanos-long or TIMESTAMP_NTZ); the
+    # shared normalizer lands it as TIMESTAMP for watermarks/window()
+    return normalize_ts(stream)
+
+
+def _batch_events(spark):
+    from stock_prediction_data_engineering_spark.catalog import normalize_ts
+
+    return normalize_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
 
 
 def _run_to_completion(df, name):
@@ -55,10 +62,7 @@ def test_streaming_tumbling_with_watermark(spark):
     # append mode emits only watermark-closed windows; the final
     # (open) window is withheld — that's the semantics, not a bug
     assert out.count() > 0
-    batch_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
-    assert out.count() <= tumbling_agg(batch_events).count()
+    assert out.count() <= tumbling_agg(_batch_events(spark)).count()
 
 
 def test_streaming_session_window(spark):
@@ -114,9 +118,7 @@ def test_stream_stream_interval_join(spark):
     _run_to_completion(joined, "ssj_out")
     got = spark.sql("SELECT count(*) AS n FROM ssj_out").collect()[0].n
 
-    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch = _batch_events(spark)
     b = batch.select("user_id", "ts", "event_id")
     r = batch.select(
         F.col("user_id").alias("user_id_r"),
@@ -212,10 +214,7 @@ def test_apply_in_pandas_with_state_running_stats(spark, tmp_path_factory):
     from stock_prediction_data_engineering_spark.streaming.stateful import running_stats
 
     src = str(tmp_path_factory.mktemp("stateful_src"))
-    batch = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    batch = _batch_events(spark)
     batch.repartition(4).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(
@@ -272,9 +271,7 @@ def test_continuous_rollup_matches_batch(spark, tmp_path_factory):
 
     root = tmp_path_factory.mktemp("rollup")
     src = str(root / "src")
-    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch = _batch_events(spark)
     # stage time-ordered arrival: 4 chronological slices with ordered
     # mtimes, so no row is older than the already-advanced watermark
     # (out-of-order rows beyond the delay are *supposed* to be dropped
@@ -336,11 +333,7 @@ def test_streaming_macd_matches_batch(spark, tmp_path_factory):
     )
 
     src = str(tmp_path_factory.mktemp("macd_src"))
-    batch = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "event_id", "ts", "value")
-    )
+    batch = _batch_events(spark).select("user_id", "event_id", "ts", "value")
     pdf = batch.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
     n = len(pdf)
     cuts = [0, n // 3, 2 * n // 3, n]
