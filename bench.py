@@ -69,6 +69,9 @@ HEADLINE_QUERIES = [
     # corpus curation (higher-order array exprs + n-gram audit join)
     "q_quality_rules",
     "q_contamination_check",
+    # training-data assembly (packing window + skew profile)
+    "q_sequence_pack",
+    "q_heavy_keys",
 ]
 
 

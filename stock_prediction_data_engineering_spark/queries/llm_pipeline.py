@@ -1,0 +1,275 @@
+"""Training-data assembly queries (SURVEY.md §2.11 north star): the
+steps that turn a curated corpus into model-ready training shards —
+sequence packing into fixed context windows, deterministic
+train/val/test splitting, per-domain quality filtering, duplicate-
+cluster accounting, and hot-key skew profiling.
+
+Everything here is pure JVM column arithmetic (window cumulative sums,
+md5 buckets, keyed aggregates); determinism conventions follow the
+registry: integer-only outputs (floor/div, basis points), content-hash
+membership instead of TABLESAMPLE, and total orderings on key
+prefixes wherever a LIMIT appears.
+
+Reference parity: the reference stops at a partitioned lake
+(/root/reference/data_collection/dags/stock_data_airflow_local_aws_s3.py:64-76);
+these queries extend it downstream to the tokenizer-feed stage a
+100 TB pretraining pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# whitespace token count as an integer column (the corpus tokenizer
+# convention shared with operators/text.py)
+_WC = "size(split(text, ' '))"
+
+CONTEXT_TOKENS = 2048
+
+
+@query(
+    "q_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_before // {CONTEXT_TOKENS} AS BIGINT) AS pack_id,
+           CAST(cum_before % {CONTEXT_TOKENS} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per source domain, documents
+    are laid end-to-end in doc_id order and sliced into fixed
+    2048-token context windows; each doc reports the window it starts
+    in and its byte^Wtoken offset inside it (a doc may spill into the
+    next window — that's the GPT-style packing convention, no padding
+    waste).
+
+    Scale shape: ONE cumulative-sum window partitioned by source — the
+    same per-key exchange every other per-domain op uses, no global
+    ordering anywhere. At 100 TB the pack assignment is embarrassingly
+    parallel per domain; the output is the shard-writer's input."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(_WC).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum_before.alias("__cb"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"__cb div {CONTEXT_TOKENS}").alias("pack_id"),
+        (F.col("__cb") % CONTEXT_TOKENS).alias("pack_offset"),
+    )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM s
+    GROUP BY source, split
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by content
+    hash: the first two hex chars of md5(text) partition [0x00, 0xff]
+    at 0xcc (204/256 ≈ 79.7 %) and 0xe6 (26/256 ≈ 10.2 %). Content
+    hashing (not doc_id, not TABLESAMPLE) keeps the assignment stable
+    under re-ingestion, re-partitioning, and engine changes, and sends
+    exact duplicates to the same split — no train/test leakage through
+    dup pairs. Output: per (source, split) doc and token counts.
+
+    Scale shape: one narrow map + one small two-key aggregate."""
+    bucket = F.substring(F.md5("text"), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            split.alias("split"),
+            F.expr(_WC).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+@query(
+    "q_quality_filter",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(floor(CAST(len(list_distinct(string_split(text, ' ')))
+                             AS DOUBLE)
+                        / len(string_split(text, ' ')) * 10000)
+                  AS BIGINT) AS ttr_bp
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, ttr_bp,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY ttr_bp DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM m
+    )
+    SELECT doc_id, source, ttr_bp FROM r WHERE rn * 2 <= n
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality gate: keep the top half of each source by
+    type-token ratio (integer basis points, ties broken by doc_id so
+    the cut is total-ordered and engine-independent). The quantile is
+    taken *within* each domain — a global cut would silently drop
+    whole low-TTR domains from the mixture.
+
+    Scale shape: one window exchange partitioned by source (rank +
+    per-partition count share it); integer-only comparisons, no
+    percent_rank floats near the boundary."""
+    m = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.floor(
+            F.size(F.array_distinct(F.split("text", " "))).cast("double")
+            / F.size(F.split("text", " "))
+            * 10000
+        ).cast("bigint").alias("ttr_bp"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("ttr_bp").desc(), "doc_id")
+    wn = Window.partitionBy("source")
+    r = m.select(
+        "doc_id",
+        "source",
+        "ttr_bp",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.filter(F.col("rn") * 2 <= F.col("n")).select(
+        "doc_id", "source", "ttr_bp"
+    )
+
+
+@query(
+    "q_dup_cluster_stats",
+    oracle="""
+    WITH c AS (
+      SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY h
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY cluster_size
+    """,
+)
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how much of the corpus sits in
+    exact-duplicate clusters of each size — the number a dedup pass is
+    judged by ("dropping non-canonical members removes X % of docs").
+
+    Scale shape: two keyed aggregates, the second over at most one row
+    per distinct document — partial (map-side) aggregation absorbs the
+    heavy first groupBy, and the histogram is tiny."""
+    clusters = (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+    )
+
+
+@query(
+    "q_heavy_keys",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM k
+    )
+    SELECT user_id, cnt,
+           (cnt * 10000) // total AS share_bp,
+           (cnt * n_keys * 100) // total AS skew_x100
+    FROM k, t
+    ORDER BY cnt DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew profile of the events stream: the 20 heaviest
+    user_ids with their share of all events (basis points) and their
+    multiple of the mean per-key load (×100) — the diagnostic that
+    decides whether a downstream join needs salting
+    (operators/skew.py) before it hits the cliff.
+
+    Scale shape: one keyed count (map-side partials absorb the heavy
+    keys themselves), a 1-row grand total broadcast back over the key
+    table, then TakeOrderedAndProject — the full key table never sorts
+    globally."""
+    k = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = k.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("(cnt * 10000) div total").alias("share_bp"),
+            F.expr("(cnt * n_keys * 100) div total").alias("skew_x100"),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(20)
+    )

@@ -179,6 +179,11 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_anomaly_gate",        # stats: exact-integer 2-sigma outlier gate
     "q_histogram",           # stats: fixed-width numeric binning
     "q_grouping_sets",       # A7 completeness: explicit grouping sets
+    "q_sequence_pack",       # training assembly: concat-and-chunk packing
+    "q_train_split",         # training assembly: content-hash 80/10/10 split
+    "q_quality_filter",      # training assembly: per-domain top-half TTR gate
+    "q_dup_cluster_stats",   # training assembly: dup-cluster histogram
+    "q_heavy_keys",          # diagnostics: hot-key skew profile
 )
 
 ROWS_ONLY: tuple[str, ...] = (
@@ -238,6 +243,7 @@ def load_all() -> None:
         lake_q,
         llm_curation,
         llm_extras,
+        llm_pipeline,
         llm_text,
         llm_vector,
         relational,
