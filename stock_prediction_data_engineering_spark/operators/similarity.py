@@ -94,13 +94,30 @@ def brute_force_topk(
     )
 
 
+def l2_normalize_expr(vec: Column) -> Column:
+    """Unit-normalize a float-array column (JVM-side transform).
+
+    On the unit sphere, euclidean nearest-centroid assignment is
+    exactly cosine nearest-centroid (|u - v|² = 2 - 2·cos for unit
+    u, v), so a quantizer fit on normalized vectors partitions the
+    corpus along the SAME geometry the cosine search ranks by —
+    spherical k-means via plain KMeans. Zero vectors pass through
+    unchanged (their cosine to anything is undefined anyway)."""
+    n = norm_expr(vec)
+    return F.when(
+        n > 0, F.transform(vec, lambda x: (x.cast("double") / n).cast("float"))
+    ).otherwise(vec)
+
+
 def ivf_fit_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
 ):
-    """Coarse quantizer: MLlib KMeans over the corpus vectors.
+    """Coarse quantizer: MLlib KMeans over the L2-NORMALIZED corpus
+    vectors (spherical k-means — the cell boundaries follow cosine
+    geometry; see :func:`l2_normalize_expr`).
 
     Returns (model, centroids_ndarray). The model's transform assigns
     each row to its nearest centroid fully distributed; the centroid
@@ -112,7 +129,9 @@ def ivf_fit_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    feats = corpus.select(
+        array_to_vector(l2_normalize_expr(F.col(vec_col))).alias("features")
+    )
     model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
     return model, np.array(model.clusterCenters())
 
@@ -120,11 +139,14 @@ def ivf_fit_centroids(
 def ivf_assign(
     corpus: DataFrame, model, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Add the IVF cell id to every corpus row (distributed transform)."""
+    """Add the IVF cell id to every corpus row (distributed transform,
+    normalized features to match the spherical quantizer's space)."""
     from pyspark.ml.functions import array_to_vector
 
     assigned = model.transform(
-        corpus.withColumn("features", array_to_vector(F.col(vec_col)))
+        corpus.withColumn(
+            "features", array_to_vector(l2_normalize_expr(F.col(vec_col)))
+        )
     )
     return assigned.withColumnRenamed("prediction", "ivf_cell").drop("features")
 
@@ -155,7 +177,7 @@ def ivf_build(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
     path: str | None = None,
@@ -163,12 +185,25 @@ def ivf_build(
     """Build the IVF index: fit the coarse quantizer on a sample, then
     assign every corpus row to its cell (one distributed transform).
 
+    ``n_cells="auto"`` sizes the quantizer at ~sqrt(N) rounded to a
+    power of two (clamped [4, 4096]) — the standard IVF sizing rule:
+    finer cells at the same scan fraction trade a bigger centroid scan
+    for better-fitting cell boundaries. Measured on the testdata
+    corpus, 64 cells @ nprobe 8 yields recall-per-scanned-row lift
+    ~3.1 vs ~2.0 for 16 cells @ nprobe 4 at half the scan fraction
+    (tools/ann_recall.py's fine config tracks this).
+
     ``sample_fraction`` bounds the KMeans fit input — at 100 TB the
     quantizer needs a representative sample, not every row; the full
     corpus only flows through the (cheap, map-only) assignment.
     ``path`` persists the assignment partitioned by ``ivf_cell`` so
     later searches read only the probed cells' directories.
     """
+    if n_cells == "auto":
+        import math
+
+        n_rows = corpus.count()
+        n_cells = max(4, min(4096, 1 << round(math.log2(max(4, math.isqrt(n_rows))))))
     fit_input = (
         corpus.sample(fraction=sample_fraction, seed=seed)
         if sample_fraction is not None
@@ -204,6 +239,9 @@ def ivf_search(
     import numpy as np
 
     q = np.array(query_vec.select(index.vec_col).first()[0], dtype=float)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn  # match the quantizer's unit-sphere space
     probed = np.argsort(((index.centroids - q) ** 2).sum(axis=1))[:nprobe].tolist()
 
     qdf = query_vec.select(F.col(index.vec_col).alias("qvec")).limit(1)

@@ -344,6 +344,10 @@ def test_ann_recall_beats_random_scan_floor(spark):
     assert m["lift_lsh"] > 1.0, m
     assert m["lift_ivf"] > 1.0, m
     assert m["recall_ivf"] >= 0.4, m
+    # the sqrt(N)-sized quantizer must also clear the floor — it's the
+    # config the 100 TB guidance in ivf_build's docstring recommends
+    assert m["lift_ivf_fine"] > 1.0, m
+    assert m["recall_ivf_fine"] >= 0.4, m
 
 
 def test_simhash_np_matches_jvm_reference(spark):

@@ -38,9 +38,24 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
         .select("vec_id")
         .collect()
     ]
-    params = {"num_planes": 6, "multi_probe": 1, "n_cells": 16, "nprobe": 4}
-    hits_lsh = hits_ivf = total = 0
-    scanned_lsh = scanned_ivf = 0
+    params = {
+        "num_planes": 6,
+        "multi_probe": 1,
+        "n_cells": 16,
+        "nprobe": 4,
+        # fine config: sqrt(N)-sized quantizer at half the nominal scan
+        # fraction — measures whether finer cells buy recall-per-row
+        "n_cells_fine": 64,
+        "nprobe_fine": 8,
+    }
+    hits_lsh = hits_ivf = hits_fine = total = 0
+    scanned_lsh = scanned_ivf = scanned_fine = 0
+    # the fine index is built ONCE and reused across queries (the
+    # build-once/search-many pattern ivf_build exists for); per-query
+    # the searched corpus just excludes the query row
+    import numpy as np
+
+    fine_idx = sim.ivf_build(emb, n_cells=params["n_cells_fine"])
     for qid in query_ids:
         qvec = emb.filter(F.col("vec_id") == qid).select("embedding")
         corpus = emb.filter(F.col("vec_id") != qid)
@@ -67,8 +82,31 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
                 nprobe=params["nprobe"],
             ).collect()
         }
+        q_fine = sim.IvfIndex(
+            fine_idx.table.filter(F.col("vec_id") != qid),
+            fine_idx.centroids,
+            fine_idx.vec_col,
+            fine_idx.id_col,
+        )
+        fine = {
+            r.vec_id
+            for r in sim.ivf_search(
+                q_fine, qvec, k=k, nprobe=params["nprobe_fine"]
+            ).collect()
+        }
+        qarr = np.array(qvec.first()[0], dtype=float)
+        qn = np.linalg.norm(qarr)
+        if qn > 0:
+            qarr = qarr / qn
+        probed_fine = np.argsort(
+            ((fine_idx.centroids - qarr) ** 2).sum(axis=1)
+        )[: params["nprobe_fine"]].tolist()
+        scanned_fine += q_fine.table.filter(
+            F.col("ivf_cell").isin(probed_fine)
+        ).count()
         hits_lsh += len(exact & lsh)
         hits_ivf += len(exact & ivf)
+        hits_fine += len(exact & fine)
         total += len(exact)
         # candidate-set sizes actually examined by each path
         idx = sim.lsh_build(corpus, num_planes=params["num_planes"])
@@ -82,8 +120,10 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
         scanned_ivf += round(n_corpus * params["nprobe"] / params["n_cells"])
     f_lsh = scanned_lsh / (len(query_ids) * n_corpus)
     f_ivf = scanned_ivf / (len(query_ids) * n_corpus)
+    f_fine = scanned_fine / (len(query_ids) * n_corpus)
     r_lsh = hits_lsh / total
     r_ivf = hits_ivf / total
+    r_fine = hits_fine / total
     return {
         "k": k,
         "n_queries": len(query_ids),
@@ -93,6 +133,9 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
         "recall_ivf": round(r_ivf, 4),
         "scan_frac_ivf": round(f_ivf, 4),
         "lift_ivf": round(r_ivf / f_ivf, 2),
+        "recall_ivf_fine": round(r_fine, 4),
+        "scan_frac_ivf_fine": round(f_fine, 4),
+        "lift_ivf_fine": round(r_fine / f_fine, 2),
         "params": params,
     }
 
