@@ -31,6 +31,35 @@ _WC = "size(split(text, ' '))"
 CONTEXT_TOKENS = 2048
 
 
+def pack_assignment(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    capacity: int = CONTEXT_TOKENS,
+) -> DataFrame:
+    """Concat-and-chunk pack assignment: within each ``group_col``,
+    rows are laid end-to-end in ``order_col`` order and sliced into
+    fixed ``capacity``-token windows. Adds ``pack_id`` (the window the
+    row starts in) and ``pack_offset`` (its position inside it).
+
+    One cumulative-sum window partitioned by group — the packing is
+    embarrassingly parallel across groups and integer-exact, so any
+    engine (or a later incremental run) reproduces the same layout."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (
+        df.withColumn("__cb", cum_before)
+        .withColumn("pack_id", F.expr(f"__cb div {int(capacity)}"))
+        .withColumn("pack_offset", F.col("__cb") % int(capacity))
+        .drop("__cb")
+    )
+
+
 @query(
     "q_sequence_pack",
     oracle=f"""
@@ -70,24 +99,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(_WC).cast("bigint").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return docs.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        cum_before.alias("__cb"),
-    ).select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.expr(f"__cb div {CONTEXT_TOKENS}").alias("pack_id"),
-        (F.col("__cb") % CONTEXT_TOKENS).alias("pack_offset"),
-    )
+    return pack_assignment(docs, "source", "doc_id", "n_tokens")
 
 
 @query(

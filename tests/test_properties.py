@@ -183,3 +183,55 @@ def test_global_rank_exact_at_sampling_scale(spark):
         for pos, (v, i) in enumerate(sorted((r.v, r.id) for r in rows))
     }
     assert all(want[(r.v, r.id)] == r.r for r in rows)
+
+
+pack_rows = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),      # group
+        st.integers(0, 50),         # order key (may tie across groups)
+        st.integers(0, 120),        # token count (0 = empty doc)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=pack_rows, capacity=st.sampled_from([1, 7, 64]))
+@prop_settings
+def test_pack_assignment_matches_bruteforce(spark, rows, capacity):
+    """Concat-and-chunk packing must equal the sequential fold: within
+    each group (ordered by the order key, ties broken by nothing —
+    so dedupe order keys per group first), pack_id/pack_offset are the
+    div/mod of the running token total before the row."""
+    from stock_prediction_data_engineering_spark.queries.llm_pipeline import (
+        pack_assignment,
+    )
+
+    # unique order key per group — the operator's documented layout
+    # determinism needs a total per-group order
+    seen = {}
+    for g, o, t in rows:
+        seen.setdefault((g, o), t)
+    rows = [(g, o, t) for (g, o), t in seen.items()]
+
+    df = spark.createDataFrame(rows, "g string, o int, t long")
+    got = {
+        (r.g, r.o): (r.pack_id, r.pack_offset)
+        for r in pack_assignment(df, "g", "o", "t", capacity).collect()
+    }
+
+    want = {}
+    for g in {g for g, _, _ in rows}:
+        cum = 0
+        for o, t in sorted((o, t) for gg, o, t in rows if gg == g):
+            want[(g, o)] = (cum // capacity, cum % capacity)
+            cum += t
+    assert got == want
+    # invariants: offsets bounded, pack ids start at 0 and never skip
+    # backwards in order
+    for g in {g for g, _, _ in rows}:
+        ordered = [got[(g, o)] for o in sorted(o for gg, o, _ in rows if gg == g)]
+        assert all(0 <= off < capacity for _, off in ordered)
+        if ordered:
+            assert ordered[0] == (0, 0)
+            assert all(a[0] <= b[0] for a, b in zip(ordered, ordered[1:]))
