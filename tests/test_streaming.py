@@ -380,3 +380,114 @@ def test_streaming_macd_matches_batch(spark, tmp_path_factory):
     for col in ("ema_fast", "ema_slow", "macd", "macd_signal", "macd_hist"):
         diff = (got[col] - truth[col]).abs().max()
         assert diff < 1e-9, (col, diff)
+
+
+def test_streaming_heavy_hitters_exact_at_capacity(spark, tmp_path_factory):
+    """With capacity >= distinct keys per shard the sketch degenerates
+    to exact per-key counts: the final emission must equal the batch
+    groupBy count for every key."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.streaming.heavy_hitters import (
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path_factory.mktemp("hh_src"))
+    batch = _batch_events(spark)
+    batch.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    emissions = []
+
+    def capture(df, epoch_id):
+        emissions.append((epoch_id, df.toPandas()))
+
+    q = (
+        streaming_heavy_hitters(stream, capacity=5000, n_shards=4)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(emissions) > 1  # state crossed micro-batches
+
+    final = {}
+    for _, pdf in sorted(emissions, key=lambda t: t[0]):
+        for row in pdf.itertuples():
+            final[row.key] = row.est_count
+    truth = {
+        r.user_id: r.cnt
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert final == truth
+
+
+def test_streaming_heavy_hitters_guarantees_under_pressure(spark, tmp_path_factory):
+    """With a tiny capacity the summary is approximate but must keep
+    the space-saving guarantees: every estimate >= the true count
+    (over-count only, bounded by max_err), and every key whose true
+    count exceeds its shard's N/capacity is present."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.streaming.heavy_hitters import (
+        _shard_of,
+        streaming_heavy_hitters,
+    )
+
+    n_shards, capacity = 2, 8
+    src = str(tmp_path_factory.mktemp("hh_small_src"))
+    batch = _batch_events(spark)
+    batch.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    emissions = []
+
+    def capture(df, epoch_id):
+        emissions.append((epoch_id, df.toPandas()))
+
+    q = (
+        streaming_heavy_hitters(
+            stream, capacity=capacity, n_shards=n_shards
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = {}  # key -> (est, err)
+    for _, pdf in sorted(emissions, key=lambda t: t[0]):
+        for row in pdf.itertuples():
+            final[row.key] = (row.est_count, row.max_err)
+
+    truth_df = (
+        batch.select(
+            _shard_of(F.col("user_id"), n_shards).alias("shard"),
+            F.col("user_id").cast("long").alias("key"),
+        )
+        .groupBy("shard", "key")
+        .agg(F.count("*").alias("cnt"))
+    )
+    truth = {(r.shard, r.key): r.cnt for r in truth_df.collect()}
+    shard_n = {}
+    for (shard, _), cnt in truth.items():
+        shard_n[shard] = shard_n.get(shard, 0) + cnt
+
+    for (shard, key), cnt in truth.items():
+        if key in final:
+            est, err = final[key]
+            assert est >= cnt, (key, est, cnt)  # over-count only
+            assert est - err <= cnt  # err bounds the overshoot
+        else:
+            # absent keys must be below the guarantee threshold
+            assert cnt <= shard_n[shard] / capacity, (key, cnt)
