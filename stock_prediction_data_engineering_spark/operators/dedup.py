@@ -120,6 +120,35 @@ def minhash_signature_np(num_hashes: int = 64):
     return _sig
 
 
+def _band_table(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, sig) -> exploded (id, band, band_hash) — 24 bytes per band,
+    never the signature array itself (see minhash_lsh_pairs docstring)."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        F.col("sig"), b * rows_per_band + r + 1
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.band_hash")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -164,30 +193,7 @@ def minhash_lsh_pairs(
         "id", minhash_signature_np(num_hashes)(F.col("sh_hashes")).alias("sig")
     )
 
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        F.col("sig"), b * rows_per_band + r + 1
-                                    ).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "b.band", "b.band_hash")
+    banded = _band_table(sigs, bands, rows_per_band)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -225,6 +231,135 @@ def minhash_lsh_pairs(
         verified.withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH index (build once, probe per ingest batch)
+
+
+def _minhash_base(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+):
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(char_shingles(text_col, k)).alias("sh_hashes"),
+    )
+    sigs = base.select(
+        "id", minhash_signature_np(num_hashes)(F.col("sh_hashes")).alias("sig")
+    )
+    return base, _band_table(sigs, bands, rows_per_band)
+
+
+def minhash_index_write(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a probeable MinHash-LSH index of ``docs`` under ``path``:
+
+    - ``bands/`` — (id, band, band_hash) partitioned by
+      ``bucket = pmod(band_hash, n_buckets)``, so a probe batch that
+      touches few hash buckets prunes to those partition directories
+      (static partition pruning — the incremental-ingest win);
+    - ``hashes/`` — (id, sh_hashes) for the exact-Jaccard verify.
+
+    Why an index at all: re-running all-pairs dedup over a 100 TB
+    corpus for every ingest batch is O(corpus²); probing a persisted
+    index is O(batch × matched buckets) + a candidate-bounded verify.
+    ``mode="append"`` adds a batch to the index after it has been
+    probed/admitted (the incremental ingest loop).
+    """
+    base, banded = _minhash_base(docs, text_col, id_col, k, num_hashes, bands)
+    (
+        banded.withColumn("bucket", F.pmod("band_hash", F.lit(n_buckets)))
+        .repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{path}/bands")
+    )
+    base.write.mode(mode).parquet(f"{path}/hashes")
+
+
+def minhash_index_probe(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_buckets: int = 64,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Find near-duplicates of ``new_docs`` against a persisted index
+    (same shingle/band parameters as the build — the caller owns that
+    contract). Returns (new_id, corpus_id, jaccard).
+
+    Scale shape: the new batch's band table is tiny and BROADCAST; the
+    corpus band table is filtered to the batch's buckets first
+    (collected from the batch — at most ``n_buckets`` values, driver-
+    bounded), so the scan prunes to matching partition directories and
+    the candidate join is map-side with no corpus shuffle. Only
+    candidate ids flow into the two hash-array joins for the exact
+    verify, exactly as in minhash_lsh_pairs."""
+    spark = new_docs.sparkSession
+    new_base, new_banded = _minhash_base(
+        new_docs, text_col, id_col, k, num_hashes, bands
+    )
+    new_banded = new_banded.withColumn(
+        "bucket", F.pmod("band_hash", F.lit(n_buckets))
+    )
+    probe_buckets = [
+        r.bucket for r in new_banded.select("bucket").distinct().collect()
+    ]
+
+    corpus_bands = spark.read.parquet(f"{path}/bands").filter(
+        F.col("bucket").isin(probe_buckets)
+    )
+    cands = (
+        corpus_bands.join(
+            F.broadcast(
+                new_banded.select(
+                    F.col("id").alias("new_id"), "band", "band_hash"
+                )
+            ),
+            ["band", "band_hash"],
+        )
+        .select(F.col("id").alias("corpus_id"), "new_id")
+        # a new doc may equal a doc in the batch AND the corpus; the
+        # self-pair (same id on both sides) is meaningless — drop it
+        .filter(F.col("corpus_id") != F.col("new_id"))
+        .dropDuplicates(["corpus_id", "new_id"])
+    )
+    corpus_hashes = spark.read.parquet(f"{path}/hashes").select(
+        F.col("id").alias("corpus_id"), F.col("sh_hashes").alias("h_c")
+    )
+    new_hashes = new_base.select(
+        F.col("id").alias("new_id"), F.col("sh_hashes").alias("h_n")
+    )
+    jaccard = (
+        F.size(F.array_intersect("h_c", "h_n")).cast("double")
+        / F.size(F.array_union("h_c", "h_n"))
+    )
+    return (
+        cands.join(corpus_hashes, "corpus_id")
+        .join(F.broadcast(new_hashes), "new_id")
+        .withColumn("jaccard", F.round(jaccard, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )
 
 
