@@ -118,13 +118,20 @@ def main() -> None:
             failed[name] = "not registered"
             continue
         try:
-            for measured in (False, True):
+            # pass 0: untimed, pays per-plan codegen. passes 1-2: timed;
+            # report the MIN — a transient host-load spike on one pass
+            # (observed: same query 0.85 s vs 16 s across runs) must not
+            # become the round's recorded number. Min-of-2 approximates
+            # the query's uncontended cost, which is the stable quantity.
+            runs = []
+            for measured in (False, True, True):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 # force full evaluation of every operator in the plan
                 df.write.format("noop").mode("overwrite").save()
                 if measured:
-                    times[name] = round(time.perf_counter() - t0, 3)
+                    runs.append(time.perf_counter() - t0)
+            times[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             times.pop(name, None)
             failed[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
@@ -136,7 +143,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "timing": "warm (2nd run; pass 0 pays per-plan codegen)",
+        "timing": "warm (min of 2 back-to-back runs; pass 0 pays per-plan codegen)",
     }
     if failed:
         out["failed"] = failed
