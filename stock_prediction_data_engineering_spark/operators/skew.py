@@ -44,3 +44,70 @@ def salted_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
     return big_s.join(small_s, on + [SALT_COL], how).drop(SALT_COL)
+
+
+def skew_split_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    num_salts: int = 16,
+    hot_keys: list[tuple] | None = None,
+    top_n: int = 16,
+    sample_fraction: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Differentiated skew join: salt ONLY the hot keys, join the rest
+    plain. ``salted_join`` replicates the whole small side ``num_salts``
+    times — fine for a dimension table, prohibitive when the small side
+    is merely smaller. Splitting bounds replication to the hot subset:
+
+    - big rows with hot keys → salted join against the small side's
+      hot-key rows (replicated num_salts times — a handful of rows);
+    - every other big row → plain shuffle join, untouched.
+
+    The two branches partition the big side exactly (null-safe: rows
+    with null keys go cold, where join semantics already handle them),
+    so ``union`` of the branches equals the unsalted join row-for-row.
+
+    ``hot_keys`` is the detected hot set — tuples of key values, e.g.
+    from `q_heavy_keys`' profile. When None it is measured here: a
+    frequency count over ``big`` (optionally on a ``sample_fraction``
+    sample — at 100 TB a 1% sample ranks hot keys reliably, hot is what
+    hot does), taking the ``top_n`` keys. The list is driver-bounded by
+    construction.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("skew_split_join supports inner/left (big side preserved)")
+    if hot_keys is None:
+        src = (
+            big.sample(fraction=sample_fraction, seed=7)
+            if sample_fraction is not None
+            else big
+        )
+        hot_keys = [
+            tuple(r[c] for c in on)
+            for r in src.groupBy(*on)
+            .count()
+            .orderBy(F.desc("count"), *on)
+            .limit(top_n)
+            .collect()
+        ]
+
+    def hot_cond(prefix_df: DataFrame):
+        cond = F.lit(False)
+        for key in hot_keys:
+            term = F.lit(True)
+            for c, v in zip(on, key):
+                # null-safe: a null hot-key component must still match
+                term = term & F.col(c).eqNullSafe(F.lit(v))
+            cond = cond | term
+        # coalesce so null-keyed rows route cold instead of vanishing
+        return F.coalesce(cond, F.lit(False))
+
+    big_hot = big.filter(hot_cond(big))
+    big_cold = big.filter(~hot_cond(big))
+    small_hot = small.filter(hot_cond(small))
+
+    hot_joined = salted_join(big_hot, small_hot, on, num_salts, how)
+    cold_joined = big_cold.join(small, on, how)
+    return hot_joined.unionByName(cold_joined)

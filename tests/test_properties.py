@@ -235,3 +235,39 @@ def test_pack_assignment_matches_bruteforce(spark, rows, capacity):
         if ordered:
             assert ordered[0] == (0, 0)
             assert all(a[0] <= b[0] for a, b in zip(ordered, ordered[1:]))
+
+
+@given(fact=left_rows, dim=right_rows, how=st.sampled_from(["inner", "left"]))
+@prop_settings
+def test_skew_split_join_matches_plain_join(spark, fact, dim, how):
+    """The hot/cold split must be invisible: for any hot-key set the
+    union of the salted-hot and plain-cold branches equals the plain
+    join row-for-row (multiplicity included)."""
+    from stock_prediction_data_engineering_spark.operators.skew import skew_split_join
+
+    fact = [(k, v) for k, _, v in fact]
+    dim = [(k, d) for k, _, d in dim]
+    fdf = spark.createDataFrame(fact, "k string, v int") if fact else (
+        spark.createDataFrame([], "k string, v int")
+    )
+    ddf = spark.createDataFrame(dim, "k string, d int") if dim else (
+        spark.createDataFrame([], "k string, d int")
+    )
+
+    # hot set: auto-detected from the fact side (top-2), exercising the
+    # measurement path on every example
+    got = sorted(
+        (r.k, r.v, r.d)
+        for r in skew_split_join(
+            fdf, ddf, ["k"], num_salts=4, top_n=2, how=how
+        ).collect()
+    )
+
+    want = []
+    for k, v in fact:
+        matches = [d for (dk, d) in dim if dk == k]
+        if matches:
+            want.extend((k, v, d) for d in matches)
+        elif how == "left":
+            want.append((k, v, None))
+    assert got == sorted(want)
