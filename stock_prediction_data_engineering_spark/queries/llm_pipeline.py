@@ -236,6 +236,39 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) AS BIGINT)
+               AS train_pos
+    FROM documents
+    """,
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: every document gets an
+    exact 1-based position in a content-hash shuffle (ORDER BY
+    md5(text), doc_id). Pretraining wants the corpus well-mixed but
+    REPRODUCIBLE — the same corpus must yield the same batch sequence
+    on any engine, any partitioning, any rerun; rand() gives none of
+    that.
+
+    Scale shape: the distributed two-phase global rank
+    (operators/ranking.py) — range partition on the hash, per-slice
+    row_number + offset map — no SinglePartition window anywhere."""
+    from ..operators.ranking import _with_global_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("__h")
+    )
+    ranked, _ = _with_global_rank(
+        docs, [F.col("__h"), F.col("doc_id")], "train_pos"
+    )
+    return ranked.select(
+        "doc_id", F.col("train_pos").cast("bigint").alias("train_pos")
+    )
+
+
+@query(
     "q_heavy_keys",
     oracle="""
     WITH k AS (

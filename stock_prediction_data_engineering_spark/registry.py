@@ -184,6 +184,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_quality_filter",      # training assembly: per-domain top-half TTR gate
     "q_dup_cluster_stats",   # training assembly: dup-cluster histogram
     "q_heavy_keys",          # diagnostics: hot-key skew profile
+    "q_shuffle_order",       # training assembly: deterministic global shuffle
 )
 
 ROWS_ONLY: tuple[str, ...] = (
