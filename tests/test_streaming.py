@@ -491,3 +491,78 @@ def test_streaming_heavy_hitters_guarantees_under_pressure(spark, tmp_path_facto
         else:
             # absent keys must be below the guarantee threshold
             assert cnt <= shard_n[shard] / capacity, (key, cnt)
+
+
+def test_streaming_pack_assignment_matches_batch(spark, tmp_path_factory):
+    """Cross-batch packing: stream documents in doc_id-ordered slices;
+    every emitted (pack_id, pack_offset) must equal the one-shot batch
+    pack_assignment over the full corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.queries.llm_pipeline import (
+        pack_assignment,
+    )
+    from stock_prediction_data_engineering_spark.streaming.packing import (
+        streaming_pack_assignment,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    src = str(tmp_path_factory.mktemp("pack_src"))
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    os.makedirs(src, exist_ok=True)
+    import time as _time
+
+    now = _time.time()
+    for i in range(3):
+        p = f"{src}/slice-{i}.parquet"
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(p, index=False)
+        os.utime(p, times=(now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emissions = []
+
+    def capture(df, epoch_id):
+        emissions.append((epoch_id, df.toPandas()))
+
+    q = (
+        streaming_pack_assignment(stream, capacity=256)
+        .writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([e for _, e in emissions if len(e)]) >= 3  # state crossed batches
+
+    import pandas as pd
+
+    got = (
+        pd.concat([e for _, e in emissions], ignore_index=True)
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == n
+
+    truth = (
+        pack_assignment(docs, "source", "doc_id", "n_tokens", 256)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for col in ("pack_id", "pack_offset"):
+        assert (got[col] == truth[col]).all(), col
