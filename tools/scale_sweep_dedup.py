@@ -14,6 +14,12 @@ threshold is the standard near-dup operating point, where LSH recall
 is sharp (P[candidate | j=0.5] = 1-(1-0.5^4)^16 ~= 0.64 per band
 config, ~1.0 for j>=0.7) rather than hash-luck-dependent.
 
+The sweep also measures the INCREMENTAL path at each k: a fixed-size
+ingest batch probed against a persisted MinHash index of the k-fold
+corpus (operators/dedup.py minhash_index_write/probe). The structural
+claim under test: full re-dedup grows with the corpus, the probe grows
+with the batch + its true hits — the gap must widen with k.
+
 Usage: python tools/scale_sweep_dedup.py [k ...]   (default: 1 4 8)
 """
 
@@ -47,10 +53,16 @@ def replicated_docs(spark, sf_dir: str, k: int):
 
 
 def main() -> None:
+    import tempfile
+
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    from pyspark.sql import functions as F
+
     from stock_prediction_data_engineering_spark.operators.dedup import (
+        minhash_index_probe,
+        minhash_index_write,
         minhash_lsh_pairs,
     )
     from stock_prediction_data_engineering_spark.session import get_spark
@@ -64,9 +76,23 @@ def main() -> None:
         t0 = time.perf_counter()
         n_pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
         dt = time.perf_counter() - t0
+
+        # incremental path: fixed ~2%-of-base batch vs persisted index
+        batch = docs.filter(F.col("doc_id") % (50 * k) == 0)
+        corpus = docs.filter(F.col("doc_id") % (50 * k) != 0)
+        path = tempfile.mkdtemp(prefix=f"mh_sweep_{k}_") + "/idx"
+        t0 = time.perf_counter()
+        minhash_index_write(corpus, path)
+        t_build = time.perf_counter() - t0
+        minhash_index_probe(batch, path, jaccard_threshold=0.5).count()  # warm
+        t0 = time.perf_counter()
+        n_hits = minhash_index_probe(batch, path, jaccard_threshold=0.5).count()
+        t_probe = time.perf_counter() - t0
         print(
             f"k={k:3d} docs={n_docs:7d} pairs={n_pairs:8d} "
-            f"warm_sec={dt:7.2f}",
+            f"warm_sec={dt:7.2f} | incremental: build={t_build:6.2f}s "
+            f"probe={t_probe:6.2f}s hits={n_hits:6d} "
+            f"full/probe={dt / t_probe:5.1f}x",
             flush=True,
         )
     spark.stop()
