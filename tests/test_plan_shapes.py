@@ -245,3 +245,26 @@ def test_finance_indicator_plan_shapes(spark):
     feat = _plan(registry.QUERIES["q_feature_matrix"](spark, SF_SMOKE))
     assert feat.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in feat
+
+
+def test_training_assembly_plan_shapes(spark):
+    """The round-3 training-data assembly queries keep their scale
+    shapes: packing is ONE per-domain exchange; the skew profile's
+    grand total is a broadcast of a single row plus a top-k take, never
+    a global sort; the splitter is a pure map + one small aggregate."""
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+
+    pack = _plan(registry.QUERIES["q_sequence_pack"](spark, SF_SMOKE))
+    assert pack.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in pack
+
+    heavy = _plan(registry.QUERIES["q_heavy_keys"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in heavy  # the 1-row total
+    assert "TakeOrderedAndProject" in heavy    # top-20, no global sort
+    assert "Sort " not in heavy.split("TakeOrderedAndProject")[0]
+
+    split = _plan(registry.QUERIES["q_train_split"](spark, SF_SMOKE))
+    # one exchange for the (source, split) aggregate; nothing else
+    assert split.count("Exchange hashpartitioning") == 1
