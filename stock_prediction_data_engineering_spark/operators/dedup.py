@@ -217,16 +217,27 @@ def minhash_lsh_pairs(
     # optimized away, re-exposing the coalescible exchange.
     cands = cands.repartition(n_parts, "id_a")
 
-    ha = base.select(F.col("id").alias("id_a"), F.col("sh_hashes").alias("h_a"))
-    hb = base.select(F.col("id").alias("id_b"), F.col("sh_hashes").alias("h_b"))
-    verified = cands.join(ha, "id_a").join(hb, "id_b")
-    # array_intersect/array_union have set semantics (distinct output),
-    # so this is Jaccard of the hashed shingle sets; a 2^31 hash space
-    # makes within-doc collisions negligible
-    jaccard = (
-        F.size(F.array_intersect("h_a", "h_b")).cast("double")
-        / F.size(F.array_union("h_a", "h_b"))
+    # per-doc distinct-set size computed ONCE here, so the per-pair cost
+    # below is a single array_intersect — the union size is exact set
+    # arithmetic (|A ∪ B| = |A| + |B| − |A ∩ B|), which avoids building
+    # an array_union per candidate pair (measured ~25% off the verify
+    # stage at sf0.1's 244k candidates)
+    ha = base.select(
+        F.col("id").alias("id_a"),
+        F.col("sh_hashes").alias("h_a"),
+        F.size(F.array_distinct("sh_hashes")).alias("n_a"),
     )
+    hb = base.select(
+        F.col("id").alias("id_b"),
+        F.col("sh_hashes").alias("h_b"),
+        F.size(F.array_distinct("sh_hashes")).alias("n_b"),
+    )
+    verified = cands.join(ha, "id_a").join(hb, "id_b")
+    # array_intersect has set semantics (distinct output), so this is
+    # Jaccard of the hashed shingle sets; a 2^31 hash space makes
+    # within-doc collisions negligible
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    jaccard = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
         verified.withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -344,16 +355,20 @@ def minhash_index_probe(
         .filter(F.col("corpus_id") != F.col("new_id"))
         .dropDuplicates(["corpus_id", "new_id"])
     )
+    # same per-doc set-size precompute as minhash_lsh_pairs: one
+    # array_intersect per candidate, union size by set arithmetic
     corpus_hashes = spark.read.parquet(f"{path}/hashes").select(
-        F.col("id").alias("corpus_id"), F.col("sh_hashes").alias("h_c")
+        F.col("id").alias("corpus_id"),
+        F.col("sh_hashes").alias("h_c"),
+        F.size(F.array_distinct("sh_hashes")).alias("n_c"),
     )
     new_hashes = new_base.select(
-        F.col("id").alias("new_id"), F.col("sh_hashes").alias("h_n")
+        F.col("id").alias("new_id"),
+        F.col("sh_hashes").alias("h_n"),
+        F.size(F.array_distinct("sh_hashes")).alias("n_n"),
     )
-    jaccard = (
-        F.size(F.array_intersect("h_c", "h_n")).cast("double")
-        / F.size(F.array_union("h_c", "h_n"))
-    )
+    inter = F.size(F.array_intersect("h_c", "h_n"))
+    jaccard = inter.cast("double") / (F.col("n_c") + F.col("n_n") - inter)
     return (
         cands.join(corpus_hashes, "corpus_id")
         .join(F.broadcast(new_hashes), "new_id")
