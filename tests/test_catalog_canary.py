@@ -88,3 +88,46 @@ def test_normalize_ts_handles_all_three_reader_forms(spark):
         out = normalize_ts(df)
         assert dict(out.dtypes)["ts"] == "timestamp", df.dtypes
         assert out.first()["ts"].replace(tzinfo=None) == want
+
+
+def test_catalog_schema_canary_all_tables(spark):
+    """Broad reader-drift guard: the column dtypes every query relies
+    on, asserted per table in one place — a Spark/parquet upgrade that
+    re-types anything fails here by name instead of as scattered
+    query crashes (the round-2 failure mode, generalized past ts)."""
+    from stock_prediction_data_engineering_spark.catalog import TABLES, table
+
+    want = {
+        "events": {
+            "event_id": "bigint",
+            "ts": "timestamp",  # normalize_ts contract
+            "user_id": "bigint",
+            "event_type": "string",
+            "value": "double",
+            "props": "string",
+        },
+        "documents": {
+            "doc_id": "bigint",
+            "text": "string",
+            "lang": "string",
+            "source": "string",
+            "n_chars": "bigint",
+        },
+        "embeddings": {
+            "vec_id": "bigint",
+            "embedding": "array<float>",
+            "label": "int",
+        },
+        "orders": {"o_orderkey": "bigint", "o_orderdate": "timestamp_ntz"},
+        "lineitem": {"l_orderkey": "bigint", "l_shipdate": "timestamp_ntz"},
+        "customer": {"c_custkey": "bigint", "c_acctbal": "double"},
+    }
+    drift = {}
+    for name in TABLES:
+        if name not in want:
+            continue
+        got = dict(table(spark, SF_SMOKE, name).dtypes)
+        for col, dt in want[name].items():
+            if got.get(col) != dt:
+                drift[f"{name}.{col}"] = f"want {dt}, got {got.get(col)}"
+    assert drift == {}, drift

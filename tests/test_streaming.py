@@ -566,3 +566,62 @@ def test_streaming_pack_assignment_matches_batch(spark, tmp_path_factory):
     )
     for col in ("pack_id", "pack_offset"):
         assert (got[col] == truth[col]).all(), col
+
+
+def test_streaming_asof_enrichment_matches_batch(spark, tmp_path_factory):
+    """Per-micro-batch as-of enrichment against a static quote table
+    must equal the one-shot batch as-of join — batch boundaries cannot
+    change which reference row is latest-at-or-before an event."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.asof import asof_join
+    from stock_prediction_data_engineering_spark.streaming.asof import (
+        start_asof_enrichment,
+    )
+
+    batch = _batch_events(spark)
+    # reference: each user's click events as the 'quote' timeline
+    ref = (
+        batch.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("quote_value"))
+    )
+    probes = batch.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    src = str(tmp_path_factory.mktemp("asof_src"))
+    probes.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    emissions = []
+    q = start_asof_enrichment(
+        stream,
+        ref,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["quote_value"],
+        sink=lambda df, e: emissions.append(df.toPandas()),
+    )
+    q.awaitTermination()
+    assert len([e for e in emissions if len(e)]) > 1  # really micro-batched
+
+    got = (
+        pd.concat(emissions, ignore_index=True)
+        .set_index("event_id")
+        .sort_index()[["quote_value_asof"]]
+    )
+    want = (
+        asof_join(probes, ref, "user_id", "ts", "ts", ["quote_value"])
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()[["quote_value_asof"]]
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
