@@ -150,6 +150,54 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_train_split_exact",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                WHEN rn * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def q_train_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion 80/10/10 split per source: rank docs by content
+    hash within each domain and cut at 80 %/90 % — guaranteed stratum
+    proportions (integer rank arithmetic, no binomial variance),
+    unlike `q_train_split`'s hash-threshold assignment.
+
+    The trade-off both variants document: hash-threshold keeps exact
+    duplicates in the same split and is stable under corpus growth but
+    only hits proportions in expectation; rank-cut hits proportions
+    exactly but adjacent-ranked dup twins can straddle a cut and any
+    insertion reshuffles ranks. Run exact-split AFTER dedup (the
+    corpus-to-shards pipeline order) and the straddle case vanishes.
+
+    Scale shape: one window exchange per source (rank and count share
+    it) — same shape as the quality gate."""
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    wn = Window.partitionBy("source")
+    r = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    split = (
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+    )
+    return r.select("doc_id", "source", split.alias("split"))
+
+
+@query(
     "q_quality_filter",
     oracle="""
     WITH m AS (

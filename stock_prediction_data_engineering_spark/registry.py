@@ -185,6 +185,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_dup_cluster_stats",   # training assembly: dup-cluster histogram
     "q_heavy_keys",          # diagnostics: hot-key skew profile
     "q_shuffle_order",       # training assembly: deterministic global shuffle
+    "q_train_split_exact",   # training assembly: exact-proportion rank split
 )
 
 ROWS_ONLY: tuple[str, ...] = (

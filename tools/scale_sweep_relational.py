@@ -42,6 +42,7 @@ SWEEP_QUERIES = [
     "q_bollinger_bands",
     "q_market_beta",
     "q_feature_matrix",
+    "q_heavy_keys",
 ]
 
 COPY_TABLES = (
