@@ -86,7 +86,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: per source domain, documents
     are laid end-to-end in doc_id order and sliced into fixed
     2048-token context windows; each doc reports the window it starts
-    in and its byte^Wtoken offset inside it (a doc may spill into the
+    in and its token offset inside it (a doc may spill into the
     next window — that's the GPT-style packing convention, no padding
     waste).
 
