@@ -47,9 +47,13 @@ def _make_assign(capacity: int):
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         cum = state.get[0] if state.exists else 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
+        # a key's batch rows can arrive as SEVERAL Arrow chunks in
+        # partition order, not doc_id order — concat before the sort,
+        # or the cumsum would depend on the chunking (wrong at any
+        # batch big enough to split)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             # within a micro-batch, layout order is doc_id order — the
             # same total order the batch operator uses
             pdf = pdf.sort_values("doc_id").reset_index(drop=True)
