@@ -279,3 +279,41 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts_asof").alias("next_ts_us"),
         F.col("next_value_asof").alias("next_value"),
     )
+
+
+@query(
+    "q_join_skew_split",
+    oracle="""
+    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_acctbal
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.user_id
+    """,
+)
+def q_join_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⨝dim join executed through the differentiated skew join
+    (operators/skew.py skew_split_join): the fact side's measured hot
+    keys take a salted path against only the dim's hot-key rows, the
+    cold remainder joins plain, and the union is provably identical to
+    the unsalted join — which is exactly what the oracle asserts. The
+    hot-key set comes from the same frequency profile `q_heavy_keys`
+    exposes.
+
+    At 100 TB this is the shape for a fact whose key histogram has a
+    heavy head (one symbol dominating the tape): AQE's skew split
+    handles moderate skew; the split join bounds the straggler by
+    construction and keeps small-side replication at |hot| rows."""
+    from ..operators.skew import skew_split_join
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_acctbal"
+    )
+    joined = skew_split_join(ev, cust, ["user_id"], num_salts=8, top_n=8)
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_acctbal"),
+    )

@@ -186,6 +186,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_heavy_keys",          # diagnostics: hot-key skew profile
     "q_shuffle_order",       # training assembly: deterministic global shuffle
     "q_train_split_exact",   # training assembly: exact-proportion rank split
+    "q_join_skew_split",     # differentiated skew join ≡ plain join
 )
 
 ROWS_ONLY: tuple[str, ...] = (
