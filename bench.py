@@ -133,8 +133,11 @@ def main() -> None:
                     runs.append(time.perf_counter() - t0)
             times[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 — isolate per query
-            times.pop(name, None)
-            failed[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            # (str() can be empty — e.g. bare RuntimeError() — and
+            # splitlines()[0] on it would crash this handler, which is
+            # the one place that must never crash)
+            first_line = (str(exc).splitlines() or [""])[0]
+            failed[name] = f"{type(exc).__name__}: {first_line[:200]}"
 
     total = round(sum(times.values()), 3)
     out = {

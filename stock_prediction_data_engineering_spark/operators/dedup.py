@@ -330,9 +330,14 @@ def minhash_index_probe(
     new_base, new_banded = _minhash_base(
         new_docs, text_col, id_col, k, num_hashes, bands
     )
+    # the batch-side shingle+signature pipeline (the probe's dominant
+    # Python-UDF cost) is referenced three times below — the bucket
+    # collect, the candidate broadcast, and the verify join — so cache
+    # it once; the batch is small by definition of incremental ingest
+    new_base = new_base.cache()
     new_banded = new_banded.withColumn(
         "bucket", F.pmod("band_hash", F.lit(n_buckets))
-    )
+    ).cache()
     probe_buckets = [
         r.bucket for r in new_banded.select("bucket").distinct().collect()
     ]

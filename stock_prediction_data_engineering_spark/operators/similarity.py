@@ -199,16 +199,22 @@ def ivf_build(
     ``path`` persists the assignment partitioned by ``ivf_cell`` so
     later searches read only the probed cells' directories.
     """
-    if n_cells == "auto":
-        import math
-
-        n_rows = corpus.count()
-        n_cells = max(4, min(4096, 1 << round(math.log2(max(4, math.isqrt(n_rows))))))
     fit_input = (
         corpus.sample(fraction=sample_fraction, seed=seed)
         if sample_fraction is not None
         else corpus
     )
+    if n_cells == "auto":
+        import math
+
+        # size from the SAMPLE when one was requested — auto-sizing
+        # must not re-introduce the full-corpus pass sample_fraction
+        # exists to avoid (estimate: sample count / fraction)
+        if sample_fraction is not None:
+            n_rows = int(fit_input.count() / sample_fraction)
+        else:
+            n_rows = corpus.count()
+        n_cells = max(4, min(4096, 1 << round(math.log2(max(4, math.isqrt(n_rows))))))
     model, centroids = ivf_fit_centroids(fit_input, vec_col, n_cells, seed)
     assigned = ivf_assign(corpus, model, vec_col)
     if path is not None:

@@ -93,20 +93,24 @@ def skew_split_join(
             .collect()
         ]
 
-    def hot_cond(prefix_df: DataFrame):
+    def hot_cond():
+        # built entirely from eqNullSafe, so the predicate is never
+        # NULL: rows with null key components evaluate False here and
+        # therefore route to the cold branch, where ordinary join
+        # semantics handle them. (A plain `==` would make both `cond`
+        # and `~cond` NULL for null keys and the row would vanish from
+        # BOTH branches — do not weaken eqNullSafe.)
         cond = F.lit(False)
         for key in hot_keys:
             term = F.lit(True)
             for c, v in zip(on, key):
-                # null-safe: a null hot-key component must still match
                 term = term & F.col(c).eqNullSafe(F.lit(v))
             cond = cond | term
-        # coalesce so null-keyed rows route cold instead of vanishing
-        return F.coalesce(cond, F.lit(False))
+        return cond
 
-    big_hot = big.filter(hot_cond(big))
-    big_cold = big.filter(~hot_cond(big))
-    small_hot = small.filter(hot_cond(small))
+    big_hot = big.filter(hot_cond())
+    big_cold = big.filter(~hot_cond())
+    small_hot = small.filter(hot_cond())
 
     hot_joined = salted_join(big_hot, small_hot, on, num_salts, how)
     cold_joined = big_cold.join(small, on, how)

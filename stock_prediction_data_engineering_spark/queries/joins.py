@@ -303,14 +303,23 @@ def q_join_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the shape for a fact whose key histogram has a
     heavy head (one symbol dominating the tape): AQE's skew split
     handles moderate skew; the split join bounds the straggler by
-    construction and keeps small-side replication at |hot| rows."""
+    construction and keeps small-side replication at |hot| rows.
+
+    Build-time cost note: hot-key detection is a driver-bounded
+    top-8 count over a 20 % SAMPLE of the fact side, collected when
+    the plan is constructed — the same cost class as a range
+    partitioner's sampling pass (and q_ntile's count job), NOT a full
+    fact scan; hot keys only steer placement, so sampling error never
+    affects results (the oracle equality proves it)."""
     from ..operators.skew import skew_split_join
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_id")
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_acctbal"
     )
-    joined = skew_split_join(ev, cust, ["user_id"], num_salts=8, top_n=8)
+    joined = skew_split_join(
+        ev, cust, ["user_id"], num_salts=8, top_n=8, sample_fraction=0.2
+    )
     return joined.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("c_acctbal").cast("decimal(18,4)"))

@@ -69,7 +69,7 @@ def test_no_query_plans_a_single_partition_window(spark):
         try:
             plan = _plan(fn(spark, SF_SMOKE))
         except Exception as exc:  # noqa: BLE001
-            unanalyzable[name] = str(exc).splitlines()[0][:160]
+            unanalyzable[name] = (str(exc).splitlines() or [""])[0][:160]
             continue
         if "Window" in plan and "SinglePartition" in plan:
             offenders.append(name)

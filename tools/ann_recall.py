@@ -50,12 +50,39 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
     }
     hits_lsh = hits_ivf = hits_fine = total = 0
     scanned_lsh = scanned_ivf = scanned_fine = 0
-    # the fine index is built ONCE and reused across queries (the
+    # both IVF indexes are built ONCE and reused across queries (the
     # build-once/search-many pattern ivf_build exists for); per-query
-    # the searched corpus just excludes the query row
+    # the searched corpus just excludes the query row. Scanned rows
+    # are COUNTED in the probed cells for both configs — identical
+    # accounting, so the coarse-vs-fine lift comparison is apples to
+    # apples even with unbalanced KMeans cells.
     import numpy as np
 
+    coarse_idx = sim.ivf_build(emb, n_cells=params["n_cells"])
     fine_idx = sim.ivf_build(emb, n_cells=params["n_cells_fine"])
+
+    def _probe(idx, qvec, qid, nprobe):
+        """Search corpus-minus-query and count actually-scanned rows."""
+        q_idx = sim.IvfIndex(
+            idx.table.filter(F.col("vec_id") != qid),
+            idx.centroids,
+            idx.vec_col,
+            idx.id_col,
+        )
+        found = {
+            r.vec_id
+            for r in sim.ivf_search(q_idx, qvec, k=k, nprobe=nprobe).collect()
+        }
+        qarr = np.array(qvec.first()[0], dtype=float)
+        qn = np.linalg.norm(qarr)
+        if qn > 0:
+            qarr = qarr / qn
+        probed = np.argsort(((idx.centroids - qarr) ** 2).sum(axis=1))[
+            :nprobe
+        ].tolist()
+        scanned = q_idx.table.filter(F.col("ivf_cell").isin(probed)).count()
+        return found, scanned
+
     for qid in query_ids:
         qvec = emb.filter(F.col("vec_id") == qid).select("embedding")
         corpus = emb.filter(F.col("vec_id") != qid)
@@ -72,43 +99,15 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
                 multi_probe=params["multi_probe"],
             ).collect()
         }
-        ivf = {
-            r.vec_id
-            for r in sim.ivf_topk(
-                corpus,
-                qvec,
-                k=k,
-                n_cells=params["n_cells"],
-                nprobe=params["nprobe"],
-            ).collect()
-        }
-        q_fine = sim.IvfIndex(
-            fine_idx.table.filter(F.col("vec_id") != qid),
-            fine_idx.centroids,
-            fine_idx.vec_col,
-            fine_idx.id_col,
-        )
-        fine = {
-            r.vec_id
-            for r in sim.ivf_search(
-                q_fine, qvec, k=k, nprobe=params["nprobe_fine"]
-            ).collect()
-        }
-        qarr = np.array(qvec.first()[0], dtype=float)
-        qn = np.linalg.norm(qarr)
-        if qn > 0:
-            qarr = qarr / qn
-        probed_fine = np.argsort(
-            ((fine_idx.centroids - qarr) ** 2).sum(axis=1)
-        )[: params["nprobe_fine"]].tolist()
-        scanned_fine += q_fine.table.filter(
-            F.col("ivf_cell").isin(probed_fine)
-        ).count()
+        ivf, s_ivf = _probe(coarse_idx, qvec, qid, params["nprobe"])
+        fine, s_fine = _probe(fine_idx, qvec, qid, params["nprobe_fine"])
+        scanned_ivf += s_ivf
+        scanned_fine += s_fine
         hits_lsh += len(exact & lsh)
         hits_ivf += len(exact & ivf)
         hits_fine += len(exact & fine)
         total += len(exact)
-        # candidate-set sizes actually examined by each path
+        # candidate-set sizes actually examined by the LSH path
         idx = sim.lsh_build(corpus, num_planes=params["num_planes"])
         qb = (
             qvec.select(
@@ -117,7 +116,6 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
         )
         probes = {qb} | {qb ^ (1 << p) for p in range(params["num_planes"])}
         scanned_lsh += idx.table.filter(F.col("bucket").isin(sorted(probes))).count()
-        scanned_ivf += round(n_corpus * params["nprobe"] / params["n_cells"])
     f_lsh = scanned_lsh / (len(query_ids) * n_corpus)
     f_ivf = scanned_ivf / (len(query_ids) * n_corpus)
     f_fine = scanned_fine / (len(query_ids) * n_corpus)
