@@ -316,6 +316,30 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_incremental")  # rows-only: filesystem side effect
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup exercised end-to-end: build the
+    persisted MinHash-LSH index over the standing corpus (docs with
+    doc_id % 5 != 0), probe the remaining ~20 % as the arriving
+    batch, and return its near-dup hits against the corpus — the
+    O(batch)-per-ingest path that replaces O(corpus²) re-dedup
+    (operators/dedup.py minhash_index_write/probe; measured in
+    tools/scale_sweep_dedup.py). Rows-only: the oracle cannot observe
+    the filesystem side effect."""
+    import os
+    import tempfile
+
+    from ..operators.dedup import minhash_index_probe, minhash_index_write
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(tempfile.mkdtemp(dir=scratch, prefix="mh_idx_"), "idx")
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    minhash_index_write(docs.filter(F.col("doc_id") % 5 != 0), path)
+    return minhash_index_probe(docs.filter(F.col("doc_id") % 5 == 0), path)
+
+
 @query(
     "q_heavy_keys",
     oracle="""

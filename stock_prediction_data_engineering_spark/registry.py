@@ -205,6 +205,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_lang_id",                     # n-gram heuristic, engine-specific
     "q_doc_fingerprint_rolling",     # rolling-hash fold
     "q_ema_macd",                    # per-key EMA recurrence (grouped map)
+    "q_dedup_incremental",           # R28 persisted-index probe (fs side effect)
 )
 
 DRIVER_ORDER: tuple[str, ...] = (
