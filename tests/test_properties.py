@@ -271,3 +271,43 @@ def test_skew_split_join_matches_plain_join(spark, fact, dim, how):
         elif how == "left":
             want.append((k, v, None))
     assert got == sorted(want)
+
+
+@given(
+    stream=st.lists(st.integers(0, 12), min_size=0, max_size=120),
+    capacity=st.integers(1, 6),
+    n_chunks=st.integers(1, 5),
+)
+@settings(max_examples=60, deadline=None)
+def test_spacesaving_merge_guarantees(stream, capacity, n_chunks):
+    """Pure-Python property check of the space-saving fold (no Spark):
+    for ANY stream, chunking, and capacity — estimates never
+    under-count, the recorded error bounds each overshoot, the summary
+    never exceeds capacity, and every key with true count > N/capacity
+    is present (the Metwally guarantee)."""
+    import pandas as pd
+
+    from stock_prediction_data_engineering_spark.streaming.heavy_hitters import (
+        _spacesaving_merge,
+    )
+
+    sketch = {}
+    step = max(1, len(stream) // n_chunks)
+    for i in range(0, max(len(stream), 1), step):
+        chunk = stream[i : i + step]
+        if chunk:
+            _spacesaving_merge(sketch, pd.Series(chunk).value_counts(), capacity)
+
+    truth = {}
+    for x in stream:
+        truth[x] = truth.get(x, 0) + 1
+    n = len(stream)
+
+    assert len(sketch) <= capacity
+    for key, (est, err) in sketch.items():
+        true = truth.get(key, 0)
+        assert est >= true            # over-count only
+        assert est - err <= true      # err bounds the overshoot
+    for key, true in truth.items():
+        if true > n / capacity:
+            assert key in sketch, (key, true, n, capacity)
