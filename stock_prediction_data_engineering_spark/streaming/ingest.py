@@ -1,0 +1,100 @@
+"""Streaming dedup ingest: the full incremental corpus-admission loop
+as one streaming operator (the composition R28 + R29 exist for).
+
+Per micro-batch of arriving documents:
+
+1. batch-internal near-dup resolution — MinHash pairs + connected
+   components keep one canonical doc per within-batch cluster;
+2. probe the persisted MinHash index — survivors that near-duplicate
+   ANY previously admitted doc are dropped;
+3. admit the remainder: append to the corpus lake AND to the index
+   (``minhash_index_write(mode="append")``), so batch N+1's probe sees
+   batch N's admissions.
+
+Everything heavy is the batch operators (operators/dedup.py) run on a
+bounded micro-batch inside ``foreachBatch`` — no second dedup
+implementation, and per-batch cost is the O(batch) probe path measured
+in tools/scale_sweep_dedup.py, never a corpus re-dedup.
+
+Exactly-once note: foreachBatch gives at-least-once; the lake append
+is idempotent per (doc_id) only if upstream delivers each doc once.
+For replay-safe ingest, stage admissions through
+``streaming/upsert.upsert_batch`` keyed on doc_id instead of the
+plain append — kept out of this operator to keep the admission logic
+inspectable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    minhash_index_probe,
+    minhash_index_write,
+    minhash_lsh_pairs,
+    resolve_duplicates,
+)
+
+
+def start_dedup_ingest(
+    docs: DataFrame,
+    index_path: str,
+    lake_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+):
+    """Start the admission stream. ``docs`` must carry (id_col,
+    text_col). The index directory may be absent (cold start): the
+    first batch then skips the probe and seeds it. Returns the
+    StreamingQuery."""
+
+    def _admit(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # 1) within-batch dedup: canonical survivors only
+        pairs = minhash_lsh_pairs(
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+        survivors = (
+            resolve_duplicates(batch, pairs, id_col=id_col)
+            .filter("is_canonical")
+            .select(batch.columns)
+        )
+        # 2) cross-batch dedup: drop anything the corpus already has
+        if os.path.isdir(f"{index_path}/bands"):
+            hits = minhash_index_probe(
+                survivors,
+                index_path,
+                text_col=text_col,
+                id_col=id_col,
+                jaccard_threshold=jaccard_threshold,
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            survivors = survivors.join(hits, id_col, "left_anti")
+        # one deterministic materialization: admitted rows feed both
+        # the lake append and the index append
+        survivors = survivors.localCheckpoint(eager=True)
+        # 3) admit
+        if survivors.isEmpty():
+            return
+        survivors.write.mode("append").parquet(lake_path)
+        minhash_index_write(
+            survivors,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            mode="append",
+        )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(_admit)
+        .trigger(availableNow=True)
+        .start()
+    )

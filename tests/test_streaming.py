@@ -625,3 +625,83 @@ def test_streaming_asof_enrichment_matches_batch(spark, tmp_path_factory):
     )
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_dedup_ingest_admits_once(spark, tmp_path_factory):
+    """The full admission loop: stream three document slices where
+    slice 2 exactly re-sends half of slice 1 and slice 3 re-sends docs
+    from both — the lake must end up with each distinct text admitted
+    exactly once, and within-batch dup pairs collapse to canonicals."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.streaming.ingest import (
+        start_dedup_ingest,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 120")
+    )
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    s1 = pdf.iloc[:60]
+    # slice 2: 30 fresh docs + re-sends of 30 slice-1 texts (new ids)
+    s2 = pdf.iloc[60:90].copy()
+    dup2 = s1.iloc[:30].copy()
+    dup2["doc_id"] += 100000
+    import pandas as pd
+
+    s2 = pd.concat([s2, dup2], ignore_index=True)
+    # slice 3: 30 fresh + re-sends from slices 1 and 2 (newer ids)
+    s3 = pdf.iloc[90:120].copy()
+    dup3 = pd.concat([s1.iloc[30:45], pdf.iloc[60:75]], ignore_index=True).copy()
+    dup3["doc_id"] += 200000
+    s3 = pd.concat([s3, dup3], ignore_index=True)
+
+    root = tmp_path_factory.mktemp("ingest")
+    src = str(root / "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, part in enumerate((s1, s2, s3)):
+        p = f"{src}/slice-{i}.parquet"
+        part.to_parquet(p, index=False)
+        os.utime(p, times=(now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_path = str(root / "index")
+    lake_path = str(root / "lake")
+    q = start_dedup_ingest(stream, index_path, lake_path)
+    q.awaitTermination()
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        resolve_duplicates,
+    )
+
+    lake = spark.read.parquet(lake_path)
+    # the re-sent copies (the +100000/+200000 ids) never landed —
+    # exact re-sends are always jaccard-1.0 hits against the index
+    assert lake.filter("doc_id >= 100000").count() == 0
+    # the admitted lake is near-dup-free at the admission threshold:
+    # the operator's core guarantee, regardless of arrival order
+    assert minhash_lsh_pairs(lake, jaccard_threshold=0.7).count() == 0
+    # every text with NO near-dup anywhere in the corpus (singleton
+    # component in a global batch resolution) was admitted untouched
+    global_pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.7)
+    comp = resolve_duplicates(docs, global_pairs)
+    singles = comp.groupBy("component").count().filter("count = 1")
+    singleton_ids = {
+        r.doc_id
+        for r in comp.join(singles, "component").select("doc_id").collect()
+    }
+    admitted_ids = {r.doc_id for r in lake.select("doc_id").collect()}
+    assert singleton_ids <= admitted_ids
+    # and nothing beyond the original corpus appeared
+    assert admitted_ids <= {r.doc_id for r in docs.select("doc_id").collect()}
