@@ -709,3 +709,44 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= cosine_threshold)
     )
+
+
+def embedding_index_probe(
+    new_vectors: DataFrame,
+    index,
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Incremental embedding near-dup: probe a persisted hyperplane-LSH
+    index (similarity.lsh_build — the SAME structure the ANN search
+    uses) with an arriving batch and return (new_id, corpus_id,
+    cosine) for every near-duplicate against the admitted corpus.
+
+    The minhash twin of this is minhash_index_probe; together they
+    close the incremental-ingest story for both text and embedding
+    modalities. Scale shape mirrors it: the batch's buckets are
+    collected (driver-bounded — at most one per batch row), the
+    bucket-partitioned corpus lake prunes to those directories, the
+    batch side broadcasts, and exact cosine runs only on bucket-
+    collision candidates."""
+    from .similarity import cosine_expr, lsh_bucket
+
+    probe = new_vectors.select(
+        F.col(index.id_col).alias("new_id"),
+        F.col(index.vec_col).alias("new_vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("new_vec"), index.num_planes))
+    probe = probe.cache()  # bucket collect + candidate join reuse it
+    buckets = [r.bucket for r in probe.select("bucket").distinct().collect()]
+
+    corpus = index.table.filter(F.col("bucket").isin(buckets)).select(
+        F.col(index.id_col).alias("corpus_id"),
+        F.col(index.vec_col).alias("corpus_vec"),
+        "bucket",
+    )
+    cos = F.round(cosine_expr(F.col("corpus_vec"), F.col("new_vec")), 4)
+    return (
+        corpus.join(F.broadcast(probe), "bucket")
+        .filter(F.col("corpus_id") != F.col("new_id"))
+        .select("new_id", "corpus_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )

@@ -472,3 +472,62 @@ def test_minhash_index_append_ingest_loop(spark, tmp_path):
     }
     for r in batch1.select("doc_id").collect():
         assert (r.doc_id + 100000, r.doc_id) in twins
+
+
+def test_embedding_index_probe_matches_batch_operator(spark, tmp_path):
+    """Incremental embedding dedup: probing a persisted LSH index with
+    a new batch finds exactly the cross (corpus x new) near-dup pairs
+    the all-pairs batch operator finds on the union (same planes, same
+    threshold)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        embedding_index_probe,
+        embedding_near_dup_pairs,
+    )
+    from stock_prediction_data_engineering_spark.operators.similarity import (
+        lsh_build,
+    )
+
+    import math
+
+    # the synthetic corpus has no natural pairs at 0.8 (random 64-dim
+    # vectors), so plant near-dup twins straddling the corpus/batch
+    # boundary — same device as the planted_docs text fixture
+    def vec(seed, eps=0.0):
+        v = [math.sin(seed * 31 + j) for j in range(16)]
+        v[0] += eps
+        return v
+
+    rows = []
+    for i in range(40):
+        rows.append((i, vec(i)))
+        if i % 4 == 1:  # corpus row whose twin lands in the batch
+            rows.append((i * 100, vec(i, 0.01)))  # id%4==0 -> batch
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+
+    index = lsh_build(
+        corpus, num_planes=8, path=str(tmp_path / "emb_idx")
+    )
+    got = {
+        (r.new_id, r.corpus_id, r.cosine)
+        for r in embedding_index_probe(
+            batch, index, cosine_threshold=0.8
+        ).collect()
+    }
+
+    corpus_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    new_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    want = set()
+    for r in embedding_near_dup_pairs(
+        emb, cosine_threshold=0.8, num_planes=8
+    ).collect():
+        if r.id_a in corpus_ids and r.id_b in new_ids:
+            want.add((r.id_b, r.id_a, r.cosine))
+        elif r.id_b in corpus_ids and r.id_a in new_ids:
+            want.add((r.id_a, r.id_b, r.cosine))
+    assert got == want
+    assert len(got) > 0
