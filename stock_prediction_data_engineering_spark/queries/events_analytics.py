@@ -180,3 +180,59 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "q_concurrent_events",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS d FROM events
+    ),
+    c AS (
+      SELECT event_type,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cur
+      FROM pts
+    )
+    SELECT event_type, CAST(MAX(cur) AS BIGINT) AS max_concurrent
+    FROM c GROUP BY event_type
+    """,
+)
+def q_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type via the distributed sweep-line:
+    each event opens a 30-minute presence interval; interval starts
+    become +1 deltas and ends -1 deltas, a per-key cumulative sum walks
+    the timeline, and the max prefix sum is the peak number of
+    simultaneously-open intervals — the "max concurrent sessions"
+    primitive behind capacity monitors.
+
+    Determinism: ends sort before starts at the same instant (d = -1
+    first ⇒ intervals are end-exclusive), and rows with identical
+    (t, d) are interchangeable — any order yields the same multiset of
+    prefix sums, so MAX is engine-independent.
+
+    Scale shape: union ≈ 2x scan, then ONE window exchange keyed by
+    event_type and a keyed max that reuses its partitioning. No global
+    ordering; at 100 TB each event type's timeline walks in parallel.
+    """
+    ev = table(spark, sf_dir, "events")
+    starts = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cur = starts.unionByName(ends).select(
+        "event_type", F.sum("d").over(w).alias("cur")
+    )
+    return cur.groupBy("event_type").agg(
+        F.max("cur").cast("bigint").alias("max_concurrent")
+    )

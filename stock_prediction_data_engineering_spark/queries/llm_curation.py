@@ -14,7 +14,7 @@ operators generalize unchanged to real text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -232,4 +232,111 @@ def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(50)
+    )
+
+
+@query(
+    "q_repetition_stats",
+    oracle="""
+    WITH wcnt AS (
+      SELECT doc_id, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS word_cnt,
+           CAST(MAX(cnt) AS BIGINT) AS top_word_cnt,
+           CAST(floor(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) * 10000) AS BIGINT)
+             AS top_share_bp,
+           CAST(floor((1 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt)) * 10000)
+                AS BIGINT) AS dup_word_bp
+    FROM wcnt GROUP BY doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile per document: total words, the
+    most-common word's count and corpus share (basis points), and the
+    duplicate-word fraction (1 - distinct/total). High top-word share
+    or dup fraction flags degenerate repetitive text that inflates
+    loss-free token counts — the repetition filters in Gopher table A1.
+
+    Scale shape: explode → ONE hash exchange keyed (doc_id, word) for
+    the per-word counts, then the per-doc rollup re-keys on doc_id (a
+    prefix of the first key, so AQE-local). Both aggregates take
+    map-side partials; no per-doc quadratic array work (the
+    alternative — a higher-order lambda counting each distinct word
+    inside the array — is O(n²) per document and runs on one core).
+    """
+    words = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    wcnt = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    return wcnt.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("word_cnt"),
+        F.max("cnt").cast("bigint").alias("top_word_cnt"),
+        F.floor(F.max("cnt").cast("double") / F.sum("cnt") * 10000)
+        .cast("bigint")
+        .alias("top_share_bp"),
+        F.floor((1 - F.count("*").cast("double") / F.sum("cnt")) * 10000)
+        .cast("bigint")
+        .alias("dup_word_bp"),
+    )
+
+
+@query(
+    "q_domain_resample",
+    oracle="""
+    WITH n AS (
+      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(n_s) AS min_n FROM n),
+    caps AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(n_s * min_n AS DOUBLE))) AS BIGINT) AS cap
+      FROM n, m
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, (r.rn <= c.cap) AS kept
+    FROM r JOIN caps c USING (source)
+    """,
+)
+def q_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 domain rebalancing: each source keeps
+    floor(sqrt(n_s * min_n)) documents — the integer-exact geometric
+    mean of its own size and the smallest domain's, i.e. p_s ∝ n_s^τ
+    with τ = 0.5, the standard mixture-flattening temperature for
+    pretraining corpora (oversized web crawls shrink toward the
+    mixture, tiny curated sources keep everything). Membership is a
+    content-hash rank, so the kept set is reproducible across engines,
+    partitionings, and re-ingestions.
+
+    Determinism: sqrt on a <2^52 integer is correctly rounded IEEE on
+    both engines, so floor(sqrt(·)) ≡ isqrt — no libm pow anywhere.
+
+    Scale shape: one tiny per-source count (map-side partials), a
+    1-row min broadcast over it, one window exchange keyed by source
+    for the content-hash rank, and a broadcast join of the per-source
+    caps back onto the ranked docs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    m = n.agg(F.min("n_s").alias("min_n"))
+    caps = n.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.floor(F.sqrt((F.col("n_s") * F.col("min_n")).cast("double")))
+        .cast("bigint")
+        .alias("cap"),
+    )
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    r = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    return r.join(F.broadcast(caps), "source").select(
+        "doc_id", "source", (F.col("rn") <= F.col("cap")).alias("kept")
     )

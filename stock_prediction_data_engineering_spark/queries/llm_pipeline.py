@@ -390,3 +390,83 @@ def q_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "q_split_leakage",
+    oracle="""
+    WITH labeled AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS wc,
+             CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(wc - 4, 0) + 1),
+                 i -> array_to_string(w[i:i+4], ' ')))) AS g
+      FROM labeled
+    )
+    SELECT e.doc_id AS eval_doc_id,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM grams t JOIN grams e USING (g)
+    WHERE t.split = 'train' AND e.split <> 'train'
+    GROUP BY eval_doc_id
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: for every val/test document, how many
+    training documents share a word 5-gram with it, and how many
+    (gram, train-doc) collisions there are in total. The content-hash
+    split already pins exact duplicates to one side; this catches the
+    NEAR-duplicate leakage the split cannot see — the decontamination
+    gate run before an eval set is trusted.
+
+    Scale shape: 5-grams are distinct-per-doc before the join (bounds
+    posting duplication), and the eval side is ~20 % of the corpus and
+    shrinks further after dedup — it broadcasts, so the audit is a
+    map-side join over the training grams followed by one keyed
+    aggregate on the matched pairs. Same plan family as
+    q_contamination_check, one zoom level up (doc-level rollup).
+    """
+    _FIVEGRAMS = (
+        "CASE WHEN size(words) >= 5 THEN "
+        "transform(sequence(1, size(words) - 4), "
+        "i -> array_join(slice(words, i, 5), ' ')) "
+        "ELSE array() END"
+    )
+    bucket = F.substring(F.md5("text"), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    grams = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            split.alias("split"),
+            F.split("text", " ").alias("words"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.explode(F.array_distinct(F.expr(_FIVEGRAMS))).alias("g"),
+        )
+    )
+    train = grams.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    eval_ = grams.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    return (
+        train.join(F.broadcast(eval_), "g")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count_distinct("train_doc_id").alias("n_train_docs"),
+            F.count("*").alias("n_shared_grams"),
+        )
+    )

@@ -208,6 +208,103 @@ def q_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_moment_stats",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS xc
+      FROM events
+    ),
+    comp AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(xc AS HUGEINT)) AS s1,
+             SUM(CAST(xc AS HUGEINT) * xc) AS s2,
+             SUM(CAST(xc AS HUGEINT) * xc * xc) AS s3,
+             SUM(CAST(xc AS HUGEINT) * xc * xc * xc) AS s4
+      FROM cents GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(floor(CAST(s1 AS DOUBLE) / n * 100) AS BIGINT) AS mean_x100,
+           CAST(floor((CAST(s3 AS DOUBLE) / n
+                       - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                       + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))
+                      / ((CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                         * sqrt(CAST(s2 AS DOUBLE) / n
+                                - (CAST(s1 AS DOUBLE) / n)
+                                  * (CAST(s1 AS DOUBLE) / n)))
+                      * 1000000) AS BIGINT) AS skew_ppm,
+           CAST(floor(((CAST(s4 AS DOUBLE) / n
+                        - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                        + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s2 AS DOUBLE) / n)
+                        - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                       / ((CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                          * (CAST(s2 AS DOUBLE) / n
+                             - (CAST(s1 AS DOUBLE) / n)
+                               * (CAST(s1 AS DOUBLE) / n)))
+                       - 3) * 1000000) AS BIGINT) AS kurt_ppm
+    FROM comp
+    WHERE n >= 3
+    """,
+)
+def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed higher-moment statistics per event type:
+    skewness and excess kurtosis from raw power sums (n, Σx, Σx², Σx³,
+    Σx⁴) — the one-pass mergeable form (each partition emits partial
+    sums; combine is addition), unlike the two-pass mean-centered
+    textbook formula. This is the profiling primitive behind
+    distribution-drift monitors on 100 TB fact tables.
+
+    Float discipline: power sums accumulate EXACTLY — integer cents
+    widened to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both lossless
+    for Σc⁴ at this scale — then the skew/kurt combination collapses in
+    one deterministic double expression written token-identically in
+    the oracle (sqrt, not pow(·,1.5): IEEE sqrt is correctly rounded
+    on both engines, libm pow is not).
+
+    Scale shape: one partial+final hash aggregate keyed by event_type;
+    the moment algebra runs on one row per group."""
+    d38 = "decimal(38,0)"
+    cents = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("xc"),
+    )
+    xd = F.col("xc").cast(d38)
+    comp = cents.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("s1"),
+        F.sum(xd * F.col("xc")).alias("s2"),
+        F.sum(xd * F.col("xc") * F.col("xc")).alias("s3"),
+        F.sum(xd * F.col("xc") * F.col("xc") * F.col("xc")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    var = r2 - m * m
+    m3 = r3 - 3 * m * r2 + 2 * m * m * m
+    m4 = r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m
+    return comp.filter(F.col("n") >= 3).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.floor(F.col("s1").cast("double") / n * 100)
+        .cast("bigint")
+        .alias("mean_x100"),
+        F.floor(m3 / (var * F.sqrt(var)) * 1000000)
+        .cast("bigint")
+        .alias("skew_ppm"),
+        F.floor((m4 / (var * var) - 3) * 1000000)
+        .cast("bigint")
+        .alias("kurt_ppm"),
+    )
+
+
+@query(
     "q_histogram",
     oracle="""
     SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,

@@ -187,6 +187,11 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_shuffle_order",       # training assembly: deterministic global shuffle
     "q_train_split_exact",   # training assembly: exact-proportion rank split
     "q_join_skew_split",     # differentiated skew join ≡ plain join
+    "q_moment_stats",        # stats: exact skew/kurtosis via power sums
+    "q_concurrent_events",   # events: sweep-line peak concurrency
+    "q_repetition_stats",    # curation: Gopher repetition profile
+    "q_domain_resample",     # curation: temperature-0.5 domain rebalance
+    "q_split_leakage",       # training assembly: eval decontamination audit
 )
 
 ROWS_ONLY: tuple[str, ...] = (

@@ -1,0 +1,222 @@
+"""Snapshot-versioned lake tables: a minimal commit log over parquet
+(the Iceberg/Delta idea, reduced to what the incremental-ingest loop
+here actually needs — atomic appends, time travel, and incremental
+change reads).
+
+Why the plain Hive lake isn't enough (SURVEY.md §2.1 S3/S4 +
+reference README.md:10,49 "daily updates" roadmap): a reader that
+lists a directory while a writer is mid-append sees half a commit;
+re-running a failed append double-counts; and "what arrived since I
+last looked" requires remembering file sets externally. A tiny
+manifest log fixes all three:
+
+    table/
+      _snapshots/v000001.json   <- manifest: list of commit dirs
+      _snapshots/v000002.json
+      commit-000001/...parquet  <- immutable data files (may be
+      commit-000002/...parquet     Hive-partitioned inside)
+
+- Each commit writes its data files into a fresh ``commit-{N}/``
+  directory (never touching previous commits), then publishes the
+  manifest ``v{N}.json`` with O_CREAT|O_EXCL — the atomic commit
+  point. A crash before publish leaves an orphan data dir (cleaned
+  lazily) and NO visible change; a concurrent writer racing to the
+  same version loses the exclusive create and retries on top of the
+  winner (optimistic concurrency).
+- Readers resolve the highest published version (or an explicit one —
+  time travel) and read exactly the dirs its manifest lists. Readers
+  never see a partial commit.
+- The manifest lists commit DIRECTORIES, not files, so it stays tiny
+  at any scale (file listing happens partition-pruned at scan time);
+  version metadata records row/file counts for audit.
+
+Local-filesystem primitives (os.rename / O_EXCL) are used directly,
+matching the harness; on an object store the same protocol runs over
+conditional PUTs (S3 If-None-Match) — documented, out of harness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAPDIR = "_snapshots"
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(path, _SNAPDIR)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_snap_dir(path), f"v{version:06d}.json")
+
+
+def list_versions(path: str) -> list[int]:
+    """Published snapshot versions, ascending (empty if none)."""
+    d = _snap_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def snapshot_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_cols: tuple[str, ...] = (),
+    compression: str = "snappy",
+    max_retries: int = 5,
+) -> int:
+    """Commit ``df`` to the snapshot table at ``path``; returns the new
+    version number.
+
+    ``mode="append"``: the new snapshot is previous dirs + this
+    commit's dir. ``mode="overwrite"``: the new snapshot is this
+    commit's dir alone (old files stay on disk for time travel until
+    :func:`expire_snapshots`).
+
+    The data write happens BEFORE the version is claimed, into a
+    directory named by pid+counter (unique per attempt), so a lost
+    commit race re-publishes the already-written files under the next
+    version instead of rewriting data.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_snap_dir(path), exist_ok=True)
+
+    # unique, never-published staging dir for this attempt's data files
+    attempt = 0
+    while True:
+        commit_dir = f"commit-{os.getpid():05d}-{attempt:03d}"
+        full = os.path.join(path, commit_dir)
+        if not os.path.exists(full):
+            break
+        attempt += 1
+
+    w = df.write.option("compression", compression)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(full)
+    n_files = sum(
+        1
+        for _root, _dirs, files in os.walk(full)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+    for _ in range(max_retries):
+        versions = list_versions(path)
+        new_version = (versions[-1] + 1) if versions else 1
+        if mode == "append" and versions:
+            prev = _load_manifest(path, versions[-1])
+            dirs = list(prev["dirs"]) + [commit_dir]
+        else:
+            dirs = [commit_dir]
+        manifest = {
+            "version": new_version,
+            "mode": mode,
+            "dirs": dirs,
+            "added_dir": commit_dir,
+            "n_files_added": n_files,
+            "partition_cols": list(partition_cols),
+        }
+        tmp = _manifest_path(path, new_version) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            # atomic publish: exclusive create of the version file.
+            # os.link(tmp, final) fails with EEXIST if a concurrent
+            # writer already claimed this version — we then retry on
+            # top of the winner's manifest (optimistic concurrency).
+            os.link(tmp, _manifest_path(path, new_version))
+            os.unlink(tmp)
+            return new_version
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+    raise RuntimeError(
+        f"snapshot_write lost {max_retries} commit races at {path}"
+    )
+
+
+def _read_dirs(spark: SparkSession, path: str, dirs: list[str]) -> DataFrame:
+    from functools import reduce
+
+    dfs = [spark.read.parquet(os.path.join(path, d)) for d in dirs]
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of ``version`` (default: latest). Each commit
+    dir is its own partition-discovered parquet read (pruning intact);
+    commits union by name, so later schema additions read as nulls on
+    old commits (additive schema evolution)."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    return _read_dirs(spark, path, _load_manifest(path, v)["dirs"])
+
+
+def snapshot_changes(
+    spark: SparkSession, path: str, since_version: int
+) -> DataFrame:
+    """Rows added AFTER ``since_version`` up to latest — the
+    incremental-consumption feed (appends only; an overwrite commit
+    resets history, and this raises so the consumer re-syncs from a
+    full read instead of silently missing the rewrite)."""
+    versions = list_versions(path)
+    newer = [v for v in versions if v > since_version]
+    added: list[str] = []
+    for v in newer:
+        m = _load_manifest(path, v)
+        if m["mode"] != "append":
+            raise ValueError(
+                f"version {v} is {m['mode']!r}; incremental read only "
+                "spans append commits — re-sync from snapshot_read"
+            )
+        added.append(m["added_dir"])
+    if not added:
+        return spark.createDataFrame(
+            [], schema=snapshot_read(spark, path).schema
+        )
+    return _read_dirs(spark, path, added)
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` manifests and delete data
+    dirs no surviving manifest references (the storage-reclaim half of
+    time travel). Returns the expired version numbers."""
+    versions = list_versions(path)
+    if len(versions) <= keep_last:
+        return []
+    expired = versions[:-keep_last]
+    survivors = versions[-keep_last:]
+    live: set[str] = set()
+    for v in survivors:
+        live.update(_load_manifest(path, v)["dirs"])
+    for v in expired:
+        os.unlink(_manifest_path(path, v))
+    for d in os.listdir(path):
+        if d.startswith("commit-") and d not in live:
+            shutil.rmtree(os.path.join(path, d))
+    return expired

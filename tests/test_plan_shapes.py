@@ -53,10 +53,42 @@ def test_window_partitions_by_key(spark):
     assert "SinglePartition" not in plan
 
 
+def _has_unpartitioned_window(plan: str) -> bool:
+    """True if any Window node in the rendered plan has an EMPTY
+    partition spec. Node format is ``Window [exprs], [part], [order]``
+    with empty specs OMITTED from the rendering, so:
+
+    - 2 separators: partition + order both present — fine;
+    - 1 separator: the trailing group is either an order spec (sort
+      direction tokens present ⇒ partition omitted — OFFENDER) or a
+      partition spec (plain columns, no sort tokens — fine);
+    - 0 separators: neither spec — a frame-only global window,
+      OFFENDER.
+
+    Verified against all three shapes in the detector self-test."""
+    for line in plan.splitlines():
+        body = line.lstrip(" :+-*")
+        if not body.startswith("Window ["):
+            continue
+        n_groups = body.count("], [")
+        if n_groups >= 2:
+            continue
+        if n_groups == 0:
+            return True
+        tail = body.rsplit("], [", 1)[1]
+        if " ASC" in tail or " DESC" in tail:
+            return True
+    return False
+
+
 def test_no_query_plans_a_single_partition_window(spark):
     """Global audit over EVERY registered query: no executed plan may
-    contain both a Window operator and a SinglePartition exchange —
-    the un-partitioned-window cliff class, with no exemptions."""
+    contain a Window operator with an empty partition spec — the
+    un-partitioned-window cliff class, with no exemptions. (The check
+    is per Window node, not plan-wide Window+SinglePartition
+    co-occurrence: a legitimate 1-row global aggregate reduce — e.g.
+    q_domain_resample's min-over-sources — may share a plan with a
+    correctly keyed window.)"""
     from stock_prediction_data_engineering_spark import registry
 
     registry.load_all()
@@ -71,10 +103,34 @@ def test_no_query_plans_a_single_partition_window(spark):
         except Exception as exc:  # noqa: BLE001
             unanalyzable[name] = (str(exc).splitlines() or [""])[0][:160]
             continue
-        if "Window" in plan and "SinglePartition" in plan:
+        if _has_unpartitioned_window(plan):
             offenders.append(name)
     assert offenders == [], offenders
     assert unanalyzable == {}, unanalyzable
+
+
+def test_unpartitioned_window_detector_fires_on_global_window(spark):
+    """The audit's detector must actually catch the cliff shape it
+    guards against (otherwise a rendering change could silently turn
+    the audit into a no-op)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn("k", F.col("id") % 2)
+    glob = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    part = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    # partition-only window (no order spec): keyed, NOT an offender
+    part_only = df.withColumn(
+        "n", F.count("*").over(Window.partitionBy("k"))
+    )
+    # frame-only global window: neither spec, offender
+    glob_frame = df.withColumn("n", F.count("*").over(Window.partitionBy()))
+    assert _has_unpartitioned_window(_plan(glob))
+    assert _has_unpartitioned_window(_plan(glob_frame))
+    assert not _has_unpartitioned_window(_plan(part))
+    assert not _has_unpartitioned_window(_plan(part_only))
 
 
 def test_ntile_has_no_single_partition_window(spark):

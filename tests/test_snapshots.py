@@ -1,0 +1,133 @@
+"""Snapshot-versioned lake tables (sources/snapshots.py): atomic
+append/overwrite commits, time travel, incremental change reads,
+schema evolution, and storage reclaim."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_prediction_data_engineering_spark.sources.snapshots import (
+    expire_snapshots,
+    list_versions,
+    snapshot_changes,
+    snapshot_read,
+    snapshot_write,
+)
+
+from conftest import SF_ORACLE
+
+
+@pytest.fixture()
+def docs(spark):
+    from stock_prediction_data_engineering_spark.catalog import table
+
+    return table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def test_append_commits_accumulate_and_time_travel(spark, docs, tmp_path):
+    path = str(tmp_path / "tbl")
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    v1 = snapshot_write(b1, path, mode="append")
+    v2 = snapshot_write(b2, path, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert snapshot_read(spark, path, version=1).count() == b1.count()
+    assert (
+        snapshot_read(spark, path).count() == b1.count() + b2.count()
+    )
+    # same rows, not just same count
+    assert (
+        snapshot_read(spark, path)
+        .exceptAll(b1.unionByName(b2))
+        .count()
+        == 0
+    )
+
+
+def test_overwrite_resets_visible_data_but_keeps_history(spark, docs, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshot_write(docs.limit(0), path, mode="append")  # v1 empty
+    full = docs.filter(F.col("doc_id") % 7 == 0)
+    snapshot_write(full, path, mode="overwrite")  # v2
+    assert snapshot_read(spark, path).count() == full.count()
+    assert snapshot_read(spark, path, version=1).count() == 0
+    assert list_versions(path) == [1, 2]
+
+
+def test_changes_feed_returns_only_new_rows(spark, docs, tmp_path):
+    path = str(tmp_path / "tbl")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    v1 = snapshot_write(b1, path, mode="append")
+    snapshot_write(b2, path, mode="append")
+    delta = snapshot_changes(spark, path, since_version=v1)
+    assert delta.count() == b2.count()
+    assert delta.exceptAll(b2).count() == 0
+    # caught-up consumer sees an empty (schema-stable) frame
+    upto = snapshot_changes(spark, path, since_version=2)
+    assert upto.count() == 0
+    assert upto.schema == delta.schema
+
+
+def test_changes_across_overwrite_raises(spark, docs, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = snapshot_write(docs.limit(5), path, mode="append")
+    snapshot_write(docs.limit(3), path, mode="overwrite")
+    with pytest.raises(ValueError, match="re-sync"):
+        snapshot_changes(spark, path, since_version=v1)
+
+
+def test_additive_schema_evolution_reads_nulls_on_old_commits(
+    spark, docs, tmp_path
+):
+    path = str(tmp_path / "tbl")
+    snapshot_write(docs.select("doc_id", "source"), path, mode="append")
+    snapshot_write(
+        docs.select("doc_id", "source", "n_chars"), path, mode="append"
+    )
+    out = snapshot_read(spark, path)
+    assert set(out.columns) == {"doc_id", "source", "n_chars"}
+    # old commit's rows surface with n_chars null
+    assert out.filter(F.col("n_chars").isNull()).count() == docs.count()
+
+
+def test_partitioned_commits_prune_on_read(spark, docs, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshot_write(docs, path, mode="append", partition_cols=("source",))
+    one = snapshot_read(spark, path).filter(F.col("source") == "src0")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition filter resolved at plan time, not as a data filter
+    assert "PartitionFilters: [isnotnull(source" in plan
+    assert one.count() == docs.filter(F.col("source") == "src0").count()
+
+
+def test_failed_write_before_publish_is_invisible(spark, docs, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshot_write(docs.limit(4), path, mode="append")
+    # simulate a crash after data write, before manifest publish: an
+    # orphan commit dir with data but no manifest entry
+    orphan = os.path.join(path, "commit-99999-000")
+    docs.limit(7).write.parquet(orphan)
+    assert snapshot_read(spark, path).count() == 4
+    assert list_versions(path) == [1]
+
+
+def test_expire_reclaims_unreferenced_dirs(spark, docs, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshot_write(docs.limit(5), path, mode="append")
+    snapshot_write(docs.limit(3), path, mode="overwrite")
+    snapshot_write(docs.limit(2), path, mode="append")
+    expired = expire_snapshots(path, keep_last=1)
+    assert expired == [1, 2]
+    # latest still reads; expired versions are gone
+    assert snapshot_read(spark, path).count() == 5
+    with pytest.raises(ValueError):
+        snapshot_read(spark, path, version=1)
+    # v1's data dir (not referenced by v3) was deleted
+    commit_dirs = [d for d in os.listdir(path) if d.startswith("commit-")]
+    assert len(commit_dirs) == 2  # v2's overwrite dir + v3's append dir
