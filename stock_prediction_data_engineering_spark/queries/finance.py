@@ -461,3 +461,92 @@ def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "macd_signal",
         "macd_hist",
     )
+
+
+@query(
+    "q_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS x
+      FROM events GROUP BY user_id, day
+    ),
+    mkt AS (
+      SELECT day, CAST(SUM(x) AS BIGINT) AS mx FROM daily GROUP BY day
+    ),
+    j AS (
+      SELECT d.user_id, d.day, d.x, m.mx FROM daily d JOIN mkt m USING (day)
+    ),
+    comp AS (
+      SELECT user_id, day,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx, SUM(mx) OVER w AS sy,
+             SUM(x * mx) OVER w AS sxy,
+             SUM(x * x) OVER w AS sxx, SUM(mx * mx) OVER w AS syy
+      FROM j
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, CAST(n AS BIGINT) AS n_days,
+           CAST(floor(
+             CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+                  - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                  AS DOUBLE)
+             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                         - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                         AS DOUBLE)
+                    * CAST(CAST(n AS DECIMAL(38,0)) * CAST(syy AS DECIMAL(38,0))
+                           - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                           AS DOUBLE))
+             * 1000000) AS BIGINT) AS corr_ppm
+    FROM comp
+    WHERE n >= 5
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-day correlation of each key's daily series against
+    the market composite — the windowed refinement of q_market_beta
+    (full-history beta) that drift monitors and pairs-trading screens
+    actually use: how co-moving is this series with the market *right
+    now*.
+
+    Scale shape: the fact table compresses to (user, day) once; the
+    market series is |days| rows and broadcasts back onto it; then ONE
+    window exchange keyed by user_id computes all six component sums
+    over the same 20-row frame. Component sums are exact BIGINTs in
+    integer cents; the final combination widens to DECIMAL(38,0)
+    (exact) and collapses in the same token-identical double
+    expression q_event_corr pins, floor-scaled to ppm. Frames shorter
+    than 5 days are suppressed (undefined early-window correlation).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.sum(F.col("value").cast(DEC)) * 100).cast("bigint").alias("x")
+    )
+    mkt = daily.groupBy("day").agg(F.sum("x").cast("bigint").alias("mx"))
+    j = daily.join(F.broadcast(mkt), "day")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-19, 0)
+    )
+    comp = j.select(
+        "user_id",
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("mx").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("mx")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("mx") * F.col("mx")).over(w).alias("syy"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d38("n") * d38("sxy") - d38("sx") * d38("sy")).cast("double")
+    dx = (d38("n") * d38("sxx") - d38("sx") * d38("sx")).cast("double")
+    dy = (d38("n") * d38("syy") - d38("sy") * d38("sy")).cast("double")
+    return comp.filter(F.col("n") >= 5).select(
+        "user_id",
+        "day",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.floor(num / F.sqrt(dx * dy) * 1000000).cast("bigint").alias("corr_ppm"),
+    )

@@ -340,3 +340,22 @@ def q_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(F.broadcast(caps), "source").select(
         "doc_id", "source", (F.col("rn") <= F.col("cap")).alias("kept")
     )
+
+
+@query("q_bpe_merges")  # rows-only: iterative argmax loop, not one SQL
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 learned BPE merges over the documents corpus
+    (operators/bpe.py): the tokenizer-training step of the pretraining
+    pipeline. The corpus-sized work is one word-frequency aggregate;
+    the merge loop runs on the vocabulary-sized distinct-word table
+    with a deterministic (count desc, pair lex) tie-break. Rows-only:
+    each merge is defined on the output of the previous one — an
+    inherently iterative computation no single SQL statement
+    expresses; correctness is pinned against a brute-force reference
+    implementation in tests/test_text_multimodal.py."""
+    from ..operators.bpe import learn_bpe
+
+    merges = learn_bpe(
+        table(spark, sf_dir, "documents"), num_merges=10
+    )
+    return spark.createDataFrame(merges)

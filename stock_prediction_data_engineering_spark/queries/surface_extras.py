@@ -165,3 +165,66 @@ def q_data_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique("c_custkey"),
     ]
     return violations(cust, rules)
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT)
+                AS VARCHAR),
+           CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT)
+                AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile of ``orders``: per-column row/null/
+    NDV counts and canonicalized min/max in ONE scan (long format, one
+    row per column) — the statistics-collection pass an optimizer's
+    cost model and a drift monitor both feed on
+    (operators/profile.py:profile_table).
+
+    The oracle is six per-column aggregates UNION ALLed; the engine
+    side is one aggregate + stack, so this also pins that the single-
+    pass form agrees with the per-column definition. Exact NDV plans
+    an Expand (xN_cols); the documented 100 TB swap is
+    ``exact_ndv=False`` -> HLL++ without the Expand."""
+    from ..operators.profile import profile_table
+
+    return profile_table(table(spark, sf_dir, "orders"))

@@ -192,6 +192,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_repetition_stats",    # curation: Gopher repetition profile
     "q_domain_resample",     # curation: temperature-0.5 domain rebalance
     "q_split_leakage",       # training assembly: eval decontamination audit
+    "q_table_profile",       # diagnostics: one-scan ANALYZE column profile
+    "q_rolling_corr",        # finance: rolling 20-day market correlation
 )
 
 ROWS_ONLY: tuple[str, ...] = (
@@ -211,6 +213,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_doc_fingerprint_rolling",     # rolling-hash fold
     "q_ema_macd",                    # per-key EMA recurrence (grouped map)
     "q_dedup_incremental",           # R28 persisted-index probe (fs side effect)
+    "q_bpe_merges",                  # iterative BPE merge learning (argmax loop)
 )
 
 DRIVER_ORDER: tuple[str, ...] = (

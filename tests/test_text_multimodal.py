@@ -183,3 +183,80 @@ def test_wav_decode_and_audio_features(spark):
     # RMS of a full-scale-12000 sine is ~12000/sqrt(2)
     assert abs(r.rms - 12000 / np.sqrt(2)) < 60
     assert 11900 <= r.peak <= 12000
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+
+
+def _brute_bpe(word_weights: dict[str, int], num_merges: int):
+    """Reference BPE trainer: pure-Python, no Spark — the textbook
+    algorithm the distributed form must reproduce exactly."""
+    vocab = {}
+    for w, n in word_weights.items():
+        vocab[tuple(list(w) + ["</w>"])] = (
+            vocab.get(tuple(list(w) + ["</w>"]), 0) + n
+        )
+    merges = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], pairs[best]))
+        new_vocab: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_brute_force_reference(spark):
+    from stock_prediction_data_engineering_spark.operators.bpe import learn_bpe
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low newer wide wide",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    weights: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split(" "):
+            weights[w] = weights.get(w, 0) + 1
+    expected = _brute_bpe(weights, 8)
+    got = learn_bpe(docs, num_merges=8)
+    assert [(m.left, m.right, m.weight) for m in got] == expected
+    # merged symbol is the concatenation, ranks are sequential
+    assert [m.rank for m in got] == list(range(len(got)))
+    assert all(m.merged == m.left + m.right for m in got)
+
+
+def test_bpe_query_returns_ranked_merges(spark):
+    from conftest import SF_SMOKE
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["q_bpe_merges"](spark, SF_SMOKE).collect()
+    assert len(out) == 10
+    assert [r.rank for r in out] == list(range(10))
+    # weights are non-increasing in merge order only within equal
+    # symbol inventories, so just sanity-check positivity
+    assert all(r.weight > 0 for r in out)
