@@ -102,3 +102,63 @@ def q_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(20)
     )
+
+
+@query(
+    "q_label_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> struct_pack(pos := i - 1, x := embedding[i]))) AS u
+      FROM embeddings
+    ),
+    m AS (
+      SELECT label, CAST(u.pos AS INT) AS pos,
+             CAST(floor(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS micro
+      FROM flat
+    )
+    SELECT label, pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(micro) AS BIGINT) AS sum_micro,
+           CAST(floor(CAST(SUM(micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS centroid_micro
+    FROM m GROUP BY label, pos
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, component-wise — the reduce step
+    of k-means / IVF training (operators/similarity.py fits its
+    quantizer through MLlib; this is the same aggregate expressed as a
+    declarative query, per (label, dimension)).
+
+    Float discipline: float-typed components widen to DOUBLE (exact,
+    IEEE subset) and quantize to integer micro-units via floor BEFORE
+    summation, so the aggregate is exact integer addition — engine
+    float-summation order can never leak into the result, unlike a
+    naive AVG(embedding[i]) whose accumulation order differs per
+    engine/partitioning. The centroid is floor(sum/n) of a determinate
+    double quotient.
+
+    Scale shape: posexplode → one hash aggregate keyed (label, pos) —
+    64x row inflation in flight but 24 bytes a row, with map-side
+    partials; output is |labels| x dims. No driver-side math.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    m = flat.select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("micro"),
+    )
+    return m.groupBy("label", "pos").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("micro").cast("bigint").alias("sum_micro"),
+        F.floor(F.sum("micro").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("centroid_micro"),
+    )

@@ -194,6 +194,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_split_leakage",       # training assembly: eval decontamination audit
     "q_table_profile",       # diagnostics: one-scan ANALYZE column profile
     "q_rolling_corr",        # finance: rolling 20-day market correlation
+    "q_label_centroids",     # embeddings: exact per-label centroid reduce
 )
 
 ROWS_ONLY: tuple[str, ...] = (

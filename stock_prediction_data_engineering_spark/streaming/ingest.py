@@ -98,3 +98,40 @@ def start_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_snapshot_sink(
+    docs: DataFrame,
+    table_path: str,
+    partition_cols: tuple[str, ...] = (),
+    checkpoint: str | None = None,
+):
+    """Stream micro-batches into a snapshot-versioned table
+    (sources/snapshots.py): every micro-batch publishes as ONE atomic
+    commit, so downstream readers either see a whole batch or none of
+    it — the visibility guarantee the plain ``mode("append")`` parquet
+    sink cannot give (readers listing mid-write see partial files) —
+    and incremental consumers pick up exactly the new batches via
+    ``snapshot_changes(since_version)``.
+
+    Exactly-once note: foreachBatch is at-least-once; a replayed batch
+    would commit twice. The manifest records one commit per batch, so
+    a consumer CAN de-duplicate replays by tracking (epoch -> version)
+    — or stage through upsert for full idempotence, as with
+    start_dedup_ingest. Returns the StreamingQuery."""
+    from ..sources.snapshots import snapshot_write
+
+    def _commit(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        snapshot_write(
+            batch, table_path, mode="append", partition_cols=partition_cols
+        )
+
+    w = docs.writeStream.outputMode("append").foreachBatch(_commit)
+    if checkpoint is not None:
+        # source progress survives restarts: a resumed stream processes
+        # only files it has not yet committed (the batch-level half of
+        # exactly-once; replay of an in-flight batch remains possible)
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

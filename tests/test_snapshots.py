@@ -131,3 +131,47 @@ def test_expire_reclaims_unreferenced_dirs(spark, docs, tmp_path):
     # v1's data dir (not referenced by v3) was deleted
     commit_dirs = [d for d in os.listdir(path) if d.startswith("commit-")]
     assert len(commit_dirs) == 2  # v2's overwrite dir + v3's append dir
+
+
+def test_streaming_sink_commits_one_snapshot_per_batch(spark, docs, tmp_path):
+    """Micro-batches land as atomic snapshot commits; an incremental
+    consumer reads exactly the post-checkpoint batches via
+    snapshot_changes."""
+    from stock_prediction_data_engineering_spark.streaming.ingest import (
+        start_snapshot_sink,
+    )
+
+    src = str(tmp_path / "src")
+    table_path = str(tmp_path / "tbl")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    ckpt = str(tmp_path / "ckpt")
+    b1.write.parquet(src)
+    q = start_snapshot_sink(
+        spark.readStream.schema(b1.schema).parquet(src),
+        table_path,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+    versions_after_b1 = list_versions(table_path)
+    assert len(versions_after_b1) >= 1
+    assert snapshot_read(spark, table_path).count() == b1.count()
+
+    b2.write.mode("append").parquet(src)
+    q = start_snapshot_sink(
+        spark.readStream.schema(b1.schema).parquet(src),
+        table_path,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+    # resumed from checkpoint: only b2's files were processed, so the
+    # incremental feed carries exactly b2
+    delta = snapshot_changes(
+        spark, table_path, since_version=versions_after_b1[-1]
+    )
+    assert delta.count() == b2.count()
+    assert delta.exceptAll(b2).count() == 0
+    assert (
+        snapshot_read(spark, table_path).count() == b1.count() + b2.count()
+    )
