@@ -705,3 +705,75 @@ def test_streaming_dedup_ingest_admits_once(spark, tmp_path_factory):
     assert singleton_ids <= admitted_ids
     # and nothing beyond the original corpus appeared
     assert admitted_ids <= {r.doc_id for r in docs.select("doc_id").collect()}
+
+
+def test_streaming_moments_match_batch_query(spark, tmp_path_factory):
+    """Running moment statistics across micro-batches: the LAST
+    emission per event_type must equal q_moment_stats over the full
+    events table exactly — the power-sum state is order-free integer
+    addition, so chunked evaluation IS batch evaluation."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stock_prediction_data_engineering_spark import registry
+    from stock_prediction_data_engineering_spark.streaming.moments import (
+        streaming_moments,
+    )
+
+    src = str(tmp_path_factory.mktemp("mom_src"))
+    batch = _batch_events(spark).select("event_type", "ts", "value")
+    pdf = batch.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(src, f"part-{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[cuts[i] : cuts[i + 1]]), path
+        )
+        os.utime(path, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emissions = []
+
+    def capture(df, epoch_id):
+        emissions.append(df.toPandas())
+
+    q = (
+        streaming_moments(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len([e for e in emissions if len(e)]) >= 3  # state crossed batches
+    final = (
+        pd.concat(emissions, ignore_index=True)
+        .groupby("event_type", as_index=False)
+        .last()  # emissions per key are cumulative; last = full history
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+    registry.load_all()
+    truth = (
+        registry.QUERIES["q_moment_stats"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    got = final[["event_type", "n_events", "mean_x100", "skew_ppm", "kurt_ppm"]]
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64", "mean_x100": "int64",
+                    "skew_ppm": "int64", "kurt_ppm": "int64"}),
+        truth.astype({"n_events": "int64", "mean_x100": "int64",
+                      "skew_ppm": "int64", "kurt_ppm": "int64"}),
+    )
