@@ -220,3 +220,37 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
         if d.startswith("commit-") and d not in live:
             shutil.rmtree(os.path.join(path, d))
     return expired
+
+
+def snapshot_upsert(
+    updates: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...] = (),
+) -> int:
+    """Keyed MERGE against the snapshot table: rows in ``updates``
+    replace current rows with the same key; new keys insert. Publishes
+    ONE overwrite commit of the merged state — the previous version
+    stays readable (time travel shows the pre-merge table), and the
+    change is atomic: concurrent readers see either the old or the new
+    version, never a half-merged table.
+
+    This is copy-on-write MERGE (like streaming/upsert.py's lake form,
+    but with the commit log supplying atomicity + history instead of
+    directory swaps). Cost is O(table) per call — right for periodic
+    batch merges; for per-key-grain updates at 100 TB, partition the
+    table and merge per partition, or stage deltas via append commits
+    and compact on read.
+    """
+    spark = updates.sparkSession
+    keys = list(key_cols)
+    current = snapshot_read(spark, path)
+    merged = current.join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    ).unionByName(updates)
+    # the merged plan reads the files the overwrite commit will
+    # supersede — materialize rows before publishing the new version
+    merged = merged.localCheckpoint(eager=True)
+    return snapshot_write(
+        merged, path, mode="overwrite", partition_cols=partition_cols
+    )

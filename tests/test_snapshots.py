@@ -175,3 +175,32 @@ def test_streaming_sink_commits_one_snapshot_per_batch(spark, docs, tmp_path):
     assert (
         snapshot_read(spark, table_path).count() == b1.count() + b2.count()
     )
+
+
+def test_upsert_replaces_matched_keys_and_inserts_new(spark, docs, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = docs.filter(F.col("doc_id") < 400)
+    snapshot_write(base, path, mode="append")
+    updates = (
+        docs.filter(
+            (F.col("doc_id") % 100 == 0) | (F.col("doc_id") >= 450)
+        )
+        .withColumn("n_chars", F.lit(-1))
+    )
+    from stock_prediction_data_engineering_spark.sources.snapshots import (
+        snapshot_upsert,
+    )
+
+    v = snapshot_upsert(updates, path, key_cols=("doc_id",))
+    out = snapshot_read(spark, path)
+    # matched keys carry the update payload, unmatched keep theirs;
+    # inserts are the update keys NOT in base: ids >= 450 plus id 400
+    n_inserts = updates.join(base, "doc_id", "left_anti").count()
+    assert out.count() == base.count() + n_inserts
+    assert (
+        out.filter(F.col("n_chars") == -1).count() == updates.count()
+    )
+    # pre-merge state intact one version back
+    pre = snapshot_read(spark, path, version=v - 1)
+    assert pre.count() == base.count()
+    assert pre.filter(F.col("n_chars") == -1).count() == 0
