@@ -72,6 +72,15 @@ HEADLINE_QUERIES = [
     # training-data assembly (packing window + skew profile)
     "q_sequence_pack",
     "q_heavy_keys",
+    # round-4 surface: exact power-sum moments, repetition explode,
+    # rolling windowed correlation, one-scan profile (Expand NDV),
+    # cross-split gram join, per-dimension centroid reduce
+    "q_moment_stats",
+    "q_repetition_stats",
+    "q_rolling_corr",
+    "q_table_profile",
+    "q_split_leakage",
+    "q_label_centroids",
 ]
 
 

@@ -43,6 +43,11 @@ SWEEP_QUERIES = [
     "q_market_beta",
     "q_feature_matrix",
     "q_heavy_keys",
+    # round-4 shapes over the replicated fact tables
+    "q_moment_stats",      # power-sum keyed aggregate
+    "q_concurrent_events", # sweep-line window (2x union input)
+    "q_rolling_corr",      # daily compression + 6-sum rolling window
+    "q_table_profile",     # per-column pruned profile scans
 ]
 
 COPY_TABLES = (
@@ -77,14 +82,20 @@ def build_replicated(spark, src_dir: str, out_dir: str, k: int) -> None:
 
 
 def time_queries(spark, registry, sf_dir: str) -> dict[str, float]:
+    # min of 2 measured passes after an untimed codegen pass — same
+    # protocol as bench.py: a transient host-load spike on one pass
+    # (observed: 2.8 s vs 17.5 s for the same warm query back to back)
+    # must not become the recorded ratio.
     times = {}
     for name in SWEEP_QUERIES:
         fn = registry.QUERIES[name]
-        for measured in (False, True):
+        runs = []
+        for measured in (False, True, True):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             if measured:
-                times[name] = round(time.perf_counter() - t0, 3)
+                runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
     return times
 
 
