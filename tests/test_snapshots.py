@@ -204,3 +204,62 @@ def test_upsert_replaces_matched_keys_and_inserts_new(spark, docs, tmp_path):
     pre = snapshot_read(spark, path, version=v - 1)
     assert pre.count() == base.count()
     assert pre.filter(F.col("n_chars") == -1).count() == 0
+
+
+def test_incremental_view_tracks_snapshot_appends(spark, tmp_path):
+    """Materialized-view maintenance off the commit log: after each
+    append, syncing the state from only the delta yields exactly the
+    full recompute over the table — and a third sync with no new
+    commits is a no-op that still serves the view."""
+    from stock_prediction_data_engineering_spark.catalog import table as cat_table
+    from stock_prediction_data_engineering_spark.operators.incremental import (
+        sync_view_from_snapshots,
+    )
+
+    ev = cat_table(spark, SF_ORACLE, "events").select(
+        "event_type", "value", "event_id"
+    )
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+
+    def full_recompute():
+        cur = snapshot_read(spark, path)
+        return {
+            r["event_type"]: (r["n"], str(r["s"]))
+            for r in cur.groupBy("event_type")
+            .agg(
+                F.count("value").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+            )
+            .collect()
+        }
+
+    def view_as_dict(df):
+        return {
+            r["event_type"]: (r["n_rows"], str(r["total"]))
+            for r in df.collect()
+        }
+
+    snapshot_write(ev.filter(F.col("event_id") % 3 == 0), path)
+    v1 = sync_view_from_snapshots(
+        spark, path, state, ["event_type"], "value"
+    )
+    assert view_as_dict(v1) == full_recompute()
+
+    snapshot_write(ev.filter(F.col("event_id") % 3 != 0), path)
+    v2 = sync_view_from_snapshots(
+        spark, path, state, ["event_type"], "value"
+    )
+    assert view_as_dict(v2) == full_recompute()
+
+    # caught up: another sync serves the same view without new state
+    v3 = sync_view_from_snapshots(
+        spark, path, state, ["event_type"], "value"
+    )
+    assert view_as_dict(v3) == view_as_dict(v2)
+    # exactly one state dir remains (pruned to the latest version)
+    import os
+
+    assert (
+        len([f for f in os.listdir(state) if f.startswith("state-v")]) == 1
+    )
