@@ -46,11 +46,19 @@ def start_dedup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.7,
+    snapshot_lake: bool = False,
 ):
     """Start the admission stream. ``docs`` must carry (id_col,
     text_col). The index directory may be absent (cold start): the
     first batch then skips the probe and seeds it. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    ``snapshot_lake=True`` publishes each batch's admissions through
+    the snapshot commit log (sources/snapshots.py) instead of a plain
+    parquet append: downstream readers see each admission batch
+    atomically and can tail ``snapshot_changes`` — e.g. to keep a
+    corpus-stats view current via
+    ``operators/incremental.sync_view_from_snapshots``."""
 
     def _admit(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -83,7 +91,12 @@ def start_dedup_ingest(
         # 3) admit
         if survivors.isEmpty():
             return
-        survivors.write.mode("append").parquet(lake_path)
+        if snapshot_lake:
+            from ..sources.snapshots import snapshot_write
+
+            snapshot_write(survivors, lake_path, mode="append")
+        else:
+            survivors.write.mode("append").parquet(lake_path)
         minhash_index_write(
             survivors,
             index_path,

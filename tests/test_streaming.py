@@ -777,3 +777,65 @@ def test_streaming_moments_match_batch_query(spark, tmp_path_factory):
         truth.astype({"n_events": "int64", "mean_x100": "int64",
                       "skew_ppm": "int64", "kurt_ppm": "int64"}),
     )
+
+
+def test_dedup_ingest_snapshot_lake_publishes_atomic_batches(
+    spark, tmp_path_factory
+):
+    """The admission loop with snapshot_lake=True: admitted batches
+    land as snapshot commits (one version per admitting batch), the
+    assembled table is near-dup-free, and the change feed composes
+    with incremental view maintenance."""
+    import os
+    import time as _time
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from stock_prediction_data_engineering_spark.sources.snapshots import (
+        list_versions,
+        snapshot_read,
+    )
+    from stock_prediction_data_engineering_spark.streaming.ingest import (
+        start_dedup_ingest,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 80")
+    )
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    s1, s2 = pdf.iloc[:40], pdf.iloc[40:]
+
+    root = tmp_path_factory.mktemp("snap_ingest")
+    src = str(root / "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, part in enumerate((s1, s2)):
+        p = f"{src}/slice-{i}.parquet"
+        part.to_parquet(p, index=False)
+        os.utime(p, times=(now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_path = str(root / "index")
+    lake_path = str(root / "lake")
+    q = start_dedup_ingest(
+        stream, index_path, lake_path, snapshot_lake=True
+    )
+    q.awaitTermination()
+
+    versions = list_versions(lake_path)
+    assert len(versions) == 2  # one atomic commit per admitting batch
+    lake = snapshot_read(spark, lake_path)
+    assert minhash_lsh_pairs(lake, jaccard_threshold=0.7).count() == 0
+    assert lake.count() > 0
+    # earlier version = strictly the first batch's admissions
+    assert (
+        snapshot_read(spark, lake_path, version=versions[0]).count()
+        < lake.count()
+    )
