@@ -359,3 +359,84 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), num_merges=10
     )
     return spark.createDataFrame(merges)
+
+
+@query(
+    "q_assoc_rules",
+    oracle="""
+    WITH items AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM items),
+    uni AS (
+      SELECT w, COUNT(*) AS df FROM items GROUP BY w
+    ),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS both_df
+      FROM items a JOIN items b
+        ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+    )
+    SELECT w1, w2, CAST(both_df AS BIGINT) AS both_df,
+           CAST((both_df * 10000) // n AS BIGINT) AS support_bp,
+           CAST((both_df * 10000) // u1.df AS BIGINT) AS confidence_bp,
+           CAST((both_df * n * 10000) // (u1.df * u2.df) AS BIGINT)
+             AS lift_x10000
+    FROM pairs
+    JOIN uni u1 ON pairs.w1 = u1.w
+    JOIN uni u2 ON pairs.w2 = u2.w
+    CROSS JOIN n_docs
+    WHERE both_df >= 50
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset association rules (the a-priori 2-itemset
+    pass): treating each document as a basket of distinct words,
+    report support, confidence(w1→w2), and lift for every co-occurring
+    pair above a support floor — the market-basket analytics shape,
+    and in corpus work the co-occurrence statistic behind collocation
+    detection.
+
+    All three metrics are integer floor-divisions of exact counts
+    (basis points / ×10000) — no log-PMI, because libm log is not
+    correctly rounded and would break cross-engine hashes; lift
+    carries the same ordering information.
+
+    Scale shape: distinct (doc, item) pairs → self-join ON doc_id —
+    the pair explosion is bounded by (per-doc distinct items)², the
+    quadratic-blowup knob every itemset miner exposes; at 100 TB cap
+    per-basket cardinality or df-cap hot items first, exactly like the
+    n-gram Jaccard inverted index (operators/dedup.py). The support
+    floor prunes before the unigram joins; those join a
+    vocabulary-sized table, broadcast."""
+    items = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    n_docs = items.agg(F.count_distinct("doc_id").alias("n"))
+    uni = items.groupBy("w").agg(F.count("*").alias("df"))
+    a = items.select("doc_id", F.col("w").alias("w1"))
+    b = items.select("doc_id", F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("both_df"))
+        .filter(F.col("both_df") >= 50)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
+    out = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    return out.select(
+        "w1",
+        "w2",
+        F.col("both_df").cast("bigint").alias("both_df"),
+        F.expr("(both_df * 10000) div n").alias("support_bp"),
+        F.expr("(both_df * 10000) div df1").alias("confidence_bp"),
+        F.expr("(both_df * n * 10000) div (df1 * df2)").alias("lift_x10000"),
+    )

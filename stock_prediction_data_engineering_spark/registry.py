@@ -195,6 +195,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_table_profile",       # diagnostics: one-scan ANALYZE column profile
     "q_rolling_corr",        # finance: rolling 20-day market correlation
     "q_label_centroids",     # embeddings: exact per-label centroid reduce
+    "q_assoc_rules",         # curation: a-priori 2-itemset association rules
 )
 
 ROWS_ONLY: tuple[str, ...] = (
