@@ -351,3 +351,52 @@ def q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.round(corr, 4).alias("autocorr"),
     )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_type, cnt AS mode_cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key mode (most frequent value, A4/A5 completeness):
+    the dominant event_type per user with a deterministic tie-break
+    (higher count first, then lexicographic) — the categorical twin of
+    max/min, used for "primary activity" labeling.
+
+    Scale shape: keyed (user, type) count first — map-side partials
+    collapse the raw stream before any shuffle — then a per-user
+    window over the already-tiny counts table. Both stages hash on
+    user_id, so the window reuses the aggregate's partitioning: one
+    exchange end-to-end, never a global sort."""
+    from pyspark.sql import Window
+
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").alias("mode_cnt"),
+        )
+    )

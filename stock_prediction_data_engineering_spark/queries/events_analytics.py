@@ -236,3 +236,108 @@ def q_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.groupBy("event_type").agg(
         F.max("cur").cast("bigint").alias("max_concurrent")
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST((n * 10000) // SUM(n) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS prob_bp
+    FROM t
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each observed (prev_type -> next_type) bigram of consecutive
+    events per user, its count and row-normalized transition
+    probability in basis points (exact integer division — no float in
+    the hot path, same idiom as q_heavy_keys).
+
+    Scale shape: ONE per-user window (lag) over the raw stream, then a
+    keyed count whose output is event_type² rows — tiny at any corpus
+    size — so the normalizing window over prev_type runs on a
+    vocabulary-sized table. The raw-data stages are a single user_id
+    exchange; nothing downstream grows with the corpus."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("(n * 10000) div sum(n) over (partition by prev_type)")
+        .cast("bigint")
+        .alias("prob_bp"),
+    )
+
+
+@query(
+    "q_running_distinct",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id, event_type
+    ),
+    d AS (
+      SELECT user_id, first_day, CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM fs GROUP BY user_id, first_day
+    )
+    SELECT user_id, first_day, new_types,
+           CAST(SUM(new_types) OVER (PARTITION BY user_id
+                                     ORDER BY first_day) AS BIGINT)
+             AS cum_types
+    FROM d
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct count over time (the "vocabulary growth"
+    curve): per user and day, how many NEW event types first appeared
+    that day and how many distinct types have been seen so far.
+
+    The naive form — COUNT(DISTINCT) over an expanding window —
+    rescans the full history per row and holds per-window distinct
+    state; this rewrite is the scalable identity: distinct-so-far =
+    running sum of first-occurrences. Two keyed aggregates and a
+    per-key cumulative window, all hashed on user_id (one exchange);
+    state per group is a single counter, independent of history
+    length."""
+    e = table(spark, sf_dir, "events")
+    fs = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    )
+    d = fs.groupBy("user_id", "first_day").agg(
+        F.count("*").alias("new_types")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.select(
+        "user_id",
+        "first_day",
+        "new_types",
+        F.sum("new_types").over(w).cast("bigint").alias("cum_types"),
+    )

@@ -326,3 +326,50 @@ def q_join_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_acctbal"),
     )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_final
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ),
+    p AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_pending
+      FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
+    )
+    SELECT COALESCE(f.o_custkey, p.o_custkey) AS custkey,
+           COALESCE(f.n_final, 0) AS n_final,
+           COALESCE(p.n_pending, 0) AS n_pending
+    FROM f FULL JOIN p ON f.o_custkey = p.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (J2 completeness): reconcile two per-key
+    aggregates where each side has keys the other lacks — the shape of
+    a two-source reconciliation report (e.g. symbols present in one
+    vendor feed but not the other; the reference's raw-vs-processed
+    symbol diff is the semi/anti special case of this).
+
+    Scale shape: both inputs are keyed aggregates on the SAME key as
+    the join, so the aggregate's hash partitioning is reused by the
+    sort-merge full join — one exchange per side, no broadcast (full
+    outer cannot broadcast either side in Spark; the planner keeps it
+    a merge join, which is the right strategy at any scale)."""
+    o = table(spark, sf_dir, "orders")
+    f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_final"))
+    )
+    p = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_pending"))
+    )
+    return f.join(p, "o_custkey", "full").select(
+        F.col("o_custkey").alias("custkey"),
+        F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        F.coalesce("n_pending", F.lit(0)).alias("n_pending"),
+    )

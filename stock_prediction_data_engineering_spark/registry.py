@@ -196,6 +196,10 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_rolling_corr",        # finance: rolling 20-day market correlation
     "q_label_centroids",     # embeddings: exact per-label centroid reduce
     "q_assoc_rules",         # curation: a-priori 2-itemset association rules
+    "q_join_full",           # J2 completeness: full outer reconciliation
+    "q_mode_per_group",      # A4/A5 completeness: exact per-key mode
+    "q_event_transitions",   # events: Markov transition matrix
+    "q_running_distinct",    # events: cumulative distinct via first-occurrence
 )
 
 ROWS_ONLY: tuple[str, ...] = (
