@@ -171,3 +171,57 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("props_redacted"),
         (redacted != F.col("props")).alias("was_redacted"),
     )
+
+
+@query(
+    "q_similarity_join",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter_grams
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter_grams,
+           (sa.n + sb.n - inter_grams) AS union_grams,
+           (inter_grams * 10000) // (sa.n + sb.n - inter_grams) AS jac_bp
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter_grams * 2 >= (sa.n + sb.n - inter_grams)
+    """,
+)
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join: every document pair whose word-
+    3-gram shingle sets have Jaccard >= 0.5, via prefix filtering
+    (operators/ssjoin.py) — the exact, no-false-negative counterpart
+    to the MinHash/SimHash approximate dedup paths, and the ground
+    truth their recall is measured against.
+
+    The oracle is the brute-force inverted-index join (correct at test
+    scale); the Spark side is the AllPairs prefix-filter plan that
+    survives 100x — candidates come only from each document's
+    globally-rarest gram prefix, so stopword-grade postings never
+    join. Threshold and jac_bp are integer arithmetic end-to-end."""
+    from ..operators.ssjoin import jaccard_similarity_join
+
+    return jaccard_similarity_join(
+        table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        ngram=3,
+        threshold_num=1,
+        threshold_den=2,
+    )

@@ -200,6 +200,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_mode_per_group",      # A4/A5 completeness: exact per-key mode
     "q_event_transitions",   # events: Markov transition matrix
     "q_running_distinct",    # events: cumulative distinct via first-occurrence
+    "q_similarity_join",     # exact Jaccard join via prefix filtering
 )
 
 ROWS_ONLY: tuple[str, ...] = (

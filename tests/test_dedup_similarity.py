@@ -531,3 +531,61 @@ def test_embedding_index_probe_matches_batch_operator(spark, tmp_path):
             want.add((r.id_a, r.id_b, r.cosine))
     assert got == want
     assert len(got) > 0
+
+
+def test_jaccard_prefix_join_exact_vs_bruteforce(planted_docs):
+    """The prefix-filter similarity join returns EXACTLY the pairs a
+    brute-force python Jaccard over the same shingle sets returns —
+    no false negatives from the prefix pruning, no false positives
+    from the candidate join."""
+    import re
+    from itertools import combinations
+
+    from stock_prediction_data_engineering_spark.operators.ssjoin import (
+        jaccard_similarity_join,
+    )
+
+    rows = planted_docs.collect()
+
+    def grams(text, n=3):
+        ws = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {r.doc_id: grams(r.text) for r in rows}
+    expected = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter * 2 >= union:
+            expected.add((a, b, inter, union))
+
+    got = {
+        (r.doc_a, r.doc_b, r.inter_grams, r.union_grams)
+        for r in jaccard_similarity_join(
+            planted_docs, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert got == {(a, b, i, u) for (a, b, i, u) in expected}
+    # the planted dups must actually surface
+    assert any(p[:2] == (0, 1) for p in got)
+
+
+def test_jaccard_prefix_join_threshold_monotone(planted_docs):
+    """Raising the threshold can only shrink the result set, and every
+    surviving pair's jac_bp clears the integer threshold."""
+    from stock_prediction_data_engineering_spark.operators.ssjoin import (
+        jaccard_similarity_join,
+    )
+
+    lo = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_similarity_join(
+            planted_docs, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    hi_rows = jaccard_similarity_join(
+        planted_docs, threshold_num=9, threshold_den=10
+    ).collect()
+    hi = {(r.doc_a, r.doc_b) for r in hi_rows}
+    assert hi <= lo
+    assert all(r.jac_bp >= 9000 for r in hi_rows)
