@@ -341,3 +341,67 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(w).cast("bigint").alias("cum_types"),
     )
+
+
+@query(
+    "q_cdc_merge",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS balance,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT user_id, op, balance FROM ch WHERE rn = 1),
+    base AS (
+      SELECT c_custkey AS cust_key,
+             CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS balance
+      FROM customer
+    )
+    SELECT b.cust_key, b.balance, 'base' AS src
+    FROM base b LEFT JOIN latest l ON b.cust_key = l.user_id
+    WHERE l.user_id IS NULL
+    UNION ALL
+    SELECT l.user_id AS cust_key, l.balance, 'cdc' AS src
+    FROM latest l WHERE l.op <> 'delete'
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE semantics as a batch query (operators/cdc.py): the
+    events stream is read as a changelog over the customer dimension —
+    per user, the LATEST event wins; an 'error' event deletes the row,
+    anything else upserts the event's value as the new balance;
+    untouched customers pass through. This is the reference's "daily
+    stock data updates" roadmap row (reference README.md:10,49) made
+    exact: order-independent across partitions because the changelog
+    collapse is a total-order window, not feed order.
+
+    Plan: one per-key window on the changelog (batch-sized), one
+    left-anti join on the merge key, one union — the merge never
+    scans more than base + batch."""
+    from ..operators.cdc import apply_changes
+
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_acctbal").cast("decimal(18,4)").cast("double").alias("balance"),
+        F.lit("base").alias("src"),
+    )
+    changes = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("cust_key"),
+        F.col("value").cast("decimal(18,4)").cast("double").alias("balance"),
+        F.lit("cdc").alias("src"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "ts",
+        "event_id",
+    )
+    return apply_changes(
+        base,
+        changes,
+        key_cols=["cust_key"],
+        seq_cols=["ts", "event_id"],
+    )

@@ -201,6 +201,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_event_transitions",   # events: Markov transition matrix
     "q_running_distinct",    # events: cumulative distinct via first-occurrence
     "q_similarity_join",     # exact Jaccard join via prefix filtering
+    "q_cdc_merge",           # CDC changelog MERGE (upsert+delete collapse)
 )
 
 ROWS_ONLY: tuple[str, ...] = (

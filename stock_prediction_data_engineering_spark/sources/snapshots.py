@@ -254,3 +254,37 @@ def snapshot_upsert(
     return snapshot_write(
         merged, path, mode="overwrite", partition_cols=partition_cols
     )
+
+
+def snapshot_apply_changes(
+    changes: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    seq_cols: tuple[str, ...],
+    op_col: str = "op",
+    delete_op: str = "delete",
+    partition_cols: tuple[str, ...] = (),
+) -> int:
+    """Full CDC MERGE against the snapshot table: collapse ``changes``
+    to the latest op per key (operators/cdc.py), then upsert/delete in
+    one atomic overwrite commit. Generalizes :func:`snapshot_upsert`
+    (which is the no-deletes, pre-collapsed special case); the same
+    copy-on-write cost note applies. Time travel keeps the pre-merge
+    version readable, so a bad CDC batch is recoverable by re-merging
+    from the prior version."""
+    from ..operators.cdc import apply_changes
+
+    spark = changes.sparkSession
+    current = snapshot_read(spark, path)
+    merged = apply_changes(
+        current,
+        changes,
+        key_cols=key_cols,
+        seq_cols=seq_cols,
+        op_col=op_col,
+        delete_op=delete_op,
+    )
+    merged = merged.localCheckpoint(eager=True)
+    return snapshot_write(
+        merged, path, mode="overwrite", partition_cols=partition_cols
+    )

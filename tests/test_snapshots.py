@@ -263,3 +263,68 @@ def test_incremental_view_tracks_snapshot_appends(spark, tmp_path):
     assert (
         len([f for f in os.listdir(state) if f.startswith("state-v")]) == 1
     )
+
+
+def test_apply_changes_collapse_delete_insert(spark):
+    """CDC semantics on a base table: latest-per-key wins, deletes
+    remove, unknown keys insert, untouched rows pass through — and
+    feed order within a key never matters (the seq collapse is a
+    total order, not arrival order)."""
+    from stock_prediction_data_engineering_spark.operators.cdc import (
+        apply_changes,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    # key 1: upsert then delete (delete wins by seq)
+    # key 2: delete then upsert (upsert wins)
+    # key 4: pure insert; key 3 untouched
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "upsert", 10),
+            (1, None, "delete", 20),
+            (2, None, "delete", 5),
+            (2, "b2", "upsert", 6),
+            (4, "d", "upsert", 1),
+        ],
+        "k long, v string, op string, seq long",
+    )
+    got = {
+        (r.k, r.v)
+        for r in apply_changes(
+            base, changes, key_cols=["k"], seq_cols=["seq"]
+        ).collect()
+    }
+    assert got == {(2, "b2"), (3, "c"), (4, "d")}
+
+
+def test_snapshot_apply_changes_atomic_merge(spark, tmp_path):
+    """snapshot_apply_changes publishes the CDC merge as ONE overwrite
+    commit: the post-merge state is correct, and the pre-merge
+    version stays readable (time travel)."""
+    from stock_prediction_data_engineering_spark.sources.snapshots import (
+        snapshot_apply_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    v1 = snapshot_write(base, path)
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "upsert", 1),
+            (3, None, "delete", 1),
+            (9, "z", "upsert", 1),
+        ],
+        "k long, v string, op string, seq long",
+    )
+    v2 = snapshot_apply_changes(
+        changes, path, key_cols=("k",), seq_cols=("seq",)
+    )
+    assert v2 == v1 + 1
+    cur = {(r.k, r.v) for r in snapshot_read(spark, path).collect()}
+    assert cur == {(1, "a"), (2, "b2"), (9, "z")}
+    old = {(r.k, r.v) for r in snapshot_read(spark, path, version=v1).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
