@@ -148,3 +148,49 @@ def start_snapshot_sink(
         # exactly-once; replay of an in-flight batch remains possible)
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def start_cdc_apply(
+    changes: DataFrame,
+    table_path: str,
+    key_cols: tuple[str, ...],
+    seq_cols: tuple[str, ...],
+    op_col: str = "op",
+    delete_op: str = "delete",
+    checkpoint: str | None = None,
+):
+    """Stream a CDC changelog into a snapshot-versioned table: each
+    micro-batch is collapsed to its latest op per key and MERGEd
+    (upserts + deletes, operators/cdc.py) as ONE atomic overwrite
+    commit via ``snapshot_apply_changes``.
+
+    Cross-batch correctness needs no state: within a batch the seq
+    collapse picks the winner; across batches, a later batch's change
+    simply merges over the earlier batch's result — the same final
+    table as collapsing the concatenated feed, PROVIDED the source
+    delivers each key's changes in seq order across batches (true for
+    ordered feeds: Kafka per-key partitions, CDC log readers). The
+    equivalence is asserted in tests/test_streaming.py.
+
+    Exactly-once note: replaying a batch re-merges the same winners —
+    upserts and deletes are idempotent per (key, seq), so the visible
+    table is unchanged (an extra version appears in the history).
+    Returns the StreamingQuery."""
+    from ..sources.snapshots import snapshot_apply_changes
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        snapshot_apply_changes(
+            batch,
+            table_path,
+            key_cols=key_cols,
+            seq_cols=seq_cols,
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+
+    w = changes.writeStream.outputMode("append").foreachBatch(_merge)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

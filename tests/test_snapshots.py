@@ -328,3 +328,65 @@ def test_snapshot_apply_changes_atomic_merge(spark, tmp_path):
     assert cur == {(1, "a"), (2, "b2"), (9, "z")}
     old = {(r.k, r.v) for r in snapshot_read(spark, path, version=v1).collect()}
     assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_streaming_cdc_apply_equals_batch_merge(spark, tmp_path):
+    """Streaming CDC apply (one atomic overwrite commit per
+    micro-batch) converges to the same table as ONE batch
+    apply_changes over the concatenated changelog, when the feed
+    delivers each key's changes in seq order across batches."""
+    from stock_prediction_data_engineering_spark.operators.cdc import (
+        apply_changes,
+    )
+    from stock_prediction_data_engineering_spark.streaming.ingest import (
+        start_cdc_apply,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    snapshot_write(base, path)
+
+    ch_schema = "k long, v string, op string, seq long"
+    b1 = spark.createDataFrame(
+        [(1, "b1", "upsert", 1), (2, None, "delete", 1), (11, "n", "upsert", 1)],
+        ch_schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1, None, "delete", 2), (2, "back", "upsert", 2), (12, "m", "upsert", 1)],
+        ch_schema,
+    )
+
+    src = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    b1.write.parquet(src)
+    q = start_cdc_apply(
+        spark.readStream.schema(b1.schema).parquet(src),
+        path,
+        key_cols=("k",),
+        seq_cols=("seq",),
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+    b2.write.mode("append").parquet(src)
+    q = start_cdc_apply(
+        spark.readStream.schema(b1.schema).parquet(src),
+        path,
+        key_cols=("k",),
+        seq_cols=("seq",),
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = {(r.k, r.v) for r in snapshot_read(spark, path).collect()}
+    expected = {
+        (r.k, r.v)
+        for r in apply_changes(
+            base, b1.unionByName(b2), key_cols=["k"], seq_cols=["seq"]
+        ).collect()
+    }
+    assert got == expected
+    # and the specific CDC outcomes
+    assert (2, "back") in got and (12, "m") in got
+    assert not any(k == 1 for k, _ in got)
