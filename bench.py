@@ -81,6 +81,12 @@ HEADLINE_QUERIES = [
     "q_table_profile",
     "q_split_leakage",
     "q_label_centroids",
+    # round-5 surface: exact prefix-filter similarity join, CDC merge,
+    # Markov transitions, chi-square domain drift
+    "q_similarity_join",
+    "q_cdc_merge",
+    "q_event_transitions",
+    "q_domain_divergence",
 ]
 
 

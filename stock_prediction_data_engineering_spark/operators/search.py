@@ -1,0 +1,158 @@
+"""Persisted inverted-index full-text search with BM25 ranking.
+
+Completes the persisted-index family (MinHash bands for near-dup
+probes, IVF cells / LSH buckets for vectors — operators/dedup.py,
+operators/similarity.py) with the text retrieval structure: token
+posting lists, bucket-partitioned so a query touches only its terms'
+partition directories.
+
+Why this shape at 100 TB: scoring a keyword query by scanning the
+corpus is O(corpus) per query. The inverted index makes it
+O(Σ posting lengths of the query terms): postings are laid out
+partitioned by ``bucket = pmod(xxhash64(token), n_buckets)``, the
+query's buckets are known driver-side (a handful of ints), so the
+scan statically prunes to those directories; document length is
+DENORMALIZED into each posting row (classic search-engine layout) so
+scoring joins nothing but the tiny per-term stats table.
+
+BM25 uses libm log, so scores are engine-internal (rows-only in the
+registry); ranking correctness is pinned by tests against a pure-
+python reference scorer instead of a SQL oracle.
+
+No reference-repo counterpart (the reference is a 131-line ingest
+DAG); north-star LLM-curation surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(text_col), r"[^a-z0-9]+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+
+
+def search_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Build the index under ``path``:
+
+    - ``postings/`` — (tok, id, tf, dl) partitioned by token bucket;
+      ``dl`` (document length) is denormalized so BM25 needs no
+      doc-length join at query time;
+    - ``terms/``    — (tok, df) per-token document frequency, same
+      bucket partitioning (pruned alongside postings);
+    - ``meta.json`` — corpus size N and average doc length, the two
+      scalars BM25 needs (driver-side, O(1)).
+    """
+    toks = _tokens(docs, id_col, text_col)
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    postings = tf.join(dl, "id").withColumn(
+        "bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
+    )
+    (
+        postings.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    terms = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+    )
+    (
+        terms.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/terms")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    ).collect()[0]
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as fh:
+        json.dump(
+            {
+                "n_docs": stats["n_docs"],
+                "total_len": stats["total_len"],
+                "n_buckets": n_buckets,
+            },
+            fh,
+        )
+
+
+def search_index_query(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k documents for ``query_terms`` against a persisted
+    index. Returns (id, score) ordered by score desc, id asc.
+
+    Plan: the query's token buckets are computed driver-side (pure
+    python xxhash is avoided — a 1-row Spark expression evaluates the
+    same pmod(xxhash64) the build used, so bucketing can never drift
+    from the data); postings and term stats scan ONLY those bucket
+    directories; the terms table (|query| rows after filtering) is
+    broadcast onto the postings; one keyed sum per doc and a
+    TakeOrderedAndProject finish it. Nothing scales with corpus size
+    except the matched posting lists themselves.
+    """
+    with open(f"{path}/meta.json") as fh:
+        meta = json.load(fh)
+    n_docs, n_buckets = meta["n_docs"], meta["n_buckets"]
+    avgdl = meta["total_len"] / max(n_docs, 1)
+
+    terms_df = spark.createDataFrame(
+        [(t.lower(),) for t in query_terms], "tok string"
+    ).withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+    rows = terms_df.collect()  # |query| rows — driver-bounded
+    buckets = sorted({r.bucket for r in rows})
+    toks = [r.tok for r in rows]
+
+    stats = (
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("tok").isin(toks))
+        .select("tok", "df")
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("tok").isin(toks))
+        .select("tok", "id", "tf", "dl")
+    )
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        postings.join(F.broadcast(stats), "tok")
+        .withColumn("term_score", idf * tf_norm)
+        .groupBy("id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), "id").limit(top_k)

@@ -34,20 +34,25 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
 
     Empty tokens from the regex split are removed BEFORE windowing so
     the gram stream matches a 1-based SQL reconstruction exactly.
+
+    Construction note (measured, sf0.1): the gram lambda references
+    the word array ONCE via slice+array_join. The obvious alternative
+    — n element_at() calls per gram — embeds n copies of the whole
+    split/filter subtree per gram after projection collapse, which
+    codegen does not CSE under a transform lambda: 14 s vs 1.4 s for
+    the same 260 k grams.
     """
     c = F.col(text) if isinstance(text, str) else text
     ws = F.filter(
         F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != F.lit("")
     )
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + k + 1) for k in range(n)]
-        ),
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
     )
-    # sequence(0, x) counts DOWN when x < 0 — guard short documents.
+    # sequence(1, x) counts DOWN when x < 1 — guard short documents.
     return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
-        F.array(F.lit(None)).cast("array<string>")
+        F.array().cast("array<string>")
     )
 
 
@@ -76,15 +81,18 @@ def jaccard_similarity_join(
       5. exact verify bounded by |candidates|: count shared grams per
          pair, integer cross-multiplied threshold.
     """
-    grams = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_ngrams(text_col, ngram)).alias("gram"),
-        )
-        .filter(F.col("gram").isNotNull())
-        .distinct()
-    )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
+    # CPU-parallelism guard: the gram explode is per-row compute on a
+    # byte-tiny input (one parquet file = one input split), so without
+    # an explicit repartition the whole tokenize pipeline runs on ONE
+    # core — the same byte-based-sizing trap operators/dedup.py
+    # documents. Measured at sf0.1: 18 s -> ~1 s for the gram scan.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    arrs = docs.repartition(par, id_col).select(
+        F.col(id_col).alias("id"),
+        word_ngrams(text_col, ngram).alias("arr"),
+    ).withColumn("n", F.size("arr"))
+
+    grams = arrs.select("id", "n", F.explode("arr").alias("gram"))
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
 
     ranked = grams.join(dfreq, "gram").withColumn(
@@ -96,50 +104,79 @@ def jaccard_similarity_join(
     # prefix length = n - ceil(t*n) + 1, all integer:
     # ceil(a*n/b) = (a*n + b - 1) div b
     pref = (
-        ranked.join(sizes, "id")
-        .withColumn(
+        ranked.withColumn(
             "plen",
-            # n - ceil(num*n/den) + 1, with ceil as exact integer div
             F.expr(
                 f"n - (({threshold_num} * n + {threshold_den - 1}) "
                 f"div {threshold_den}) + 1"
             ),
         )
         .filter(F.col("rnk") <= F.col("plen"))
-        .select("id", "gram")
+        .select("id", "gram", "n", "rnk")
     )
 
+    # candidate join carries the PPJoin length + position filters:
+    # J >= t forces t*na <= nb <= na/t (size-mismatched pairs never
+    # leave the join), and a pair seen at prefix positions (pa, pb)
+    # can overlap at most 1 + min(na-pa, nb-pb) grams, which must
+    # reach the required overlap ceil(t/(1+t)*(na+nb)) — both checks
+    # integer cross-multiplied, no float
     a = pref.alias("a")
     b = pref.alias("b")
+    nsum = F.col("a.n") + F.col("b.n")
+    ubound = (
+        F.least(
+            F.col("a.n") - F.col("a.rnk"), F.col("b.n") - F.col("b.rnk")
+        )
+        + 1
+    )
     cand = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") * threshold_den >= F.col("a.n") * threshold_num)
+            & (F.col("a.n") * threshold_den >= F.col("b.n") * threshold_num)
+            & (
+                ubound * (threshold_num + threshold_den)
+                >= F.lit(threshold_num) * nsum
+            ),
+        )
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
 
-    ga = grams.select(F.col("id").alias("doc_a"), F.col("gram").alias("g"))
-    gb = grams.select(F.col("id").alias("doc_b"), F.col("gram").alias("g"))
-    inter = (
-        cand.join(ga, "doc_a")
-        .join(gb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_grams"))
+    # exact verify: one array_intersect per candidate pair (vectorized
+    # JVM set op over the two docs' gram arrays) instead of exploding
+    # candidates x grams back into a row join — candidate-bounded
+    # compute, no quadratic row blowup. The two keyed joins spread
+    # pairs across shuffle partitions; no extra repartition, because
+    # the array payloads make any additional exchange the dominant
+    # cost (measured: a post-join pair repartition was pure overhead).
+    va = arrs.select(
+        F.col("id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
     )
-    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("union_grams", F.col("na") + F.col("nb") - F.col("inter_grams"))
-        .filter(
-            F.col("inter_grams") * threshold_den
-            >= F.lit(threshold_num) * F.col("union_grams")
-        )
-        .select(
-            "doc_a",
-            "doc_b",
+    vb = arrs.select(
+        F.col("id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb")
+    )
+    verified = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
             "inter_grams",
-            "union_grams",
-            F.expr("(inter_grams * 10000) div union_grams").alias("jac_bp"),
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
         )
+        .withColumn(
+            "union_grams", (F.col("na") + F.col("nb") - F.col("inter_grams")).cast("bigint")
+        )
+    )
+    return verified.filter(
+        F.col("inter_grams") * threshold_den
+        >= F.lit(threshold_num) * F.col("union_grams")
+    ).select(
+        "doc_a",
+        "doc_b",
+        "inter_grams",
+        "union_grams",
+        F.expr("(inter_grams * 10000) div union_grams").alias("jac_bp"),
     )

@@ -440,3 +440,87 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(both_df * 10000) div df1").alias("confidence_bp"),
         F.expr("(both_df * n * 10000) div (df1 * df2)").alias("lift_x10000"),
     )
+
+
+# the chi-square term, written once and reused token-identically on
+# both engines (registry float discipline: exact BIGINT numerators,
+# then one double expression evaluated in a fixed order, floored to
+# integer ppb BEFORE summation so the aggregate is order-independent)
+_CHI2_TERM = (
+    "cast(floor("
+    "cast(c * n_all - c_all * n as double) * "
+    "cast(c * n_all - c_all * n as double) / "
+    "(cast(n as double) * cast(n as double) * "
+    "cast(n_all as double) * cast(c_all as double)) "
+    "* 1000000000) as bigint)"
+)
+
+
+@query(
+    "q_domain_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.source, t.tok
+      FROM documents d,
+           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS t(tok)
+    ),
+    corpus AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_all
+               FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM toks),
+    per_src AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+                FROM toks GROUP BY source, tok),
+    src_tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM toks GROUP BY source),
+    grid AS (
+      SELECT s.source, s.n, v.c_all, t.n_all, COALESCE(p.c, 0) AS c
+      FROM src_tot s
+      CROSS JOIN corpus v
+      CROSS JOIN tot t
+      LEFT JOIN per_src p ON p.source = s.source AND p.tok = v.tok
+    )
+    SELECT source, n AS n_tokens,
+           CAST(SUM({_CHI2_TERM}) AS BIGINT) AS chi2_ppb
+    FROM grid GROUP BY source, n
+    """,
+)
+def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per domain: chi-square divergence of each
+    source's token distribution against the whole corpus — the audit
+    that catches a crawl slice whose language suddenly shifts (spam
+    injection, template flood) before it trains. Chi-square instead of
+    KL because it needs no logarithm: libm log is not identically
+    rounded across engines, while +,x,/ and floor are IEEE-exact, so
+    each term is floored to integer ppb deterministically and the sum
+    is order-independent.
+
+    Plan: one tokenize scan feeds three keyed counts (corpus, per-
+    source, totals); the comparison grid is vocabulary x n_sources
+    rows — built by broadcasting the tiny source-totals/grand-total
+    sides against the corpus vocabulary, never touching raw tokens
+    again. At 100 TB the bigint numerator c*n_all needs DECIMAL(38,0)
+    once corpus tokens exceed ~3e9 x source tokens; swap documented
+    here, shape unchanged."""
+    toks = table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9]+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    corpus = toks.groupBy("tok").agg(F.count("*").alias("c_all"))
+    tot = toks.agg(F.count("*").alias("n_all"))
+    per_src = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    src_tot = toks.groupBy("source").agg(F.count("*").alias("n"))
+    grid = (
+        F.broadcast(src_tot)
+        .crossJoin(corpus)
+        .crossJoin(F.broadcast(tot))
+        .join(per_src, ["source", "tok"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    return grid.groupBy("source", F.col("n").alias("n_tokens")).agg(
+        F.sum(F.expr(_CHI2_TERM)).cast("bigint").alias("chi2_ppb")
+    )

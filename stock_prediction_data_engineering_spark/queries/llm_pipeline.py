@@ -470,3 +470,28 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_shared_grams"),
         )
     )
+
+
+@query("q_text_search")  # rows-only: BM25 log + filesystem side effect
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval exercised end-to-end: build the persisted
+    inverted index (operators/search.py) over the documents corpus,
+    then run a BM25 top-20 keyword query against it — the bucket-
+    pruned O(posting lists) path that replaces an O(corpus) scan per
+    query. Rows-only: BM25's log() is not identically rounded across
+    engines; ranking parity is pinned by tests/test_search.py against
+    a pure-python reference scorer."""
+    import os
+    import tempfile
+
+    from ..operators.search import search_index_query, search_index_write
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(
+        tempfile.mkdtemp(dir=scratch, prefix="ft_idx_"), "idx"
+    )
+    search_index_write(table(spark, sf_dir, "documents"), path)
+    return search_index_query(
+        spark, path, ["data", "stream", "window"], top_k=20
+    )

@@ -202,6 +202,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_running_distinct",    # events: cumulative distinct via first-occurrence
     "q_similarity_join",     # exact Jaccard join via prefix filtering
     "q_cdc_merge",           # CDC changelog MERGE (upsert+delete collapse)
+    "q_domain_divergence",   # curation: chi-square token-distribution drift
 )
 
 ROWS_ONLY: tuple[str, ...] = (
@@ -222,6 +223,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_ema_macd",                    # per-key EMA recurrence (grouped map)
     "q_dedup_incremental",           # R28 persisted-index probe (fs side effect)
     "q_bpe_merges",                  # iterative BPE merge learning (argmax loop)
+    "q_text_search",                 # persisted inverted-index BM25 retrieval
 )
 
 DRIVER_ORDER: tuple[str, ...] = (
