@@ -228,3 +228,38 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_table
 
     return profile_table(table(spark, sf_dir, "orders"))
+
+
+@query("q_pagerank")  # rows-only: iterative float power method
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph (edges =
+    distinct (o_custkey, l_suppkey) pairs through orders x lineitem):
+    which suppliers sit at the center of the purchase network — the
+    entity-importance analytics a feature pipeline derives from
+    transactional data. Iterative power method (operators/graph.py);
+    rows-only because distributed float summation order makes ranks
+    engine-specific (pinned vs numpy in tests/test_graph.py).
+
+    Returns the top-50 nodes by rounded rank with a deterministic
+    (rank desc, id) order."""
+    from ..operators.graph import pagerank
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            # offset suppliers into their own id space so the
+            # bipartite graph's node sets cannot collide
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    # fixed 8 rounds, tol=0: skips the per-round convergence action
+    ranks = pagerank(edges, max_iterations=8, tol=0.0)
+    return (
+        ranks.select("id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(50)
+    )

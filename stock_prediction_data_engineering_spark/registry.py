@@ -224,6 +224,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_dedup_incremental",           # R28 persisted-index probe (fs side effect)
     "q_bpe_merges",                  # iterative BPE merge learning (argmax loop)
     "q_text_search",                 # persisted inverted-index BM25 retrieval
+    "q_pagerank",                    # iterative power-method graph rank
 )
 
 DRIVER_ORDER: tuple[str, ...] = (
