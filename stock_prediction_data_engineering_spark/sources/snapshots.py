@@ -81,6 +81,7 @@ def snapshot_write(
     partition_cols: tuple[str, ...] = (),
     compression: str = "snappy",
     max_retries: int = 5,
+    extra_meta: dict | None = None,
 ) -> int:
     """Commit ``df`` to the snapshot table at ``path``; returns the new
     version number.
@@ -135,6 +136,12 @@ def snapshot_write(
             "n_files_added": n_files,
             "partition_cols": list(partition_cols),
         }
+        if extra_meta:
+            # caller metadata rides the manifest, so it commits in the
+            # SAME atomic publish as the data (e.g. the join-view
+            # maintainer's source-table watermarks,
+            # operators/incremental.py)
+            manifest["extra"] = extra_meta
         tmp = _manifest_path(path, new_version) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)

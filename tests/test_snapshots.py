@@ -390,3 +390,65 @@ def test_streaming_cdc_apply_equals_batch_merge(spark, tmp_path):
     # and the specific CDC outcomes
     assert (2, "back") in got and (12, "m") in got
     assert not any(k == 1 for k, _ in got)
+
+
+def test_incremental_join_view_matches_full_recompute(spark, tmp_path):
+    """The snapshot-fed join view equals a full A ⨝ B recompute after
+    every sync — including the both-sides-appended round (whose delta
+    must count ΔA⨝ΔB pairs exactly once) — while each sync publishes
+    exactly one view commit; a source rewrite triggers the honest
+    full-rebuild fallback."""
+    from stock_prediction_data_engineering_spark.operators.incremental import (
+        sync_join_view_from_snapshots,
+    )
+    from stock_prediction_data_engineering_spark.sources.snapshots import (
+        snapshot_upsert,
+    )
+
+    pa, pb, pv = (str(tmp_path / d) for d in ("a", "b", "v"))
+
+    def a_rows(lo, hi):
+        return spark.createDataFrame(
+            [(i % 7, f"a{i}") for i in range(lo, hi)], "k long, a_val string"
+        )
+
+    def b_rows(lo, hi):
+        return spark.createDataFrame(
+            [(i % 7, f"b{i}") for i in range(lo, hi)], "k long, b_val string"
+        )
+
+    def check():
+        got = sync_join_view_from_snapshots(spark, pa, pb, pv, ["k"])
+        want = snapshot_read(spark, pa).join(
+            snapshot_read(spark, pb), ["k"], "inner"
+        )
+        gs = {tuple(r) for r in got.collect()}
+        ws = {tuple(r) for r in want.collect()}
+        assert gs == ws
+        return len(gs)
+
+    snapshot_write(a_rows(0, 10), pa)
+    snapshot_write(b_rows(0, 6), pb)
+    assert check() > 0
+    n_commits = len(list_versions(pv))
+
+    snapshot_write(a_rows(10, 15), pa)          # left-only delta
+    check()
+    snapshot_write(b_rows(6, 12), pb)           # right-only delta
+    check()
+    snapshot_write(a_rows(15, 18), pa)          # both sides at once:
+    snapshot_write(b_rows(12, 16), pb)          # exercises the ΔA⨝ΔB term
+    check()
+    assert len(list_versions(pv)) == n_commits + 3
+
+    # caught up: another sync publishes nothing
+    check()
+    assert len(list_versions(pv)) == n_commits + 3
+
+    # history rewrite upstream -> incremental feed invalid -> rebuild
+    snapshot_upsert(
+        spark.createDataFrame([(0, "rewritten")], "k long, a_val string"),
+        pa,
+        key_cols=("k",),
+    )
+    check()
