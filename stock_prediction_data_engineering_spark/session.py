@@ -77,3 +77,28 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def enable_runtime_filters(
+    spark: SparkSession, demo_scale: bool = False
+) -> None:
+    """Turn on runtime bloom-filter semi-join reduction knobs.
+
+    Spark's InjectRuntimeFilter rule builds a bloom filter from a
+    selectively-filtered join side and applies it as a
+    ``might_contain`` predicate on the other side's scan BEFORE the
+    shuffle — rows that cannot join never leave the mappers. At the
+    100 TB design point the default thresholds fire on their own
+    (creation side under 10 MB post-filter = a filtered dim;
+    application side scan over 10 GB = any real fact table), so this
+    helper mostly documents the mechanism. ``demo_scale=True`` drops
+    the application-side threshold so the injection is observable on
+    test-sized data (pinned by tests/test_plan_shapes.py).
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    if demo_scale:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )

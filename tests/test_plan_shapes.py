@@ -6,7 +6,7 @@ silently de-optimizes a query fails CI, not a cluster run.
 
 from __future__ import annotations
 
-from conftest import SF_SMOKE
+from conftest import SF_ORACLE, SF_SMOKE
 
 
 def _plan(df) -> str:
@@ -324,3 +324,40 @@ def test_training_assembly_plan_shapes(spark):
     split = _plan(registry.QUERIES["q_train_split"](spark, SF_SMOKE))
     # one exchange for the (source, split) aggregate; nothing else
     assert split.count("Exchange hashpartitioning") == 1
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """With runtime filtering on (and the size threshold dropped to
+    make test-scale data eligible — at 100 TB the 10 GB default fires
+    on its own), a selective dim filter must inject a bloom
+    might_contain predicate on the fact scan side of a shuffle join:
+    non-joining fact rows die at the mappers, not after the exchange."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.session import (
+        enable_runtime_filters,
+    )
+
+    enable_runtime_filters(spark, demo_scale=True)
+    prev_broadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_broadcast)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "10GB",
+        )
