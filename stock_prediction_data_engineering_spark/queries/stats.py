@@ -337,3 +337,121 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price_c"),
         )
     )
+
+
+@query(
+    "q_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events
+    ),
+    p AS (
+      SELECT DISTINCT a.event_type, a.user_id AS ua, b.user_id AS ub
+      FROM iv a JOIN iv b
+        ON a.event_type = b.event_type AND a.user_id < b.user_id
+       AND a.s < b.e AND b.s < a.e
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY event_type
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (SURVEY §2.3 J9 as its own query): pairs
+    of users whose 30-minute presence intervals overlap within an
+    event type — co-presence analytics (fraud rings, session collision
+    detection).
+
+    The oracle is the quadratic self-join; the Spark side is the
+    SCALABLE form: each interval explodes to the time buckets it
+    spans (≤2 for 30-min intervals on a 30-min grid), the self-join
+    keys on (type, bucket) — overlapping intervals MUST share a
+    bucket, so the join never compares rows further apart than one
+    bucket width — and the exact strict-overlap predicate plus a
+    pair-distinct finish it. Join fan-out is bounded by per-bucket
+    occupancy, not the corpus; a skewed bucket is a real hotspot in
+    the data, not an artifact of the plan."""
+    width_us = 30 * 60 * 1_000_000
+    iv = table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + width_us).alias("e_us"),
+    )
+    bkts = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {width_us}"),
+                F.expr(f"(e_us - 1) div {width_us}"),
+            )
+        ),
+    )
+    a = bkts.alias("a")
+    b = bkts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_us") < F.col("b.e_us"))
+            & (F.col("b.s_us") < F.col("a.e_us")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rnk
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS total_cents,
+           CAST((2 * CAST(SUM(rnk * c) AS BIGINT)
+                 - (COUNT(*) + 1) * CAST(SUM(c) AS BIGINT)) * 10000
+                // (COUNT(*) * CAST(SUM(c) AS BIGINT)) AS BIGINT)
+             AS gini_bp
+    FROM v GROUP BY event_type
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of event value per type (how
+    unequal the spend distribution is), via the rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over values sorted ascending.
+
+    Exactness: values are cent-scaled to BIGINT before any sum, ranks
+    come from one per-type window with a total (value, event_id)
+    order, and the final coefficient is a single integer division —
+    no float anywhere, so the result is bit-identical across engines
+    and partitionings. One keyed window + one keyed aggregate on the
+    same key: a single exchange."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    v = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("total_cents"),
+        F.expr(
+            "(2 * sum(rnk * c) - (count(*) + 1) * sum(c)) * 10000"
+            " div (count(*) * sum(c))"
+        ).alias("gini_bp"),
+    )

@@ -203,6 +203,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_similarity_join",     # exact Jaccard join via prefix filtering
     "q_cdc_merge",           # CDC changelog MERGE (upsert+delete collapse)
     "q_domain_divergence",   # curation: chi-square token-distribution drift
+    "q_interval_overlap",    # J9: bucketed interval-overlap co-presence join
+    "q_gini",                # stats: integer-exact Gini concentration
 )
 
 ROWS_ONLY: tuple[str, ...] = (
