@@ -88,11 +88,24 @@ def main() -> None:
         t0 = time.perf_counter()
         n_hits = minhash_index_probe(batch, path, jaccard_threshold=0.5).count()
         t_probe = time.perf_counter() - t0
+
+        # exact prefix-filter similarity join (operators/ssjoin.py) on
+        # the same mutated corpus: the no-false-negative path, measured
+        # against the approximate LSH pipeline at every k
+        from stock_prediction_data_engineering_spark.operators.ssjoin import (
+            jaccard_similarity_join,
+        )
+
+        jaccard_similarity_join(docs).count()  # warm
+        t0 = time.perf_counter()
+        n_exact = jaccard_similarity_join(docs).count()
+        t_exact = time.perf_counter() - t0
         print(
             f"k={k:3d} docs={n_docs:7d} pairs={n_pairs:8d} "
             f"warm_sec={dt:7.2f} | incremental: build={t_build:6.2f}s "
             f"probe={t_probe:6.2f}s hits={n_hits:6d} "
-            f"full/probe={dt / t_probe:5.1f}x",
+            f"full/probe={dt / t_probe:5.1f}x | exact ssjoin: "
+            f"{t_exact:7.2f}s pairs={n_exact:8d}",
             flush=True,
         )
     spark.stop()
