@@ -183,6 +183,11 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         shingle_hashes(char_shingles(text_col, k)).alias("sh_hashes"),
     )
+    # The hashed-shingle table feeds three consumers (signatures and
+    # both verify sides); a lazy localCheckpoint computes the regex
+    # shingling once per invocation instead of three times. See
+    # operators/ssjoin.py for the persist-vs-localCheckpoint trade.
+    base = base.localCheckpoint(eager=False)
 
     # Signature via the Arrow-batched numpy kernel: the JVM
     # higher-order form is interpreted (lambdas don't participate in
@@ -193,7 +198,11 @@ def minhash_lsh_pairs(
         "id", minhash_signature_np(num_hashes)(F.col("sh_hashes")).alias("sig")
     )
 
-    banded = _band_table(sigs, bands, rows_per_band)
+    # The band table is SELF-joined, so without materialization the
+    # Arrow minhash kernel — the pipeline's one Python stage — would
+    # execute twice (once per join side). Checkpointing stores only
+    # (id, band, band_hash): 24 bytes/band, never the arrays.
+    banded = _band_table(sigs, bands, rows_per_band).localCheckpoint(eager=False)
 
     left = banded.alias("l")
     right = banded.alias("r")
