@@ -205,6 +205,15 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_domain_divergence",   # curation: chi-square token-distribution drift
     "q_interval_overlap",    # J9: bucketed interval-overlap co-presence join
     "q_gini",                # stats: integer-exact Gini concentration
+    "q_cube",                # A7 completeness: full CUBE lattice
+    "q_moving_median",       # W2 robust twin: exact sliding median
+    "q_quantile_bins",       # equi-depth decile discretization
+    "q_winsorize",           # rank-based P5/P95 winsorization
+    "q_robust_zscore",       # median/MAD outlier gate
+    "q_skyline",             # 2-D Pareto frontier (two-phase dominance)
+    "q_triangle_count",      # degree-oriented graph triangle count
+    "q_feature_hashing",     # signed hashing-trick token buckets
+    "q_gapfill_interp",      # linear interpolation over calendar gaps
 )
 
 ROWS_ONLY: tuple[str, ...] = (
@@ -260,6 +269,7 @@ def ordered_oracles() -> dict[str, str]:
 def load_all() -> None:
     """Import every query module so the registry is fully populated."""
     from .queries import (  # noqa: F401
+        advanced_analytics,
         aggregates,
         composite,
         events_analytics,
