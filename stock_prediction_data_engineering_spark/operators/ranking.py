@@ -78,6 +78,57 @@ def _with_global_rank(
     return ranged.select(*df.columns, rank), total
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    sum_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Exact distributed ``SUM(sum_col) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` — a global prefix sum with no
+    single-partition window, by the same two-phase scheme as
+    :func:`_with_global_rank`:
+
+    1. range-partition on the ordering key and pin the assignment
+       (localCheckpoint — see the rank helper for why);
+    2. collect per-partition TOTALS (O(num_partitions) metadata);
+    3. running value = keyed per-partition cumulative sum + the
+       partition's cumulative offset via a broadcast map literal.
+
+    Backs global-CDF analytics (KS statistic, Lorenz/gains curves)
+    that would otherwise need the un-partitioned-window cliff."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r[_PID]: r["s"]
+        for r in ranged.groupBy(_PID)
+        .agg(F.sum(sum_col).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    if not offsets:
+        offsets = {0: 0}
+    offset_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = (F.sum(sum_col).over(w) + offset_map[F.col(_PID)]).alias(out_col)
+    return ranged.select(*df.columns, running)
+
+
 def global_ntile(
     df: DataFrame, n_tiles: int, order_cols: list[Column], bucket_col: str
 ) -> DataFrame:

@@ -214,6 +214,11 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_triangle_count",      # degree-oriented graph triangle count
     "q_feature_hashing",     # signed hashing-trick token buckets
     "q_gapfill_interp",      # linear interpolation over calendar gaps
+    "q_auc_rank",            # exact rank-sum AUC per segment
+    "q_ks_stat",             # two-sample KS via distributed prefix sum
+    "q_ab_lift",             # hash-armed A/B conversion lift
+    "q_pps_sample",          # deterministic PPS systematic sampling
+    "q_rfm",                 # RFM quintile segmentation (3x global NTILE)
 )
 
 ROWS_ONLY: tuple[str, ...] = (
@@ -281,6 +286,7 @@ def load_all() -> None:
         llm_pipeline,
         llm_text,
         llm_vector,
+        ml_eval,
         relational,
         scalar_functions,
         setops,
