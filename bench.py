@@ -87,6 +87,14 @@ HEADLINE_QUERIES = [
     "q_cdc_merge",
     "q_event_transitions",
     "q_domain_divergence",
+    # round-6 surface: equi-depth bins (two-phase NTILE), two-phase
+    # skyline, degree-oriented triangles, KS over the distributed
+    # prefix-sum CDF, RFM (3x global NTILE)
+    "q_quantile_bins",
+    "q_skyline",
+    "q_triangle_count",
+    "q_ks_stat",
+    "q_rfm",
 ]
 
 
@@ -125,6 +133,23 @@ def main() -> None:
     # whole bench artifact (round 2 lost its perf number to a crash at
     # query 6 of 33). Failures are reported in the JSON and the total
     # covers the survivors.
+    def clear_rdd_storage() -> None:
+        """Unpersist every lingering persisted/checkpointed RDD.
+
+        Operators that materialize shared intermediates
+        (localCheckpoint in ssjoin/dedup/ranking) leave their blocks
+        in executor storage until the driver GCs the references; 50
+        queries x 3 passes of that accumulation evicts later queries'
+        working set (observed: q_dedup_minhash 2.5 s isolated ->
+        17 s late in the bench). A finished query's scratch storage
+        is dead weight — drop it, as a per-job cluster would."""
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass  # diagnostics-only; never fail the bench over cleanup
+
     times: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name in HEADLINE_QUERIES:
@@ -147,12 +172,14 @@ def main() -> None:
                 if measured:
                     runs.append(time.perf_counter() - t0)
             times[name] = round(min(runs), 3)
+            clear_rdd_storage()
         except Exception as exc:  # noqa: BLE001 — isolate per query
             # (str() can be empty — e.g. bare RuntimeError() — and
             # splitlines()[0] on it would crash this handler, which is
             # the one place that must never crash)
             first_line = (str(exc).splitlines() or [""])[0]
             failed[name] = f"{type(exc).__name__}: {first_line[:200]}"
+            clear_rdd_storage()
 
     total = round(sum(times.values()), 3)
     out = {
