@@ -116,3 +116,57 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+def count_triangles(edges: DataFrame) -> DataFrame:
+    """Exact triangle count of an undirected simple graph, degree-
+    oriented (the distributed standard, e.g. Suri & Vassilvitskii's
+    MR-friendly scheme from the public literature).
+
+    ``edges`` must have columns (x, y) with x < y, distinct — one row
+    per undirected edge. Each edge is oriented from its lower
+    (degree, id) endpoint to the higher; wedges are generated only
+    from out-neighbor pairs and closed with a semi-join. Orientation
+    bounds out-degree by O(sqrt(E)), so a hub node cannot explode the
+    wedge join the way it does in the naive three-way self-join.
+
+    Returns ONE row: (n_nodes, n_edges, n_triangles).
+    """
+    # edge table is read 4x (degrees, both orient sides, closing
+    # probe); materialize once — see operators/ssjoin.py for the
+    # localCheckpoint-vs-persist trade
+    edges = edges.select("x", "y").localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("x").alias("v"))
+        .unionAll(edges.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("deg").alias("dy"))
+    ed = edges.join(dx, "x").join(dy, "y")
+    fwd = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("ddeg"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.ddeg") < F.col("o2.ddeg"))
+            | (
+                (F.col("o1.ddeg") == F.col("o2.ddeg"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(F.col("o1.dst").alias("src"), F.col("o2.dst").alias("dst"))
+    tris = wedges.join(oriented.select("src", "dst"), ["src", "dst"], "left_semi")
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    n_tris = tris.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tris)

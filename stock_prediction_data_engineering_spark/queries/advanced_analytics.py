@@ -240,7 +240,8 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier): parts not dominated on
     (price low, size high). The oracle is the quadratic NOT EXISTS;
-    the Spark plan is the distributed two-phase scheme:
+    the Spark plan is the distributed two-phase scheme
+    (operators/skyline.py):
 
     1. local prune — rows are hash-grouped (any grouping works: a
        locally dominated row is globally dominated) and each group's
@@ -254,41 +255,12 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB step 1 does all the data-sized work with keyed shuffles
     only; step 2's candidate set is bounded by the number of distinct
     price levels per group, not by row count."""
+    from ..operators.skyline import skyline_2d
+
     p = table(spark, sf_dir, "part").select(
         "p_partkey", _cents("p_retailprice").alias("price_c"), "p_size"
     )
-    par = p.sparkSession.sparkContext.defaultParallelism
-    grp = p.withColumn("g", F.pmod(F.xxhash64("p_partkey"), F.lit(par)))
-    w_lt = (
-        Window.partitionBy("g")
-        .orderBy("price_c")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_eq = Window.partitionBy("g", "price_c")
-    local = (
-        grp.withColumn("max_lt", F.max("p_size").over(w_lt))
-        .withColumn("max_eq", F.max("p_size").over(w_eq))
-        .filter(
-            (F.col("max_lt").isNull() | (F.col("max_lt") < F.col("p_size")))
-            & (F.col("p_size") == F.col("max_eq"))
-        )
-        .select("p_partkey", "price_c", "p_size")
-    )
-    a = local.alias("a")
-    b = local.select(
-        F.col("price_c").alias("b_price_c"), F.col("p_size").alias("b_size")
-    ).alias("b")
-    dominated = (
-        (F.col("b.b_price_c") <= F.col("a.price_c"))
-        & (F.col("b.b_size") >= F.col("a.p_size"))
-        & (
-            (F.col("b.b_price_c") < F.col("a.price_c"))
-            | (F.col("b.b_size") > F.col("a.p_size"))
-        )
-    )
-    return a.join(F.broadcast(b), dominated, "left_anti").select(
-        "p_partkey", "price_c", "p_size"
-    )
+    return skyline_2d(p, minimize="price_c", maximize="p_size")
 
 
 @query(
@@ -319,13 +291,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-backed companion to the rows-only q_pagerank.
 
     Spark plan is the DEGREE-ORIENTED algorithm (the distributed
-    standard): each undirected edge is oriented from its lower
+    standard; operators/graph.py count_triangles): each undirected
+    edge is oriented from its lower
     (degree, id) endpoint to the higher, wedges are generated only
     from out-neighbor pairs, and a final join checks the closing
     edge. Orientation bounds every node's out-degree by O(sqrt(E)),
     so the wedge explosion a hub node would cause in the naive a<b<c
     three-way self-join cannot happen — that naive form is exactly
     the oracle, correct at test scale and hub-bombed at 100 TB."""
+    from ..operators.graph import count_triangles
+
     li = table(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("p"),
@@ -342,49 +317,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
         .distinct()
-        # the edge table is read 4x below (degrees, both orient sides,
-        # closing-edge probe); materialize once — see operators/ssjoin.py
-        .localCheckpoint(eager=False)
     )
-    deg = (
-        edges.select(F.col("x").alias("v"))
-        .unionAll(edges.select(F.col("y").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("deg"))
-    )
-    # orient by (deg, id): lower endpoint -> higher endpoint
-    dx = deg.select(F.col("v").alias("x"), F.col("deg").alias("dx"))
-    dy = deg.select(F.col("v").alias("y"), F.col("deg").alias("dy"))
-    ed = edges.join(dx, "x").join(dy, "y")
-    fwd = (F.col("dx") < F.col("dy")) | (
-        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
-    )
-    oriented = ed.select(
-        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
-        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
-        F.when(fwd, F.col("dx")).otherwise(F.col("dy")).alias("sdeg"),
-        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("ddeg"),
-    )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    # out-neighbor pairs of one src, ordered by the same (deg, id) key
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (
-            (F.col("o1.ddeg") < F.col("o2.ddeg"))
-            | (
-                (F.col("o1.ddeg") == F.col("o2.ddeg"))
-                & (F.col("o1.dst") < F.col("o2.dst"))
-            )
-        ),
-    ).select(F.col("o1.dst").alias("src"), F.col("o2.dst").alias("dst"))
-    closing = oriented.select("src", "dst")
-    tris = wedges.join(closing, ["src", "dst"], "left_semi")
-    # three scalar aggregates; each side is a tiny 1-row frame
-    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
-    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
-    n_tris = tris.agg(F.count("*").cast("bigint").alias("n_triangles"))
-    return n_nodes.crossJoin(n_edges).crossJoin(n_tris)
+    return count_triangles(edges)
 
 
 @query(

@@ -311,3 +311,109 @@ def test_spacesaving_merge_guarantees(stream, capacity, n_chunks):
     for key, true in truth.items():
         if true > n / capacity:
             assert key in sketch, (key, true, n, capacity)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(-9, 9)),
+        min_size=0,
+        max_size=25,
+    )
+)
+@prop_settings
+def test_global_running_sum_matches_bruteforce(spark, rows):
+    """global_running_sum must equal a sequential prefix sum over the
+    total order for ANY input, including duplicates in the non-key
+    column, negative values, and the empty frame — the broadcast
+    offsets and per-partition cumsums must stitch seamlessly at every
+    range-partition boundary."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    # unique order keys (the helper requires a total order)
+    uniq = {}
+    for k, v in rows:
+        uniq.setdefault(k, v)
+    rows = sorted(uniq.items())
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k int, v int")
+    out = global_running_sum(df, [F.col("k").asc()], "v", "run")
+    got = {r.k: r.run for r in out.collect()}
+    acc = 0
+    for k, v in rows:
+        acc += v
+        assert got[k] == acc, (k, got[k], acc)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@prop_settings
+def test_skyline_two_phase_matches_bruteforce(spark, pts):
+    """The two-phase distributed skyline (keyed local prune +
+    broadcast dominance verify) must equal the quadratic definition
+    for ANY point set — ties on either dimension, duplicate points,
+    and single-point inputs are the edge cases the window bounds
+    (RANGE .. 1 PRECEDING, same-price max) must get right."""
+    from stock_prediction_data_engineering_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, price int, size int")
+    got = sorted(
+        (r.id, r.price, r.size)
+        for r in skyline_2d(df, minimize="price", maximize="size").collect()
+    )
+    want = sorted(
+        (i, p, s)
+        for (i, p, s) in rows
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for (_j, p2, s2) in rows
+        )
+    )
+    assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    )
+)
+@prop_settings
+def test_triangle_count_matches_bruteforce(spark, pairs):
+    """Degree-oriented triangle counting must equal the brute-force
+    enumeration for ANY graph — the orientation tie-break on equal
+    degrees is where a subtle wedge double-count or miss would hide."""
+    from itertools import combinations
+
+    from stock_prediction_data_engineering_spark.operators.graph import (
+        count_triangles,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "x int, y int")
+    row = count_triangles(df).collect()[0]
+    eset = set(edges)
+    nodes = sorted({v for e in edges for v in e})
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    assert row.n_triangles == want, (edges, row.n_triangles, want)
+    assert row.n_nodes == len(nodes)
+    assert row.n_edges == len(edges)
