@@ -550,3 +550,167 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.floor(num / F.sqrt(dx * dy) * 1000000).cast("bigint").alias("corr_ppm"),
     )
+
+
+_BARS_SQL = """
+    ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(CAST(value AS DECIMAL(18,4))*100 AS BIGINT) AS v_c,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ),
+    bars AS (
+      SELECT user_id, day,
+             MAX(CASE WHEN rn_d = 1 THEN v_c END) AS close_c,
+             MAX(v_c) AS high_c, MIN(v_c) AS low_c
+      FROM ranked GROUP BY user_id, day
+    )
+"""
+
+
+def _daily_bars_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) OHLC bars in integer cents — the shared input
+    of the true-range indicators (same shape as q_ohlc_candles)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("v_c"),
+    )
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(F.when(F.col("rn_d") == 1, F.col("v_c"))).alias("close_c"),
+            F.max("v_c").alias("high_c"),
+            F.min("v_c").alias("low_c"),
+        )
+    )
+
+
+@query(
+    "q_atr",
+    oracle=f"""
+    WITH {_BARS_SQL},
+    tr AS (
+      SELECT user_id, day,
+             CASE WHEN lag(close_c) OVER w IS NULL THEN high_c - low_c
+                  ELSE GREATEST(high_c - low_c,
+                                abs(high_c - lag(close_c) OVER w),
+                                abs(low_c - lag(close_c) OVER w)) END AS tr_c
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, day,
+           CAST(SUM(tr_c) OVER w14 // COUNT(*) OVER w14 AS BIGINT) AS atr_c
+    FROM tr
+    WINDOW w14 AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range (Wilder, simple-mean variant): true range =
+    max of today's span and both gap distances to yesterday's close,
+    averaged over a trailing 14-bar frame. Everything is integer
+    cents — TR is a max of integer differences and the mean is one
+    floor division of non-negative integers, identical across engines.
+
+    Plan: the daily-bar collapse shuffles by (user, day) once; the lag
+    and the trailing mean ride ONE keyed (user) sort — per-key-bounded
+    state, no global ordering."""
+    bars = _daily_bars_cents(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("day")
+    pc = F.lag("close_c").over(w)
+    tr = F.when(pc.isNull(), F.col("high_c") - F.col("low_c")).otherwise(
+        F.greatest(
+            F.col("high_c") - F.col("low_c"),
+            F.abs(F.col("high_c") - pc),
+            F.abs(F.col("low_c") - pc),
+        )
+    )
+    t = bars.withColumn("tr_c", tr)
+    return t.select(
+        "user_id",
+        "day",
+        F.expr(
+            "sum(tr_c) OVER (PARTITION BY user_id ORDER BY day"
+            " ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+            " div count(*) OVER (PARTITION BY user_id ORDER BY day"
+            " ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+        )
+        .cast("bigint")
+        .alias("atr_c"),
+    )
+
+
+@query(
+    "q_stochastic_osc",
+    oracle=f"""
+    WITH {_BARS_SQL},
+    k AS (
+      SELECT user_id, day,
+             CASE WHEN MAX(high_c) OVER w14 = MIN(low_c) OVER w14 THEN NULL
+                  ELSE (close_c - MIN(low_c) OVER w14) * 10000
+                       // (MAX(high_c) OVER w14 - MIN(low_c) OVER w14)
+             END AS k_bp
+      FROM bars
+      WINDOW w14 AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, CAST(k_bp AS BIGINT) AS k_bp,
+           CAST(CASE WHEN COUNT(k_bp) OVER w3 = 0 THEN NULL
+                     ELSE SUM(k_bp) OVER w3 // COUNT(k_bp) OVER w3
+                END AS BIGINT) AS d_bp
+    FROM k
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator: %K locates today's close inside the
+    trailing 14-bar high-low channel (basis points, one floor division
+    of non-negative integers); %D is the 3-bar mean of %K. A flat
+    channel (high == low over the whole frame) yields NULL rather than
+    a 0/0.
+
+    Plan: both frames ride the same keyed (user, day-order) sort as
+    every indicator in this module — adding an indicator to the stack
+    is marginal-cost-zero in shuffles."""
+    bars = _daily_bars_cents(spark, sf_dir)
+    w14 = (
+        "PARTITION BY user_id ORDER BY day"
+        " ROWS BETWEEN 13 PRECEDING AND CURRENT ROW"
+    )
+    w3 = (
+        "PARTITION BY user_id ORDER BY day"
+        " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+    )
+    k = bars.select(
+        "user_id",
+        "day",
+        F.expr(
+            f"CASE WHEN max(high_c) OVER ({w14}) = min(low_c) OVER ({w14})"
+            f" THEN NULL"
+            f" ELSE (close_c - min(low_c) OVER ({w14})) * 10000"
+            f"      div (max(high_c) OVER ({w14}) - min(low_c) OVER ({w14}))"
+            f" END"
+        )
+        .cast("bigint")
+        .alias("k_bp"),
+    )
+    return k.select(
+        "user_id",
+        "day",
+        "k_bp",
+        F.expr(
+            f"CASE WHEN count(k_bp) OVER ({w3}) = 0 THEN NULL"
+            f" ELSE sum(k_bp) OVER ({w3}) div count(k_bp) OVER ({w3}) END"
+        )
+        .cast("bigint")
+        .alias("d_bp"),
+    )

@@ -524,3 +524,118 @@ def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("source", F.col("n").alias("n_tokens")).agg(
         F.sum(F.expr(_CHI2_TERM)).cast("bigint").alias("chi2_ppb")
     )
+
+
+@query(
+    "q_token_rarity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY tok
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(1000000 // df) // COUNT(*) AS BIGINT) AS rarity_ppm
+    FROM tok JOIN df USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-rarity score per document: the mean inverse document
+    frequency of its tokens, in parts-per-million — high scores flag
+    documents built from corpus-rare vocabulary (OCR noise, code
+    soup, exotica) without any language model. Integer floor
+    divisions only, so cross-engine exact — the idf-weighting cousin
+    q_tfidf keeps the per-term ranking role.
+
+    Plan: token explode -> vocabulary-sized df aggregate ->
+    broadcast df join back -> per-doc aggregate. The df table is
+    vocabulary-sized, never corpus-sized."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    df = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    return (
+        toks.join(F.broadcast(df), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.expr("sum(1000000 div df) div count(*)")
+            .cast("bigint")
+            .alias("rarity_ppm"),
+        )
+    )
+
+
+@query(
+    "q_boilerplate_ngrams",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                   || ws[i+3] || ' ' || ws[i+4] AS gram
+      FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)
+    ),
+    df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS docs
+           FROM g GROUP BY gram)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN docs >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(SUM(CASE WHEN docs >= 10 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS boiler_bp
+    FROM g JOIN df USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus boilerplate detection (C4-style cleaning signal):
+    a document's distinct word 5-grams that recur in >= 10 documents
+    are boilerplate (headers, footers, templates); the per-doc
+    boilerplate ratio drives removal. Differs from
+    q_contamination_check (external benchmark membership) — this is
+    the corpus audited against itself.
+
+    Plan: distinct-gram explode -> gram-df aggregate -> join back ->
+    per-doc aggregate; gram df is the same inverted-index shape the
+    dedup family uses, and the >= 10 threshold reads straight off it."""
+    from ..operators.ssjoin import word_ngrams
+
+    g = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(word_ngrams("text", 5)).alias("gram")
+    )
+    df = g.groupBy("gram").agg(F.count("*").cast("bigint").alias("docs"))
+    boiler = F.sum(F.when(F.col("docs") >= 10, 1).otherwise(0))
+    return (
+        g.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            boiler.cast("bigint").alias("n_boiler"),
+            F.expr(
+                "sum(CASE WHEN docs >= 10 THEN 1 ELSE 0 END) * 10000"
+                " div count(*)"
+            )
+            .cast("bigint")
+            .alias("boiler_bp"),
+        )
+    )

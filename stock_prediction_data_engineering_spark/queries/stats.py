@@ -455,3 +455,87 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (count(*) * sum(c))"
         ).alias("gini_bp"),
     )
+
+
+@query(
+    "q_cusum",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,4))*100 AS BIGINT) AS v_c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, t,
+             SUM(v_c) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(v_c) OVER (PARTITION BY user_id) AS total,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM v
+    ),
+    d AS (
+      SELECT user_id, t, n, abs(n*cum - t*total) AS dev FROM s
+    ),
+    m AS (SELECT user_id, MAX(dev) AS max_dev FROM d GROUP BY user_id)
+    SELECT d.user_id, CAST(MAX(d.n) AS BIGINT) AS n_events,
+           CAST(m.max_dev AS BIGINT) AS max_dev,
+           CAST(MIN(d.t) AS BIGINT) AS cp_t
+    FROM d JOIN m ON d.user_id = m.user_id AND d.dev = m.max_dev
+    GROUP BY d.user_id, m.max_dev
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point locator per key: the index t maximizing
+    |cumsum_t - t*mean| flags the most likely mean shift in the
+    series. Cleared of the division — the deviation is scaled by n
+    (|n*cum_t - t*total|), so the whole statistic is exact BIGINT
+    algebra and the argmax tie-break (smallest t) is deterministic.
+
+    Plan: one keyed window pass (prefix sum + totals share the
+    (user) exchange), one keyed max, one keyed self-join on the max
+    value — per-key-bounded everywhere."""
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("user_id")
+    v = table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("v_c"),
+        F.row_number().over(w_ord).alias("t"),
+    )
+    s = v.select(
+        "user_id",
+        "t",
+        F.sum("v_c").over(w_cum).alias("cum"),
+        F.sum("v_c").over(w_all).alias("total"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    d = s.select(
+        "user_id",
+        "t",
+        "n",
+        F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("total")).alias(
+            "dev"
+        ),
+    )
+    m = d.groupBy("user_id").agg(F.max("dev").alias("max_dev"))
+    return (
+        d.join(m, (d.user_id == m.user_id) & (d.dev == m.max_dev))
+        .drop(m.user_id)
+        .groupBy("user_id", "max_dev")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.min("t").cast("bigint").alias("cp_t"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("max_dev").cast("bigint").alias("max_dev"),
+            "cp_t",
+        )
+    )

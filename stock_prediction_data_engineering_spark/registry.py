@@ -219,6 +219,11 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_ab_lift",             # hash-armed A/B conversion lift
     "q_pps_sample",          # deterministic PPS systematic sampling
     "q_rfm",                 # RFM quintile segmentation (3x global NTILE)
+    "q_atr",                 # finance: average true range (integer TR)
+    "q_stochastic_osc",      # finance: %K/%D channel position
+    "q_cusum",               # stats: integer CUSUM change-point locator
+    "q_token_rarity",        # curation: mean inverse-df vocabulary score
+    "q_boilerplate_ngrams",  # curation: corpus-frequent 5-gram ratio
 )
 
 ROWS_ONLY: tuple[str, ...] = (
