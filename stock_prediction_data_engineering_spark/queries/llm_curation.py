@@ -639,3 +639,70 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("boiler_bp"),
         )
     )
+
+
+@query(
+    "q_bigram_surprisal",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY w1, w2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c1 * 1000000 // c12) // COUNT(*) AS BIGINT)
+             AS surprisal_ppm
+    FROM bg JOIN uni USING (w1) JOIN bi USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency score without a model: per document, the mean
+    inverse bigram transition probability — c(w1)/c(w1,w2) — in parts
+    per million. Fluent text follows common transitions (low score);
+    word salad and OCR noise take rare transitions (high score). The
+    log-free integer form keeps it oracle-exact; a log-surprisal
+    variant is one monotone map away and ranks identically.
+
+    Plan: bigram explode (lag-free: pairs built from the word array
+    itself) -> two vocabulary-sized count aggregates -> broadcast
+    joins back -> per-doc aggregate."""
+    ws = F.filter(
+        F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    # bigrams as a zip of two shifted slices: each slice references the
+    # word array ONCE — an element_at-per-position lambda would embed a
+    # copy of the whole split subtree per bigram (the measured 10x trap
+    # documented in operators/ssjoin.word_ngrams)
+    pairs = F.expr(
+        "arrays_zip(slice(__ws, 1, size(__ws) - 1),"
+        "           slice(__ws, 2, size(__ws) - 1))"
+    )
+    bg = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", ws.alias("__ws"))
+        .filter(F.size("__ws") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    )
+    uni = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    return (
+        bg.join(F.broadcast(uni), "w1")
+        .join(F.broadcast(bi), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.expr("sum(c1 * 1000000 div c12) div count(*)")
+            .cast("bigint")
+            .alias("surprisal_ppm"),
+        )
+    )

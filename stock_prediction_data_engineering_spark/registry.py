@@ -224,6 +224,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_cusum",               # stats: integer CUSUM change-point locator
     "q_token_rarity",        # curation: mean inverse-df vocabulary score
     "q_boilerplate_ngrams",  # curation: corpus-frequent 5-gram ratio
+    "q_quantile_sketch",     # mergeable sqrt-histogram quantile sketch
+    "q_bigram_surprisal",    # curation: log-free corpus-LM fluency score
 )
 
 ROWS_ONLY: tuple[str, ...] = (

@@ -73,3 +73,34 @@ def test_walk_forward_backtest(spark):
 
     scores = walk_forward_rmse(feats, n_folds=3)
     assert scores and all(r >= 0.0 for (_i, r) in scores)
+
+
+def test_quantile_sketch_brackets_exact_percentile(spark):
+    """The sqrt-histogram sketch's [lo_c, hi_c] bucket bounds must
+    bracket the exact percentile value, and the bucket's relative
+    width must be within the documented ~2/sqrt(v) bound."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.catalog import table
+    from stock_prediction_data_engineering_spark.queries.stats import (
+        q_quantile_sketch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["pct"]: r for r in q_quantile_sketch(spark, sf).collect()}
+    assert set(rows) == {50, 90, 99}
+
+    v = (
+        table(spark, sf, "orders")
+        .select((F.col("o_totalprice").cast("decimal(18,4)") * 100)
+                .cast("bigint").alias("v_c"))
+    )
+    n = v.count()
+    exact = sorted(r.v_c for r in v.collect())
+    for pct, r in rows.items():
+        # exact percentile as the smallest value with cum count >= p%*n
+        idx = -(-pct * n // 100)  # ceil
+        ev = exact[idx - 1]
+        assert r["lo_c"] <= ev <= r["hi_c"], (pct, ev, r)
+        width = r["hi_c"] - r["lo_c"]
+        assert width <= 2 * (r["bucket"] + 1), (pct, width, r)
