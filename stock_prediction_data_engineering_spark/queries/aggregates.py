@@ -400,3 +400,35 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_cnt"),
         )
     )
+
+
+@query("q_hll_merge")
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (A6 completeness beyond the
+    scalar approx_count_distinct): per-year HLL sketches of the
+    ordering customers, plus a __total__ row whose estimate comes
+    from UNIONING the per-year sketch states — never re-scanning the
+    facts. This is the 100 TB pattern for distinct-count rollups:
+    persist sketch bytes per partition/day, answer any coarser grain
+    by sketch union (Datasketches HLL via Spark's hll_sketch_agg /
+    hll_union_agg builtins).
+
+    Rows-only by design: sketch estimates are engine-specific.
+    tests/test_dedup_similarity.py pins the estimates to within 5%
+    of the exact distinct counts at sf0.01."""
+    o = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"), "o_custkey"
+    )
+    per_year = o.groupBy("order_year").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    yearly = per_year.select(
+        F.col("order_year").cast("string").alias("grain"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_customers"),
+    )
+    total = per_year.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_customers")
+    ).select(F.lit("__total__").alias("grain"), "est_customers")
+    return yearly.unionAll(total)

@@ -248,6 +248,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_bpe_merges",                  # iterative BPE merge learning (argmax loop)
     "q_text_search",                 # persisted inverted-index BM25 retrieval
     "q_pagerank",                    # iterative power-method graph rank
+    "q_hll_merge",                   # A6: mergeable HLL sketch rollup
 )
 
 DRIVER_ORDER: tuple[str, ...] = (

@@ -589,3 +589,36 @@ def test_jaccard_prefix_join_threshold_monotone(planted_docs):
     hi = {(r.doc_a, r.doc_b) for r in hi_rows}
     assert hi <= lo
     assert all(r.jac_bp >= 9000 for r in hi_rows)
+
+
+def test_hll_merge_estimates_within_tolerance(spark):
+    """Per-year HLL estimates and the sketch-UNION total must each be
+    within 5% of the exact distinct counts — and the total must come
+    from merging the yearly sketch states, which this asserts by
+    checking it approximates the GLOBAL distinct (not the sum of
+    yearly distincts, which double-counts returning customers)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_ORACLE
+    from stock_prediction_data_engineering_spark.catalog import table
+    from stock_prediction_data_engineering_spark.queries.aggregates import (
+        q_hll_merge,
+    )
+
+    got = {r.grain: r.est_customers for r in q_hll_merge(spark, SF_ORACLE).collect()}
+    o = table(spark, SF_ORACLE, "orders").select(
+        F.year("o_orderdate").alias("y"), "o_custkey"
+    )
+    exact_per_year = {
+        str(r.y): r.d
+        for r in o.groupBy("y").agg(F.count_distinct("o_custkey").alias("d")).collect()
+    }
+    exact_total = o.select("o_custkey").distinct().count()
+    sum_of_years = sum(exact_per_year.values())
+
+    for y, exact in exact_per_year.items():
+        assert abs(got[y] - exact) <= max(2, 0.05 * exact), (y, got[y], exact)
+    assert abs(got["__total__"] - exact_total) <= max(2, 0.05 * exact_total)
+    # the union total tracks the global distinct, not the yearly sum
+    assert sum_of_years > exact_total  # testdata has returning customers
+    assert got["__total__"] < 0.8 * sum_of_years
