@@ -554,9 +554,9 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions only, so cross-engine exact — the idf-weighting cousin
     q_tfidf keeps the per-term ranking role.
 
-    Plan: token explode -> vocabulary-sized df aggregate ->
-    broadcast df join back -> per-doc aggregate. The df table is
-    vocabulary-sized, never corpus-sized."""
+    Plan: token explode -> vocabulary-sized df aggregate -> df join
+    back (AQE-sized: broadcast when it fits, shuffle when it
+    doesn't) -> per-doc aggregate."""
     toks = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(
@@ -569,8 +569,12 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("tok").agg(
         F.count_distinct("doc_id").cast("bigint").alias("df")
     )
+    # no broadcast hint: the df table is vocabulary-sized — bounded
+    # relative to the corpus but NOT provably under the broadcast
+    # threshold at 100 TB; AQE broadcasts it when it fits and falls
+    # back to a shuffle join when it doesn't (a forced hint would OOM)
     return (
-        toks.join(F.broadcast(df), "tok")
+        toks.join(df, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
@@ -695,9 +699,13 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
     bi = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    # no broadcast hints: uni is vocabulary-sized and bi is distinct-
+    # bigram-sized — both unbounded at 100 TB; AQE picks broadcast
+    # only when they actually fit (a forced hint would OOM on a real
+    # corpus). The two count joins share bg's (w1[, w2]) partitioning.
     return (
-        bg.join(F.broadcast(uni), "w1")
-        .join(F.broadcast(bi), ["w1", "w2"])
+        bg.join(uni, "w1")
+        .join(bi, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
