@@ -839,3 +839,79 @@ def test_dedup_ingest_snapshot_lake_publishes_atomic_batches(
         snapshot_read(spark, lake_path, version=versions[0]).count()
         < lake.count()
     )
+
+
+def test_streaming_quantiles_match_batch_sketch(spark, tmp_path_factory):
+    """Running quantile brackets across micro-batches: the LAST
+    emission per event_type must equal the sqrt-histogram sketch
+    built over the full table in one pass — histogram addition is
+    order-free integer arithmetic, so chunked evaluation IS batch
+    evaluation."""
+    import math
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stock_prediction_data_engineering_spark.streaming.quantiles import (
+        PCTS,
+        quantile_brackets,
+        streaming_quantiles,
+    )
+
+    src = str(tmp_path_factory.mktemp("quant_src"))
+    batch = _batch_events(spark).select("event_type", "ts", "value")
+    pdf = batch.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(src, f"part-{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[cuts[i] : cuts[i + 1]]), path
+        )
+        os.utime(path, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emissions = []
+
+    def capture(df, epoch_id):
+        emissions.append(df.toPandas())
+
+    q = (
+        streaming_quantiles(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len([e for e in emissions if len(e)]) >= 3
+    final = (
+        pd.concat(emissions, ignore_index=True)
+        .groupby("event_type", as_index=False)
+        .last()
+        .set_index("event_type")
+    )
+    # brute-force twin: one-pass histogram over the whole table
+    for et, grp in pdf.groupby("event_type"):
+        h = {}
+        for v in grp["value"]:
+            b = math.floor(math.sqrt(round(v * 100)))
+            h[b] = h.get(b, 0) + 1
+        want_n, want = quantile_brackets(h)
+        row = final.loc[et]
+        assert row["n"] == want_n
+        got = [row[f"p{p}_{s}"] for p in PCTS for s in ("lo", "hi")]
+        assert got == want, (et, got, want)
+        # and the bracket really contains the exact percentile value
+        vals = sorted(round(v * 100) for v in grp["value"])
+        for i, p in enumerate(PCTS):
+            idx = -(-p * want_n // 100)
+            ev = vals[idx - 1]
+            assert got[2 * i] <= ev <= got[2 * i + 1], (et, p, ev)
