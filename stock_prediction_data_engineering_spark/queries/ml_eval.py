@@ -363,3 +363,127 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_customers"),
         (F.sum("monet") * 100).cast("bigint").alias("monet_c"),
     )
+
+
+@query(
+    "q_gains_table",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monet
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT ntile(10) OVER (ORDER BY monet DESC, o_custkey) AS decile,
+             monet
+      FROM f
+    ),
+    d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(monet)*100 AS BIGINT) AS monet_c
+      FROM s GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n_customers, monet_c,
+             SUM(monet_c) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+             SUM(monet_c) OVER () AS total_c
+      FROM d
+    )
+    SELECT decile, n_customers, monet_c,
+           CAST(cum_c * 10000 // total_c AS BIGINT) AS cum_share_bp
+    FROM c
+    """,
+)
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains table (cumulative-lift / Lorenz view): customers ranked
+    by revenue into deciles, with each decile's cumulative share of
+    total revenue in basis points — the 'top 10% of customers carry
+    X% of revenue' readout, and the evaluation twin of q_gini (which
+    collapses this curve to one coefficient).
+
+    Plan: customer-sized aggregate -> exact global decile via the
+    two-phase ranker -> 10-row decile aggregate; the cumulative share
+    over the 10-row table is a broadcast-trivial keyed window (the
+    decile table is constant-sized, so a 1-group window here is
+    bounded by construction, not by data)."""
+    from ..operators.ranking import global_ntile, global_running_sum
+
+    f = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("monet"))
+    )
+    s = global_ntile(
+        f, 10, [F.col("monet").desc(), F.col("o_custkey").asc()], "decile"
+    )
+    d = s.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        (F.sum("monet") * 100).cast("bigint").alias("monet_c"),
+    )
+    c = global_running_sum(d, [F.col("decile").asc()], "monet_c", "cum_c")
+    t = d.agg(F.sum("monet_c").cast("bigint").alias("total_c"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_customers",
+        "monet_c",
+        F.expr("cum_c * 10000 div total_c").cast("bigint").alias("cum_share_bp"),
+    )
+
+
+@query(
+    "q_weekday_seasonality",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, dayofweek(ts) AS dow,
+             CAST(CAST(value AS DECIMAL(18,4))*100 AS BIGINT) AS v_c
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v_c) AS BIGINT) AS sum_c
+      FROM e GROUP BY event_type, dow
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_all,
+             CAST(SUM(sum_c) AS BIGINT) AS sum_all
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, dow, n,
+           CAST(sum_c * n_all * 10000 // (n * sum_all) AS BIGINT)
+             AS index_bp
+    FROM d JOIN t USING (event_type)
+    """,
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: the day's mean
+    value relative to the type's overall mean, in basis points
+    (10000 = no seasonality). The ratio of means is cleared to one
+    integer floor division — (sum_d/n_d)/(sum_all/n_all) =
+    sum_d*n_all/(n_d*sum_all) — so cross-engine exact. DuckDB's
+    dayofweek is 0-6 Sunday-first; Spark's dayofweek is 1-7, so the
+    Spark side emits dayofweek-1 to match.
+
+    Plan: one (type, dow)-keyed aggregate (42 rows), one type-keyed
+    rollup of it, broadcast join — the fact table is scanned once."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("v_c"),
+    )
+    d = e.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v_c").cast("bigint").alias("sum_c"),
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("sum_c").cast("bigint").alias("sum_all"),
+    )
+    return d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        F.expr("sum_c * n_all * 10000 div (n * sum_all)")
+        .cast("bigint")
+        .alias("index_bp"),
+    )

@@ -226,6 +226,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_boilerplate_ngrams",  # curation: corpus-frequent 5-gram ratio
     "q_quantile_sketch",     # mergeable sqrt-histogram quantile sketch
     "q_bigram_surprisal",    # curation: log-free corpus-LM fluency score
+    "q_gains_table",         # eval: cumulative-lift / Lorenz deciles
+    "q_weekday_seasonality", # time series: day-of-week index in bp
 )
 
 ROWS_ONLY: tuple[str, ...] = (
