@@ -95,6 +95,10 @@ HEADLINE_QUERIES = [
     "q_triangle_count",
     "q_ks_stat",
     "q_rfm",
+    # sketches + eval curve
+    "q_quantile_sketch",
+    "q_hll_merge",
+    "q_gains_table",
 ]
 
 
