@@ -81,8 +81,8 @@ def _with_global_rank(
 def global_running_sum(
     df: DataFrame,
     order_cols: list[Column],
-    sum_col: str,
-    out_col: str,
+    sum_col: str | list[str],
+    out_col: str | list[str],
 ) -> DataFrame:
     """Exact distributed ``SUM(sum_col) OVER (ORDER BY order_cols ROWS
     UNBOUNDED PRECEDING)`` — a global prefix sum with no
@@ -96,7 +96,17 @@ def global_running_sum(
        partition's cumulative offset via a broadcast map literal.
 
     Backs global-CDF analytics (KS statistic, Lorenz/gains curves)
-    that would otherwise need the un-partitioned-window cliff."""
+    that would otherwise need the un-partitioned-window cliff.
+
+    ``sum_col``/``out_col`` may be lists: every column's prefix sum is
+    computed in the SAME pass — one shuffle, one checkpoint, one
+    metadata collect, however many running sums (a two-sample CDF
+    needs two; calling the helper twice would double every barrier).
+    """
+    sum_cols = [sum_col] if isinstance(sum_col, str) else list(sum_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(sum_cols) != len(out_cols):
+        raise ValueError("sum_col and out_col lengths differ")
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (
@@ -105,28 +115,32 @@ def global_running_sum(
         .localCheckpoint(eager=True)
     )
     totals = {
-        r[_PID]: r["s"]
+        r[_PID]: [r[f"s{i}"] for i in range(len(sum_cols))]
         for r in ranged.groupBy(_PID)
-        .agg(F.sum(sum_col).alias("s"))
+        .agg(*[F.sum(c).alias(f"s{i}") for i, c in enumerate(sum_cols)])
         .collect()
     }
-    offsets: dict[int, int] = {}
-    acc = 0
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(sum_cols)
     for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
+        offsets[pid] = list(acc)
+        acc = [a + (t or 0) for a, t in zip(acc, totals[pid])]
     if not offsets:
-        offsets = {0: 0}
-    offset_map = F.create_map(
-        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
-    )
+        offsets = {0: [0] * len(sum_cols)}
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    running = (F.sum(sum_col).over(w) + offset_map[F.col(_PID)]).alias(out_col)
-    return ranged.select(*df.columns, running)
+    running = []
+    for i, (c, out) in enumerate(zip(sum_cols, out_cols)):
+        offset_map = F.create_map(
+            *[F.lit(x) for pid, offs in offsets.items() for x in (pid, offs[i])]
+        )
+        running.append(
+            (F.sum(c).over(w) + offset_map[F.col(_PID)]).alias(out)
+        )
+    return ranged.select(*df.columns, *running)
 
 
 def global_ntile(

@@ -302,20 +302,27 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import count_triangles
 
     li = table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"),
-        F.to_date("l_shipdate").alias("d"),
-        F.col("l_suppkey").alias("s"),
-    ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.p") == F.col("b.p"))
-            & (F.col("a.d") == F.col("b.d"))
-            & (F.col("a.s") < F.col("b.s")),
+    # edge generation WITHOUT a self-join: collect each (part, day)'s
+    # supplier set (bounded by suppliers-per-part-per-day — single
+    # digits in this domain) and explode its ordered pairs JVM-side.
+    # One shuffle by (p, d) instead of shuffling both join sides; the
+    # pair blowup is per-group |S|², the same bound the self-join had.
+    grp = (
+        li.select(
+            F.col("l_partkey").alias("p"),
+            F.to_date("l_shipdate").alias("d"),
+            F.col("l_suppkey").alias("s"),
         )
-        .select(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .groupBy("p", "d")
+        .agg(F.array_sort(F.collect_set("s")).alias("ss"))
+    )
+    pairs = F.expr(
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)), y -> struct(x AS x, y AS y))))"
+    )
+    edges = (
+        grp.select(F.explode(pairs).alias("e"))
+        .select("e.x", "e.y")
         .distinct()
     )
     return count_triangles(edges)

@@ -155,8 +155,7 @@ def q_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("b"),
     )
-    c = global_running_sum(g, [F.col("v_c").asc()], "a", "ca")
-    c = global_running_sum(c, [F.col("v_c").asc()], "b", "cb")
+    c = global_running_sum(g, [F.col("v_c").asc()], ["a", "b"], ["ca", "cb"])
     t = g.agg(
         F.sum("a").cast("bigint").alias("na"),
         F.sum("b").cast("bigint").alias("nb"),
