@@ -405,3 +405,58 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["cust_key"],
         seq_cols=["ts", "event_id"],
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_s
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit gap-based sessionization (gaps-and-islands): a session
+    id is the running count of >30-minute gaps, so every event gets a
+    stable (user, session) label — the MATERIALIZED form of T3's
+    session_window aggregate (q_session_window), which only emits the
+    window bounds. Per-session row counts and wall durations follow
+    from one keyed aggregate.
+
+    Plan: two stacked keyed windows (lag, running sum) on ONE
+    (user, time) sort, then a keyed aggregate — per-key-bounded."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("new_s", new_s).withColumn(
+        "session_id", F.sum("new_s").over(w_cum)
+    )
+    return s.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_s"),
+    )

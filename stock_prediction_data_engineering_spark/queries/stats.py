@@ -608,3 +608,47 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4))*100
+                              AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      FROM orders
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(COUNT(*) * 10000 // n AS BIGINT) AS share_bp
+    FROM d, t GROUP BY digit, n
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile of order totals — the
+    classic fraud/integrity screen (synthetic data won't follow
+    Benford's law; that deviation is exactly what the audit shows).
+    The leading digit comes from the DECIMAL-exact cent integer's
+    string form — no log10, no float, engine-portable.
+
+    Plan: narrow map -> 9-key aggregate + broadcast 1-row total."""
+    d = table(spark, sf_dir, "orders").select(
+        F.substring(
+            (F.col("o_totalprice").cast(DEC) * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    t = d.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_values"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_values",
+            F.expr("n_values * 10000 div n").cast("bigint").alias("share_bp"),
+        )
+    )

@@ -228,6 +228,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_bigram_surprisal",    # curation: log-free corpus-LM fluency score
     "q_gains_table",         # eval: cumulative-lift / Lorenz deciles
     "q_weekday_seasonality", # time series: day-of-week index in bp
+    "q_sessionize",          # events: materialized gap-session labels
+    "q_benford",             # stats: first-digit integrity profile
 )
 
 ROWS_ONLY: tuple[str, ...] = (
