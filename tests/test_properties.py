@@ -417,3 +417,34 @@ def test_triangle_count_matches_bruteforce(spark, pairs):
     assert row.n_triangles == want, (edges, row.n_triangles, want)
     assert row.n_nodes == len(nodes)
     assert row.n_edges == len(edges)
+
+
+@given(
+    vals=st.lists(st.integers(0, 500), min_size=1, max_size=200),
+)
+@settings(max_examples=100, deadline=None)
+def test_quantile_brackets_contain_exact_percentiles(vals):
+    """Pure-Python property check of the sketch bracket extraction
+    (no Spark): for ANY value multiset, each percentile's [lo, hi]
+    bucket bounds must contain the exact percentile value (smallest
+    value whose cumulative count reaches p%), and n must be exact."""
+    import math
+
+    from stock_prediction_data_engineering_spark.streaming.quantiles import (
+        PCTS,
+        quantile_brackets,
+    )
+
+    h = {}
+    for v in vals:
+        b = math.floor(math.sqrt(v))
+        h[b] = h.get(b, 0) + 1
+    n, brackets = quantile_brackets(h)
+    assert n == len(vals)
+    assert len(brackets) == 2 * len(PCTS)
+    svals = sorted(vals)
+    for i, p in enumerate(PCTS):
+        idx = -(-p * n // 100)  # ceil
+        exact = svals[idx - 1]
+        lo, hi = brackets[2 * i], brackets[2 * i + 1]
+        assert lo <= exact <= hi, (p, exact, lo, hi, vals)
