@@ -432,3 +432,59 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_customers")
     ).select(F.lit("__total__").alias("grain"), "est_customers")
     return yearly.unionAll(total)
+
+
+@query(
+    "q_yoy_growth",
+    oracle="""
+    WITH y AS (
+      SELECT year(o_orderdate) AS order_year,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))*100 AS BIGINT)
+               AS revenue_c
+      FROM orders GROUP BY order_year
+    )
+    SELECT order_year, revenue_c,
+           CAST(FLOOR(CAST(revenue_c - lag(revenue_c)
+                           OVER (ORDER BY order_year) AS DOUBLE) * 10000
+                      / lag(revenue_c) OVER (ORDER BY order_year))
+                AS BIGINT) AS yoy_bp
+    FROM y
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth in basis points. Growth can be
+    negative, so the ratio goes through FLOOR of an exact double
+    quotient (the q_ab_lift signed-division rule: Spark `div`
+    truncates, DuckDB `//` floors — they disagree exactly on negative
+    growth).
+
+    The 'lag' over the year-level aggregate is an equi-join on
+    year-1, not a window: years are a contiguous integer key, so the
+    previous row IS the previous key — a keyed broadcast join with no
+    global ordering anywhere (the plan audit rejects even a
+    constant-partition window, correctly: the optimizer folds the
+    constant away into an empty partition spec)."""
+    y = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 100)
+            .cast("bigint")
+            .alias("revenue_c")
+        )
+    )
+    prev = y.select(
+        (F.col("order_year") + 1).alias("order_year"),
+        F.col("revenue_c").alias("prev_c"),
+    )
+    return y.join(F.broadcast(prev), "order_year", "left").select(
+        "order_year",
+        "revenue_c",
+        F.floor(
+            (F.col("revenue_c") - F.col("prev_c")).cast("double")
+            * 10000
+            / F.col("prev_c")
+        )
+        .cast("bigint")
+        .alias("yoy_bp"),
+    )

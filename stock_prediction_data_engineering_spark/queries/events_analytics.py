@@ -460,3 +460,57 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("duration_s"),
     )
+
+
+@query(
+    "q_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cover AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                         CAST(day + INTERVAL 6 DAY
+                                              AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM ud
+    ),
+    span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud)
+    SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM cover, span
+    WHERE day BETWEEN lo AND hi
+    GROUP BY day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day. Spark windows cannot
+    do COUNT(DISTINCT) over a frame; the distributed form inverts the
+    problem — each (user, active-day) pair CONTRIBUTES to the 7
+    subsequent days' windows, so WAU(d) = distinct users among
+    contributions landing on d. One distinct collapse, a 7-row
+    explode, one keyed distinct-count — no per-day state, no
+    re-scanning a growing frame.
+
+    Output clipped to the observed day span so edge days (windows
+    reaching past the data) are not reported."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    span = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    return (
+        cover.crossJoin(F.broadcast(span))
+        .filter(F.col("day").between(F.col("lo"), F.col("hi")))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )

@@ -230,6 +230,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_weekday_seasonality", # time series: day-of-week index in bp
     "q_sessionize",          # events: materialized gap-session labels
     "q_benford",             # stats: first-digit integrity profile
+    "q_rolling_active_users",# events: WAU via contribution explode
+    "q_yoy_growth",          # aggregates: signed YoY growth in bp
 )
 
 ROWS_ONLY: tuple[str, ...] = (
