@@ -488,3 +488,63 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("yoy_bp"),
     )
+
+
+@query(
+    "q_ratio_to_report",
+    oracle="""
+    WITH n AS (
+      SELECT r.r_name AS region_name, na.n_name AS nation_name,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4)))*100 AS BIGINT)
+               AS bal_c
+      FROM customer c
+      JOIN nation na ON c.c_nationkey = na.n_nationkey
+      JOIN region r ON na.n_regionkey = r.r_regionkey
+      GROUP BY region_name, nation_name
+    ),
+    t AS (
+      SELECT region_name, CAST(SUM(bal_c) AS BIGINT) AS region_c
+      FROM n GROUP BY region_name
+    )
+    SELECT n.region_name, nation_name, bal_c,
+           CAST(FLOOR(CAST(bal_c AS DOUBLE) * 10000 / region_c) AS BIGINT)
+             AS share_bp
+    FROM n JOIN t USING (region_name)
+    """,
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT (share of parent): each nation's customer
+    balance as basis points of its region's total — the percent-of-
+    parent OLAP primitive. Computed as agg -> parent re-agg ->
+    broadcast join, NOT a partition-total window over the fact table:
+    the ratio attaches to the nation-level AGGREGATE (bounded rows),
+    so the fact table is scanned once and shuffled once. Balances can
+    be negative, so the share goes through FLOOR of an exact double
+    quotient (the signed-division portability rule)."""
+    c = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    n = (
+        c.join(F.broadcast(na), c.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(r), na.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(18,4)")) * 100)
+            .cast("bigint")
+            .alias("bal_c")
+        )
+    )
+    t = n.groupBy("region_name").agg(
+        F.sum("bal_c").cast("bigint").alias("region_c")
+    )
+    return n.join(F.broadcast(t), "region_name").select(
+        "region_name",
+        "nation_name",
+        "bal_c",
+        F.floor(F.col("bal_c").cast("double") * 10000 / F.col("region_c"))
+        .cast("bigint")
+        .alias("share_bp"),
+    )

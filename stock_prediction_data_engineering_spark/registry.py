@@ -232,6 +232,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_benford",             # stats: first-digit integrity profile
     "q_rolling_active_users",# events: WAU via contribution explode
     "q_yoy_growth",          # aggregates: signed YoY growth in bp
+    "q_ratio_to_report",     # aggregates: share-of-parent in bp
 )
 
 ROWS_ONLY: tuple[str, ...] = (
