@@ -67,7 +67,11 @@ def apply_changes(
     untouched = base.join(
         winners.select(*keys).distinct(), keys, "left_anti"
     )
-    upserts = winners.filter(F.col(op_col) != delete_op).select(
-        *base.columns
-    )
+    # NULL op must be handled explicitly: `op != 'delete'` evaluates
+    # NULL to NULL and would drop the row AFTER its key was already
+    # anti-joined out of base — a malformed changelog row silently
+    # deleting data. Unknown ops are treated as upserts instead.
+    upserts = winners.filter(
+        F.col(op_col).isNull() | (F.col(op_col) != delete_op)
+    ).select(*base.columns)
     return untouched.unionByName(upserts)

@@ -110,7 +110,12 @@ def sync_view_from_snapshots(
     latest = (list_versions(table_path) or [0])[-1]
 
     if latest > last:
-        delta = snapshot_changes(spark, table_path, since_version=last)
+        # until_version pins the delta to the watermark we are about
+        # to record — a commit racing in after list_versions() must
+        # not be absorbed now (it would be re-absorbed next sync)
+        delta = snapshot_changes(
+            spark, table_path, since_version=last, until_version=latest
+        )
         delta_state = partial_agg(delta, keys, value_col)
         if last > 0:
             prev = spark.read.parquet(
@@ -191,8 +196,13 @@ def sync_join_view_from_snapshots(
         va = vb = 0
 
     def full_rebuild() -> None:
-        j = snapshot_read(spark, left_path).join(
-            snapshot_read(spark, right_path), on, "inner"
+        # every read is PINNED to the recorded watermark (la, lb): a
+        # commit racing in after list_versions() must not leak into
+        # the view data with an older watermark recorded, or the next
+        # sync re-appends those rows as delta (duplicates). The racing
+        # commit is simply the next sync's delta.
+        j = snapshot_read(spark, left_path, version=la).join(
+            snapshot_read(spark, right_path, version=lb), on, "inner"
         )
         snapshot_write(
             j.localCheckpoint(eager=True),
@@ -208,12 +218,20 @@ def sync_join_view_from_snapshots(
             try:
                 delta_parts = []
                 if la > va:
-                    d_a = snapshot_changes(spark, left_path, since_version=va)
+                    d_a = snapshot_changes(
+                        spark, left_path, since_version=va, until_version=la
+                    )
                     delta_parts.append(
-                        d_a.join(snapshot_read(spark, right_path), on, "inner")
+                        d_a.join(
+                            snapshot_read(spark, right_path, version=lb),
+                            on,
+                            "inner",
+                        )
                     )
                 if lb > vb:
-                    d_b = snapshot_changes(spark, right_path, since_version=vb)
+                    d_b = snapshot_changes(
+                        spark, right_path, since_version=vb, until_version=lb
+                    )
                     a_old = (
                         snapshot_read(spark, left_path, version=va)
                         if va > 0
@@ -222,15 +240,22 @@ def sync_join_view_from_snapshots(
                         )
                     )
                     delta_parts.append(a_old.join(d_b, on, "inner"))
-                delta = delta_parts[0]
-                for p in delta_parts[1:]:
-                    delta = delta.unionByName(p)
-                snapshot_write(
-                    delta.localCheckpoint(eager=True),
-                    view_path,
-                    mode="append",
-                    extra_meta={"left_version": la, "right_version": lb},
-                )
+                if not delta_parts:
+                    # (la,lb) != (va,vb) but neither side advanced: a
+                    # source table regressed below the watermark
+                    # (deleted and recreated) — incremental deltas are
+                    # meaningless, rebuild from the current sources
+                    full_rebuild()
+                else:
+                    delta = delta_parts[0]
+                    for p in delta_parts[1:]:
+                        delta = delta.unionByName(p)
+                    snapshot_write(
+                        delta.localCheckpoint(eager=True),
+                        view_path,
+                        mode="append",
+                        extra_meta={"left_version": la, "right_version": lb},
+                    )
             except ValueError:
                 # a source history was rewritten; incremental deltas
                 # are invalid — rebuild from scratch

@@ -60,7 +60,22 @@ def search_index_write(
       bucket partitioning (pruned alongside postings);
     - ``meta.json`` — corpus size N and average doc length, the two
       scalars BM25 needs (driver-side, O(1)).
+
+    Publish is ATOMIC: postings/terms/meta are staged into a fresh
+    ``build-*`` directory and go live by one ``os.replace`` of the
+    ``CURRENT`` pointer file (the snapshot-manifest pattern from
+    sources/snapshots.py). A crash mid-rebuild leaves the previous
+    build live; a concurrent reader resolves CURRENT once and reads
+    one self-consistent build — never new postings with stale meta.
     """
+    os.makedirs(path, exist_ok=True)
+    attempt = 0
+    while True:
+        build = os.path.join(path, f"build-{os.getpid():05d}-{attempt:03d}")
+        if not os.path.exists(build):
+            break
+        attempt += 1
+
     toks = _tokens(docs, id_col, text_col)
     tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
@@ -71,7 +86,7 @@ def search_index_write(
         postings.repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{path}/postings")
+        .parquet(f"{build}/postings")
     )
     terms = (
         tf.groupBy("tok")
@@ -82,21 +97,46 @@ def search_index_write(
         terms.repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{path}/terms")
+        .parquet(f"{build}/terms")
     )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     ).collect()[0]
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/meta.json", "w") as fh:
+    with open(f"{build}/meta.json", "w") as fh:
         json.dump(
             {
                 "n_docs": stats["n_docs"],
-                "total_len": stats["total_len"],
+                # SUM over zero rows is NULL — coalesce so an all-empty
+                # corpus yields a valid (empty) index, not a None/1
+                # TypeError at query time
+                "total_len": stats["total_len"] or 0,
                 "n_buckets": n_buckets,
             },
             fh,
         )
+
+    prev = _current_build(path)
+    tmp = os.path.join(path, f".CURRENT.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write(os.path.basename(build))
+    os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic publish
+    if prev and os.path.isdir(os.path.join(path, prev)):
+        import shutil
+
+        shutil.rmtree(os.path.join(path, prev), ignore_errors=True)
+
+
+def _current_build(path: str) -> str | None:
+    """Resolve the live build dir name via the CURRENT pointer.
+    Falls back to the bare layout (postings/ directly under path) for
+    indexes written before atomic publish existed."""
+    cur = os.path.join(path, "CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as fh:
+            return fh.read().strip()
+    if os.path.isdir(os.path.join(path, "postings")):
+        return ""  # legacy flat layout
+    return None
 
 
 def search_index_query(
@@ -119,9 +159,16 @@ def search_index_query(
     TakeOrderedAndProject finish it. Nothing scales with corpus size
     except the matched posting lists themselves.
     """
-    with open(f"{path}/meta.json") as fh:
+    build = _current_build(path)
+    if build is None:
+        raise FileNotFoundError(f"no published search index at {path}")
+    root = os.path.join(path, build) if build else path
+    with open(f"{root}/meta.json") as fh:
         meta = json.load(fh)
     n_docs, n_buckets = meta["n_docs"], meta["n_buckets"]
+    if n_docs == 0:
+        # empty corpus: a valid index with nothing to match
+        return spark.createDataFrame([], "id bigint, score double")
     avgdl = meta["total_len"] / max(n_docs, 1)
 
     terms_df = spark.createDataFrame(
@@ -132,13 +179,13 @@ def search_index_query(
     toks = [r.tok for r in rows]
 
     stats = (
-        spark.read.parquet(f"{path}/terms")
+        spark.read.parquet(f"{root}/terms")
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("tok").isin(toks))
         .select("tok", "df")
     )
     postings = (
-        spark.read.parquet(f"{path}/postings")
+        spark.read.parquet(f"{root}/postings")
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("tok").isin(toks))
         .select("tok", "id", "tf", "dl")

@@ -185,14 +185,25 @@ def snapshot_read(
 
 
 def snapshot_changes(
-    spark: SparkSession, path: str, since_version: int
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    until_version: int | None = None,
 ) -> DataFrame:
-    """Rows added AFTER ``since_version`` up to latest — the
-    incremental-consumption feed (appends only; an overwrite commit
-    resets history, and this raises so the consumer re-syncs from a
-    full read instead of silently missing the rewrite)."""
+    """Rows added AFTER ``since_version`` up to ``until_version``
+    (default: latest) — the incremental-consumption feed (appends
+    only; an overwrite commit resets history, and this raises so the
+    consumer re-syncs from a full read instead of silently missing the
+    rewrite). Consumers that record a watermark must pass it as
+    ``until_version`` so a commit racing in between their version
+    listing and this read is excluded and picked up next sync."""
     versions = list_versions(path)
-    newer = [v for v in versions if v > since_version]
+    newer = [
+        v
+        for v in versions
+        if v > since_version
+        and (until_version is None or v <= until_version)
+    ]
     added: list[str] = []
     for v in newer:
         m = _load_manifest(path, v)

@@ -95,3 +95,36 @@ def test_search_scan_prunes_to_query_buckets(spark, corpus, tmp_path):
     # and the result is still correct under pruning
     got = {r.id for r in df.collect()}
     assert got == {1, 4}
+
+
+def test_search_rebuild_is_atomic_and_cleans_previous_build(
+    spark, corpus, tmp_path
+):
+    """Rebuilding publishes via one CURRENT-pointer swap: the query
+    path resolves exactly one self-consistent build, and the
+    superseded build directory is reclaimed."""
+    import os
+
+    path = str(tmp_path / "idx")
+    search_index_write(corpus, path)
+    first_builds = {
+        d for d in os.listdir(path) if d.startswith("build-")
+    }
+    assert len(first_builds) == 1
+    search_index_write(corpus.limit(3), path, n_buckets=8)
+    builds = {d for d in os.listdir(path) if d.startswith("build-")}
+    assert len(builds) == 1 and builds != first_builds
+    with open(os.path.join(path, "CURRENT")) as fh:
+        assert fh.read().strip() == next(iter(builds))
+    # query reflects the new build (doc 4 excluded by limit(3))
+    got = {r.id for r in search_index_query(spark, path, ["fox"]).collect()}
+    assert got == {0, 1}
+
+
+def test_search_empty_corpus_yields_valid_empty_index(spark, corpus, tmp_path):
+    """An all-empty corpus must publish a queryable index that returns
+    zero rows — not a meta.json with total_len=None that crashes the
+    query path."""
+    path = str(tmp_path / "idx")
+    search_index_write(corpus.limit(0), path)
+    assert search_index_query(spark, path, ["fox"], top_k=5).count() == 0

@@ -452,3 +452,126 @@ def test_incremental_join_view_matches_full_recompute(spark, tmp_path):
         key_cols=("k",),
     )
     check()
+
+
+def test_changes_until_version_bounds_delta(spark, docs, tmp_path):
+    """until_version pins the incremental feed to a recorded watermark
+    — commits past it are excluded (they belong to the next sync)."""
+    path = str(tmp_path / "tbl")
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+    snapshot_write(b1, path, mode="append")
+    snapshot_write(b2, path, mode="append")
+    snapshot_write(b3, path, mode="append")
+    delta = snapshot_changes(spark, path, since_version=1, until_version=2)
+    assert delta.count() == b2.count()
+    assert delta.exceptAll(b2).count() == 0
+    # bound == since: caught up, empty schema-stable frame
+    assert (
+        snapshot_changes(spark, path, since_version=2, until_version=2).count()
+        == 0
+    )
+
+
+def test_join_view_commit_racing_past_watermark_not_duplicated(
+    spark, tmp_path, monkeypatch
+):
+    """A commit landing between the maintainer's version listing and
+    its source reads must NOT be absorbed with an older watermark
+    recorded — that would re-append the same rows as delta next sync.
+    Simulated by patching list_versions to return the pre-race view of
+    the right table while the racing commit is already on disk."""
+    from stock_prediction_data_engineering_spark.operators.incremental import (
+        sync_join_view_from_snapshots,
+    )
+    from stock_prediction_data_engineering_spark.sources import snapshots as snap
+
+    pa, pb, pv = (str(tmp_path / d) for d in ("a", "b", "v"))
+    snapshot_write(
+        spark.createDataFrame([(k, f"a{k}") for k in range(5)],
+                              "k long, a_val string"), pa)
+    snapshot_write(
+        spark.createDataFrame([(k, f"b{k}") for k in range(5)],
+                              "k long, b_val string"), pb)
+    sync_join_view_from_snapshots(spark, pa, pb, pv, ["k"])
+
+    # left advances (triggers a sync); right's v2 "races in" after the
+    # maintainer's listing
+    snapshot_write(
+        spark.createDataFrame([(k, f"a{k}") for k in range(5, 8)],
+                              "k long, a_val string"), pa)
+    snapshot_write(
+        spark.createDataFrame([(k, f"B{k}") for k in range(3)],
+                              "k long, b_val string"), pb)
+
+    real_list = snap.list_versions
+
+    def stale_list(path):
+        vs = real_list(path)
+        return [v for v in vs if v <= 1] if path == pb else vs
+
+    monkeypatch.setattr(snap, "list_versions", stale_list)
+    sync_join_view_from_snapshots(spark, pa, pb, pv, ["k"])
+    monkeypatch.setattr(snap, "list_versions", real_list)
+
+    got = sync_join_view_from_snapshots(spark, pa, pb, pv, ["k"]).collect()
+    want = (
+        snapshot_read(spark, pa)
+        .join(snapshot_read(spark, pb), ["k"], "inner")
+        .collect()
+    )
+    gs, ws = sorted(map(tuple, got)), sorted(map(tuple, want))
+    assert gs == ws  # multiset equality: no duplicated racing rows
+
+
+def test_join_view_source_version_regression_rebuilds(spark, tmp_path):
+    """A source table deleted and recreated (latest version < recorded
+    watermark) must fall back to a full rebuild, not crash on an empty
+    delta."""
+    import shutil
+
+    from stock_prediction_data_engineering_spark.operators.incremental import (
+        sync_join_view_from_snapshots,
+    )
+
+    pa, pb, pv = (str(tmp_path / d) for d in ("a", "b", "v"))
+    a = spark.createDataFrame([(k, f"a{k}") for k in range(4)],
+                              "k long, a_val string")
+    snapshot_write(a, pa)
+    for i in range(3):  # right reaches v3
+        snapshot_write(
+            spark.createDataFrame([(k, f"b{k}_{i}") for k in range(4)],
+                                  "k long, b_val string"), pb)
+    sync_join_view_from_snapshots(spark, pa, pb, pv, ["k"])
+
+    shutil.rmtree(pb)  # table dropped and recreated at v1 < watermark 3
+    b_new = spark.createDataFrame([(k, f"nb{k}") for k in range(2)],
+                                  "k long, b_val string")
+    snapshot_write(b_new, pb)
+
+    got = sync_join_view_from_snapshots(spark, pa, pb, pv, ["k"]).collect()
+    want = a.join(b_new, ["k"], "inner").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_apply_changes_null_op_is_upsert_not_silent_delete(spark):
+    """A malformed changelog row with a NULL op must not silently
+    delete the base row (NULL != 'delete' is NULL under SQL
+    three-valued logic); unknown ops apply as upserts."""
+    from stock_prediction_data_engineering_spark.operators.cdc import (
+        apply_changes,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "k long, val string"
+    )
+    changes = spark.createDataFrame(
+        [(1, "ONE", None, 10), (2, "TWO", "upsert", 11)],
+        "k long, val string, op string, seq long",
+    )
+    got = {
+        (r.k, r.val)
+        for r in apply_changes(base, changes, ["k"], ["seq"]).collect()
+    }
+    assert got == {(1, "ONE"), (2, "TWO")}
