@@ -1,0 +1,98 @@
+"""MLlib model queries: batch scoring, text classification, embedding
+clustering, Word2Vec neighbors.
+
+These are the downstream-model surface the reference's lake exists to
+feed (reference README.md:46 "further analysis ... SageMaker";
+BASELINE.json approach "Spark DataFrame ETL + MLlib"). All rows-only:
+model outputs route through MLlib solvers/BLAS, so values are
+engine-internal — correctness is pinned by tests/test_ml_pipelines.py
+(the OLS scorer against a closed-form numpy twin to float precision;
+the classifier against its own training-set confusion structure).
+
+Scale notes: every fit/transform here is a distributed MLlib job —
+feature assembly is JVM-side window algebra or HashingTF (no
+vocabulary state), LinearRegression solver="normal" reduces to one
+X'X gram aggregate (d² doubles per partition, d=5), KMeans shuffles
+only k×d centers per iteration. Nothing materializes on the driver
+but coefficient vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query("q_model_scoring")
+def q_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward batch inference: fit the OLS next-step return
+    model on the first walk-forward training span of the lake's OHLCV
+    bars, score every later bar, return (company, bar_date,
+    prediction). The train/score boundary is a date predicate — no
+    future data reaches the fit (ml/backtest.py protocol)."""
+    from ..ml.backtest import walk_forward_splits
+    from ..ml.features import FEATURE_COLS, bar_features
+    from ..ml.pipelines import fit_return_scorer, score_returns
+    from ..sources.lake import ohlcv_from_events
+
+    feats = bar_features(ohlcv_from_events(spark, sf_dir))
+    folds = walk_forward_splits(feats, "bar_date", n_folds=1)
+    fold = folds[0]
+    model = fit_return_scorer(fold.train, FEATURE_COLS)
+    return score_returns(model, fold.test, ["company", "bar_date"]).orderBy(
+        "company", "bar_date"
+    )
+
+
+@query("q_doc_classify")
+def q_doc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-classification confusion profile: fit the HashingTF/IDF/
+    LogisticRegression pipeline to predict a document's source-language
+    label, score the corpus, and return (lang, predicted, n) cells —
+    the aggregate a curation pipeline monitors for label drift."""
+    from ..ml.pipelines import fit_doc_classifier, score_doc_classifier
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    model = fit_doc_classifier(docs, label_col="lang")
+    scored = score_doc_classifier(model, docs, label_col="lang")
+    return (
+        scored.groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query("q_kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding segmentation: MLlib KMeans (k=8, fixed seed) over the
+    embeddings table; returns per-cluster size + mean intra-cluster
+    label purity proxy (distinct labels) — the shape of a corpus-
+    domain clustering audit."""
+    from ..ml.pipelines import cluster_embeddings
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = cluster_embeddings(emb, k=8, seed=42)
+    return (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query("q_word2vec_neighbors")
+def q_word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec distributional neighbors of a corpus-frequent token —
+    the embedding-side twin of the n-gram co-occurrence audits in
+    llm_curation. Fixed seed + single fit partition keeps the output
+    deterministic per environment (rows-only by design)."""
+    from ..ml.pipelines import word2vec_neighbors
+
+    docs = table(spark, sf_dir, "documents")
+    return word2vec_neighbors(docs, probe="data", top_n=5)

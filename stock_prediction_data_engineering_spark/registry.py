@@ -256,6 +256,10 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_text_search",                 # persisted inverted-index BM25 retrieval
     "q_pagerank",                    # iterative power-method graph rank
     "q_hll_merge",                   # A6: mergeable HLL sketch rollup
+    "q_model_scoring",               # MLlib OLS batch inference (numpy-pinned)
+    "q_doc_classify",                # HashingTF/IDF/LogReg confusion profile
+    "q_kmeans_clusters",             # MLlib KMeans embedding segmentation
+    "q_word2vec_neighbors",          # Word2Vec distributional neighbors
 )
 
 DRIVER_ORDER: tuple[str, ...] = (
@@ -297,6 +301,7 @@ def load_all() -> None:
         joins,
         lake_q,
         llm_curation,
+        ml_models,
         llm_extras,
         llm_pipeline,
         llm_text,

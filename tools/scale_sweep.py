@@ -1,0 +1,116 @@
+"""Full-suite scale sweep: run EVERY oracle-backed query against its
+DuckDB oracle at an arbitrary sf directory (default: the replicated
+sf1 from tools/gen_scale.py), and every rows-only query for non-empty
+execution, recording per-query wall time and exact-match status.
+
+This converts the repo's 100 TB design arguments into committed
+measurements one decade up from the bench's sf0.1: correctness must
+hold exactly (the same canonicalized frame compare the in-repo parity
+suite uses), and per-query time is recorded so a second run at a
+different sf exposes super-linear queries.
+
+Usage:
+    python tools/scale_sweep.py [--sf-dir .data/sf1] [--out SWEEP_r4.json]
+        [--skip-rows-only]
+
+Output JSON: {"sf_dir": ..., "n_ok": N, "n_fail": N, "failures": [...],
+    "queries": {name: {"ok": bool, "rows": n, "sec": t}, ...}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=str(REPO / ".data/sf1"))
+    ap.add_argument("--out", default="")
+    ap.add_argument("--skip-rows-only", action="store_true")
+    ap.add_argument("--only", default="", help="comma-separated query names")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from test_oracle_parity import canonicalize
+
+    from stock_prediction_data_engineering_spark import registry
+    from stock_prediction_data_engineering_spark.catalog import TABLES
+    from stock_prediction_data_engineering_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="scale_sweep", driver_mem="16g")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    only = set(args.only.split(",")) if args.only else None
+    results: dict[str, dict] = {}
+    failures: list[str] = []
+
+    for name in sorted(registry.QUERIES):
+        if only and name not in only:
+            continue
+        has_oracle = name in registry.ORACLES
+        if args.skip_rows_only and not has_oracle:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = registry.QUERIES[name](spark, args.sf_dir).toPandas()
+            if has_oracle:
+                odf = con.sql(registry.ORACLES[name]).df()
+                a, b = canonicalize(sdf), canonicalize(odf)
+                ok = len(a) == len(b) and a.astype(str).equals(b.astype(str))
+            else:
+                ok = len(sdf) > 0
+            rec = {
+                "ok": bool(ok),
+                "oracle": has_oracle,
+                "rows": int(len(sdf)),
+                "sec": round(time.monotonic() - t0, 3),
+            }
+        except Exception as exc:  # noqa: BLE001 — fault-isolate per query
+            rec = {
+                "ok": False,
+                "oracle": has_oracle,
+                "rows": -1,
+                "sec": round(time.monotonic() - t0, 3),
+                "err": f"{type(exc).__name__}: {exc}"[:300],
+            }
+        results[name] = rec
+        if not rec["ok"]:
+            failures.append(name)
+        print(f"{'OK ' if rec['ok'] else 'FAIL'} {name} "
+              f"rows={rec['rows']} {rec['sec']}s", flush=True)
+        # evict cached/checkpointed blocks so queries don't interfere
+        spark.catalog.clearCache()
+
+    out = {
+        "sf_dir": args.sf_dir,
+        "n_ok": len(results) - len(failures),
+        "n_fail": len(failures),
+        "failures": failures,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 2),
+        "queries": results,
+    }
+    if args.out:
+        Path(args.out).write_text(json.dumps(out, indent=1))
+    print(json.dumps({k: out[k] for k in
+                      ("sf_dir", "n_ok", "n_fail", "failures", "total_sec")}))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
