@@ -1,0 +1,58 @@
+"""ANN recall regression gate (tools/ann_recall.py promoted to a
+failing test, per the round-3 review).
+
+Floors are pinned with margin below the measured values on the
+deterministic sf0.001 fixture (fixed query slice, hash-synthesized
+LSH planes, seeded KMeans — measured 2026-08-14: recall_lsh 0.24 /
+lift 1.89, recall_ivf 0.56 / lift 1.94, recall_ivf_fine 0.64 /
+lift 3.21). A similarity-operator change that degrades recall or
+recall-per-scanned-row below these floors now fails the suite instead
+of silently shipping a worse index. Absolute recall on this synthetic
+corpus is bounded by its weak cosine structure — the LIFT (recall /
+scan fraction) is the primary quality signal; >1 means the index
+captures real locality.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from conftest import SF_SMOKE
+
+FLOORS = {
+    "recall_lsh": 0.15,
+    "lift_lsh": 1.3,
+    "recall_ivf": 0.45,
+    "lift_ivf": 1.5,
+    "recall_ivf_fine": 0.55,
+    "lift_ivf_fine": 2.5,
+}
+
+
+@pytest.fixture(scope="module")
+def recall(spark):
+    from ann_recall import measure
+
+    return measure(spark, SF_SMOKE, k=10)
+
+
+@pytest.mark.parametrize("metric,floor", sorted(FLOORS.items()))
+def test_ann_recall_floor(recall, metric, floor):
+    assert recall[metric] >= floor, (
+        f"{metric}={recall[metric]} fell below pinned floor {floor} "
+        f"(full measurement: {recall})"
+    )
+
+
+def test_scan_fractions_stay_sublinear(recall):
+    """The approximate paths must actually examine a minority of the
+    corpus — an 'index' that scans everything trivially maxes recall
+    and would invalidate the lift floors."""
+    assert recall["scan_frac_lsh"] < 0.5
+    assert recall["scan_frac_ivf"] < 0.5
+    assert recall["scan_frac_ivf_fine"] < 0.5

@@ -1,0 +1,70 @@
+"""Diff two bench.py output files and report per-query regressions.
+
+Usage: python tools/bench_diff.py BENCH_r03.json BENCH_r04.json [--pct 15]
+
+Prints a table of queries whose time grew more than --pct percent
+between the old and new run (plus queries added/removed), and one JSON
+summary line. Exit code 1 if any regression exceeds the threshold —
+wire it into the round-close routine so a perf regression is a loud
+artifact, not a number nobody compares.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def diff(old: dict, new: dict, pct: float) -> dict:
+    qo, qn = old.get("queries", {}), new.get("queries", {})
+    common = sorted(set(qo) & set(qn))
+    regressions = []
+    improvements = []
+    for q in common:
+        a, b = qo[q], qn[q]
+        if not isinstance(a, (int, float)) or not isinstance(b, (int, float)):
+            continue
+        if a <= 0:
+            continue
+        delta = (b - a) / a * 100
+        row = {"query": q, "old_sec": a, "new_sec": b,
+               "delta_pct": round(delta, 1)}
+        if delta > pct:
+            regressions.append(row)
+        elif delta < -pct:
+            improvements.append(row)
+    return {
+        "n_common": len(common),
+        "added": sorted(set(qn) - set(qo)),
+        "removed": sorted(set(qo) - set(qn)),
+        "old_total_sec": round(sum(v for v in qo.values()
+                                   if isinstance(v, (int, float))), 2),
+        "new_total_sec": round(sum(v for v in qn.values()
+                                   if isinstance(v, (int, float))), 2),
+        "threshold_pct": pct,
+        "regressions": sorted(regressions, key=lambda r: -r["delta_pct"]),
+        "improvements": sorted(improvements, key=lambda r: r["delta_pct"]),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--pct", type=float, default=15.0)
+    args = ap.parse_args()
+    with open(args.old) as fh:
+        old = json.load(fh)
+    with open(args.new) as fh:
+        new = json.load(fh)
+    out = diff(old, new, args.pct)
+    for r in out["regressions"]:
+        print(f"REGRESSION {r['query']}: {r['old_sec']}s -> {r['new_sec']}s "
+              f"(+{r['delta_pct']}%)", file=sys.stderr)
+    print(json.dumps(out))
+    return 1 if out["regressions"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
