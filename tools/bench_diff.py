@@ -16,8 +16,17 @@ import json
 import sys
 
 
+def _unwrap(d: dict) -> dict:
+    """Accept either bench.py's raw JSON line or the driver's wrapper
+    (which nests it under "parsed")."""
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        return d["parsed"]
+    return d
+
+
 def diff(old: dict, new: dict, pct: float) -> dict:
-    qo, qn = old.get("queries", {}), new.get("queries", {})
+    old, new = _unwrap(old), _unwrap(new)
+    qo, qn = old.get("queries") or {}, new.get("queries") or {}
     common = sorted(set(qo) & set(qn))
     regressions = []
     improvements = []
