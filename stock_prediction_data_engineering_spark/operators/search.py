@@ -69,12 +69,16 @@ def search_index_write(
     one self-consistent build — never new postings with stale meta.
     """
     os.makedirs(path, exist_ok=True)
+    # atomic mkdir claim: concurrent rebuilder threads share the pid,
+    # so an exists-check would race two builders into one dir
     attempt = 0
     while True:
         build = os.path.join(path, f"build-{os.getpid():05d}-{attempt:03d}")
-        if not os.path.exists(build):
+        try:
+            os.mkdir(build)
             break
-        attempt += 1
+        except FileExistsError:
+            attempt += 1
 
     toks = _tokens(docs, id_col, text_col)
     tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))

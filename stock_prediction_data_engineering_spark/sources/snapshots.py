@@ -100,16 +100,23 @@ def snapshot_write(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_snap_dir(path), exist_ok=True)
 
-    # unique, never-published staging dir for this attempt's data files
+    # unique, never-published staging dir for this attempt's data
+    # files. The name must be claimed ATOMICALLY (os.mkdir, not an
+    # exists-check) — concurrent writer THREADS share the pid, and a
+    # check-then-write race would land two writers in one dir.
     attempt = 0
     while True:
         commit_dir = f"commit-{os.getpid():05d}-{attempt:03d}"
         full = os.path.join(path, commit_dir)
-        if not os.path.exists(full):
+        try:
+            os.mkdir(full)
             break
-        attempt += 1
+        except FileExistsError:
+            attempt += 1
 
-    w = df.write.option("compression", compression)
+    # "overwrite" because the claimed dir exists (and is empty) — no
+    # other writer can hold this name
+    w = df.write.mode("overwrite").option("compression", compression)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(full)

@@ -575,3 +575,80 @@ def test_apply_changes_null_op_is_upsert_not_silent_delete(spark):
         for r in apply_changes(base, changes, ["k"], ["seq"]).collect()
     }
     assert got == {(1, "ONE"), (2, "TWO")}
+
+
+def test_concurrent_writers_produce_one_linear_lossless_history(
+    spark, docs, tmp_path
+):
+    """Chaos: 4 writers commit concurrently to one table (shared
+    SparkSession, concurrent job submission — the os.link publish race
+    is real across threads). Every commit must land, versions must be
+    a gapless linear sequence, and the final table must hold every
+    batch exactly once (optimistic retry re-publishes, never rewrites
+    or drops data)."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    n_writers = 4
+    batches = [
+        docs.filter(F.col("doc_id") % n_writers == i).localCheckpoint()
+        for i in range(n_writers)
+    ]
+    errors: list[Exception] = []
+
+    def commit(i):
+        try:
+            snapshot_write(batches[i], path, mode="append", max_retries=20)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=commit, args=(i,)) for i in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert errors == []
+    assert list_versions(path) == list(range(1, n_writers + 1))
+    final = snapshot_read(spark, path)
+    want = batches[0]
+    for b in batches[1:]:
+        want = want.unionByName(b)
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
+    # each intermediate version is a strict superset chain (linear
+    # history, no lost-update anomalies)
+    sizes = [
+        snapshot_read(spark, path, version=v).count()
+        for v in list_versions(path)
+    ]
+    assert sizes == sorted(sizes) and len(set(sizes)) == n_writers
+
+
+def test_killed_mid_commit_leaves_no_visible_damage(spark, docs, tmp_path):
+    """Crash simulation at both pre-publish points: (a) data dir
+    written but no manifest; (b) manifest tmp file written but never
+    linked. Readers see only whole commits; the next writer claims the
+    next version cleanly."""
+    import json as _json
+
+    path = str(tmp_path / "tbl")
+    v1 = snapshot_write(docs.limit(10), path, mode="append")
+
+    # (a) orphan data dir, no manifest
+    orphan = os.path.join(path, "commit-99999-000")
+    docs.limit(5).write.parquet(orphan)
+    # (b) manifest tmp never published
+    tmp_manifest = os.path.join(path, "_snapshots", "v000002.json.tmp.999")
+    with open(tmp_manifest, "w") as fh:
+        _json.dump({"version": 2, "mode": "append", "dirs": []}, fh)
+
+    assert list_versions(path) == [v1]
+    assert snapshot_read(spark, path).count() == 10
+
+    v2 = snapshot_write(docs.limit(3), path, mode="append")
+    assert v2 == 2
+    assert snapshot_read(spark, path).count() == 13
