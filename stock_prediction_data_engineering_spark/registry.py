@@ -233,6 +233,15 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_rolling_active_users",# events: WAU via contribution explode
     "q_yoy_growth",          # aggregates: signed YoY growth in bp
     "q_ratio_to_report",     # aggregates: share-of-parent in bp
+    # TPC-H completeness family (Q2/Q11/Q13/Q15/Q18/Q20/Q21/Q22 shapes)
+    "q_tpch_min_cost_supplier",
+    "q_tpch_part_value_share",
+    "q_tpch_order_count_histogram",
+    "q_tpch_top_supplier",
+    "q_tpch_large_orders",
+    "q_tpch_excess_shippers",
+    "q_tpch_sole_late_shipper",
+    "q_tpch_quiet_rich_customers",
 )
 
 ROWS_ONLY: tuple[str, ...] = (
@@ -314,5 +323,6 @@ def load_all() -> None:
         streaming_batch,
         surface_extras,
         text_match,
+        tpch_shapes,
         windows,
     )
