@@ -58,6 +58,35 @@ def test_driver_priority_order():
     assert set(names) == set(registry.DRIVER_ORDER)
 
 
+def test_driver_window_pinned_verbatim():
+    """The 50 in-window entries are each the driver-green signal for
+    their own SURVEY §2 operator row (CORRECTNESS_r03.json is 50/50 on
+    exactly this list). Any roster edit that rotates the window —
+    silently trading an operator's driver signal for a duplicate —
+    must fail HERE and be a deliberate decision, not an accident."""
+    import __spark_entry__ as e
+    from stock_prediction_data_engineering_spark import registry
+
+    window = list(e.queries())[: registry.DRIVER_CAP]
+    assert window == [
+        "q_scan_project", "q_filter_limit", "q_filter_predicate",
+        "q_rename_select", "q_string_clean_cast", "q_null_handling",
+        "q_derive_year", "q_groupby_year_count", "q_history_count",
+        "q_multi_agg", "q_distinct", "q_count_distinct", "q_rollup",
+        "q_conditional_agg", "q_join_inner", "q_join_left", "q_join_semi",
+        "q_join_anti", "q_join_multiway", "q_join_range", "q_join_asof",
+        "q_window_lag_return", "q_moving_avg", "q_rank_topk_per_group",
+        "q_cumulative_sum", "q_ntile", "q_sort", "q_union", "q_intersect",
+        "q_except", "q_date_functions", "q_string_functions",
+        "q_math_functions", "q_case_when", "q_array_explode",
+        "q_json_extract", "q_scalar_udf", "q_symbol_preprocess",
+        "q_batch_assign", "q_dedup_exact", "q_text_stats",
+        "q_token_explode", "q_vector_dot", "q_topk_similar",
+        "q_tumbling_window", "q_window_range_frame", "q_udaf_range_cents",
+        "q_token_count", "q_quality_score", "q_doc_fingerprint",
+    ]
+
+
 def test_queries_run_on_a_plain_session():
     """The correctness driver calls queries() with its OWN SparkSession
     (no repo configs). Events-table reads must self-heal the
