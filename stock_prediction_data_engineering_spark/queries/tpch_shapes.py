@@ -11,7 +11,7 @@ Q22 so "TPC-H-ish" is a claim an outside reader can check query by
 query. All oracle-backed and hash-exact: money flows through
 DECIMAL(18,4) partial sums (or integer cents where a THRESHOLD
 comparison must be exact — a share-of-total boundary row must fall on
-the same side in both engines, so Q11 compares val*1000 > total in
+the same side in both engines, so Q11 compares val*count > 2*total in
 pure integers).
 
 Scale shapes: every query is aggregate-then-join — the correlated
@@ -122,17 +122,19 @@ def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS partkey, val_cents
     FROM pv
-    WHERE val_cents * 1000 > (SELECT SUM(val_cents) FROM pv)
+    WHERE val_cents * (SELECT COUNT(*) FROM pv)
+          > 2 * (SELECT SUM(val_cents) FROM pv)
     ORDER BY val_cents DESC, partkey
     """,
 )
 def q_tpch_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape — per-part value for one nation's suppliers,
-    HAVING share > 0.1% of that nation's global total. The share
-    boundary is compared in PURE INTEGERS (cents * 1000 vs total
-    cents) so no boundary row can fall on different sides across
-    engines. The scalar total broadcasts; only the per-part aggregate
-    shuffles."""
+    HAVING share > 2x the mean part share (Q11's fixed-fraction
+    threshold goes degenerate as part count scales — a mean-relative
+    cut is scale-free, so the query stays selective at any sf). The
+    boundary is compared in PURE INTEGERS (val*count vs 2*total cents)
+    so no boundary row can fall on different sides across engines. The
+    scalar total broadcasts; only the per-part aggregate shuffles."""
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier").join(
         F.broadcast(
@@ -148,10 +150,12 @@ def q_tpch_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_cents("l_extendedprice")).alias("val_cents"))
     )
-    total = pv.agg(F.sum("val_cents").alias("__total"))
+    total = pv.agg(
+        F.sum("val_cents").alias("__total"), F.count("*").alias("__n_parts")
+    )
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("val_cents") * 1000 > F.col("__total"))
+        .filter(F.col("val_cents") * F.col("__n_parts") > 2 * F.col("__total"))
         .select(F.col("l_partkey").alias("partkey"), "val_cents")
         .orderBy(F.col("val_cents").desc(), "partkey")
     )
