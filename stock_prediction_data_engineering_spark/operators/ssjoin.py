@@ -87,7 +87,40 @@ def jaccard_similarity_join(
     # core — the same byte-based-sizing trap operators/dedup.py
     # documents. Measured at sf0.1: 18 s -> ~1 s for the gram scan.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    arrs = docs.repartition(par, id_col).select(
+    # Exact-duplicate collapse (identity-preserving): identical texts
+    # have identical gram sets, so the whole prefix-filter pipeline
+    # runs on ONE representative per distinct text and the result
+    # expands back to member pairs — cross-cluster pairs inherit the
+    # representatives' exact (inter, union); intra-cluster pairs are
+    # inter = union = n with jac_bp = 10000 (only for clusters with a
+    # non-empty gram set: gram-less docs never enter the prefix index
+    # uncollapsed, so their twins must not pair here either). Without
+    # this, a cluster of m exact copies inflates candidates by C(m,2)
+    # while data grows by m — the measured 10.8x time for 10x data on
+    # the fully-duplicated sf1 replication fixture.
+    # The collapse engages ADAPTIVELY: one 1-row duplication profile
+    # over (id, content-hash); a dup-free corpus runs the direct
+    # pipeline and skips the expansion joins entirely.
+    src = docs.repartition(par, id_col)
+    members = src.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col).cast("string")).alias("__th"),
+    ).localCheckpoint(eager=False)
+    prof = members.agg(
+        F.count("*").alias("n"), F.countDistinct("__th").alias("d")
+    ).first()
+    # collapse pays only when duplicate mass is material: the
+    # expansion adds ~4 keyed joins, worth it when clusters shrink
+    # the candidate stage, pure overhead for a handful of twins
+    collapse = prof.d * 100 <= prof.n * 95
+    if collapse:
+        reps = members.groupBy("__th").agg(F.min("id").alias("id"))
+        src = src.join(
+            reps.select(F.col("id").alias("__rep_id")),
+            F.col(id_col) == F.col("__rep_id"),
+            "left_semi",
+        )
+    arrs = src.select(
         F.col(id_col).alias("id"),
         word_ngrams(text_col, ngram).alias("arr"),
     ).withColumn("n", F.size("arr"))
@@ -185,7 +218,7 @@ def jaccard_similarity_join(
             "union_grams", (F.col("na") + F.col("nb") - F.col("inter_grams")).cast("bigint")
         )
     )
-    return verified.filter(
+    rep_pairs = verified.filter(
         F.col("inter_grams") * threshold_den
         >= F.lit(threshold_num) * F.col("union_grams")
     ).select(
@@ -195,3 +228,68 @@ def jaccard_similarity_join(
         "union_grams",
         F.expr("(inter_grams * 10000) div union_grams").alias("jac_bp"),
     )
+    if not collapse:
+        return rep_pairs
+
+    # expand representative pairs to member pairs (disjoint clusters:
+    # least/greatest restores doc_a < doc_b; cross and intra sets
+    # cannot overlap)
+    rep_th = reps.select(F.col("id").alias("rid"), "__th")
+    cross = (
+        rep_pairs.join(
+            rep_th.select(
+                F.col("rid").alias("doc_a"), F.col("__th").alias("__th_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            rep_th.select(
+                F.col("rid").alias("doc_b"), F.col("__th").alias("__th_b")
+            ),
+            "doc_b",
+        )
+        .join(
+            members.select(
+                F.col("__th").alias("__th_a"), F.col("id").alias("a_id")
+            ),
+            "__th_a",
+        )
+        .join(
+            members.select(
+                F.col("__th").alias("__th_b"), F.col("id").alias("b_id")
+            ),
+            "__th_b",
+        )
+        .select(
+            F.least("a_id", "b_id").alias("doc_a"),
+            F.greatest("a_id", "b_id").alias("doc_b"),
+            "inter_grams",
+            "union_grams",
+            "jac_bp",
+        )
+    )
+    if threshold_num > threshold_den:
+        return cross
+    grammed_th = (
+        arrs.filter(F.col("n") > 0)
+        .select("id", "n")
+        .join(rep_th, F.col("id") == F.col("rid"), "inner")
+        .select("__th", "n")
+    )
+    mm = members.join(grammed_th, "__th")
+    intra = (
+        mm.alias("x")
+        .join(
+            mm.alias("y"),
+            (F.col("x.__th") == F.col("y.__th"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.col("x.n").cast("bigint").alias("inter_grams"),
+            F.col("x.n").cast("bigint").alias("union_grams"),
+            F.lit(10000).cast("bigint").alias("jac_bp"),
+        )
+    )
+    return cross.unionByName(intra)

@@ -622,3 +622,70 @@ def test_hll_merge_estimates_within_tolerance(spark):
     # the union total tracks the global distinct, not the yearly sum
     assert sum_of_years > exact_total  # testdata has returning customers
     assert got["__total__"] < 0.8 * sum_of_years
+
+
+def test_collapse_expansion_equivalence_under_heavy_duplication(spark):
+    """The exact-dup collapse (engaged: 10 copies per text) must
+    return exactly what brute force returns for the similarity join,
+    and the LSH pair set must contain every intra-cluster pair at
+    jaccard 1.0 plus cross pairs mirroring the representative pairs."""
+    import re
+    from itertools import combinations
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from stock_prediction_data_engineering_spark.operators.ssjoin import (
+        jaccard_similarity_join,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill near the old stone wall"
+    )
+    texts = {
+        0: base,
+        1: base.replace("lazy", "sleepy"),
+        2: "entirely different content about distributed shuffle hash "
+           "joins and adaptive query execution in columnar engines",
+    }
+    # 10 exact copies of each text; ids interleaved so min-id reps are
+    # nontrivial
+    rows = [(t * 100 + c, txt) for t, txt in texts.items() for c in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(text, n=3):
+        ws = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: grams(txt) for i, txt in rows}
+    expected = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter * 2 >= union:
+            expected.add((a, b, inter, union))
+    got = {
+        (r.doc_a, r.doc_b, r.inter_grams, r.union_grams)
+        for r in jaccard_similarity_join(
+            docs, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert got == expected
+    # sanity: brute force includes intra-cluster AND cross-cluster pairs
+    assert (0, 1, len(sets[0]), len(sets[0])) in expected          # twins
+    assert any(a < 100 <= b for (a, b, _i, _u) in expected)        # cross
+
+    # LSH: every intra-cluster pair at jaccard exactly 1.0, and the
+    # 0<->1 near-dup clusters fully cross-paired
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    for t in texts:
+        ids = [t * 100 + c for c in range(10)]
+        for a, b in combinations(ids, 2):
+            assert pairs.get((a, b)) == 1.0, (a, b)
+    cross_01 = [(a, b) for (a, b) in pairs if a < 100 <= b < 200]
+    assert len(cross_01) == 100  # all 10x10 member pairs of clusters 0,1
+    assert len({pairs[p] for p in cross_01}) == 1  # identical jaccard
