@@ -146,10 +146,18 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train, bench) document pair.
 
     Scale shape: grams are distinct-per-doc before the join (bounds
-    posting duplication), and the benchmark side of an eval-suite is
-    tiny relative to a 100 TB corpus — it broadcasts, so the audit is
-    a map-side join over the training grams with no all-pairs blowup.
-    The aggregate then shuffles only matched pairs."""
+    posting duplication), and the join strategy is left to AQE on
+    purpose: when the benchmark side is genuinely eval-suite-sized it
+    broadcasts at runtime (AQE sees the actual post-filter bytes), and
+    when it grows with the corpus — as it does in this fixture, where
+    membership is doc_id % 97 — it shuffles on the gram key instead
+    of OOMing the driver. A forced broadcast measured SLOWER at both
+    sf0.1 (1.37 s vs 0.75 s) and sf1 (7.13 s vs 6.98 s) and caps out
+    at spark.driver.maxResultSize long before 100 TB. The aggregate
+    then shuffles only matched pairs; output cardinality is quadratic
+    in exact-duplicate mass by the query's own semantics (copies land
+    on both sides of the % 97 split), which SCALING_r4.md normalizes
+    for."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("words")
     )
@@ -164,7 +172,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("train_doc_id"), "g"
     )
     return (
-        train.join(F.broadcast(bench), "g")
+        train.join(bench, "g")
         .groupBy("train_doc_id", "bench_doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
