@@ -514,3 +514,99 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+@query(
+    "q_event_paths",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY cnt DESC, path
+    LIMIT 20
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 20 most common 3-step event-type
+    sequences across all users (every consecutive triple in each
+    user's timeline) — the n-gram view of a clickstream that funnels
+    and transition matrices both summarize away.
+
+    Scale shape: one per-user window exchange produces both leads in a
+    single pass, then a hash aggregate over a path vocabulary bounded
+    by |event_type|^3 (tiny), finished by TakeOrderedAndProject — the
+    full path table never sorts globally. The window ordering
+    (ts, event_id) is total, so ties cannot reorder across engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "q_inter_event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS avg_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival profile: per event type, the count, total, max,
+    and integer mean of the microsecond gaps between consecutive
+    events of the same user — the cadence statistic that sizes
+    sessionization thresholds and watermark delays (q_sessionize's
+    30-minute gap and the streaming watermark both come from this
+    distribution's tail).
+
+    Scale shape: one window exchange keyed (user_id, event_type), then
+    a tiny per-type hash aggregate with map-side partials. Gaps are
+    exact integer microsecond differences (unix_micros ≡ epoch_us), so
+    the cross-engine hash needs no float tolerance."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))).alias(
+            "gap_us"
+        ),
+    )
+    return (
+        g.filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.expr("sum(gap_us) div count(*)").alias("avg_gap_us"),
+        )
+    )

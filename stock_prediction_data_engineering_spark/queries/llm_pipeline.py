@@ -476,6 +476,117 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_chunk_windows",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS wc
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, words, wc, unnest(range(1, wc + 1, 48)) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+           CAST(least(64, wc - s + 1) AS BIGINT) AS chunk_len,
+           array_to_string(words[s : s + 63], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: every document is cut into
+    64-word windows with stride 48 (16-word overlap, so no sentence is
+    orphaned at a boundary) — the retrieval-corpus prep step between
+    curation and embedding. Emits the chunk index, its exact word
+    count, and the chunk text itself (the embedder's input).
+
+    Scale shape: one narrow projection + a generator explode — zero
+    shuffles, embarrassingly parallel per input split. Chunk count per
+    doc is ceil(wc / 48), so output size is ~wc/48-linear in corpus
+    tokens; the explode never materializes a per-doc quadratic. The
+    overlap convention (start positions 1, 49, 97, ... and a clamped
+    final slice) is integer arithmetic reproduced exactly by both
+    engines."""
+    starts = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .withColumn("wc", F.size("words"))
+        .select(
+            "doc_id",
+            "words",
+            "wc",
+            F.explode(F.expr("sequence(1, wc, 48)")).alias("s"),
+        )
+    )
+    return starts.select(
+        "doc_id",
+        F.expr("(s - 1) div 48").alias("chunk_idx"),
+        F.least(F.lit(64), F.col("wc") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.expr("array_join(slice(words, s, 64), ' ')").alias("chunk_text"),
+    )
+
+
+@query(
+    "q_seqlen_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+      FROM documents
+    ),
+    b AS (
+      SELECT wc,
+             (1 << (len(list_filter(range(0, 21), x -> (1 << x) <= wc)) - 1))
+               AS bucket_lo
+      FROM t
+    )
+    SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+           CAST(bucket_lo * 2 - 1 AS BIGINT) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(wc) AS BIGINT) AS sum_tokens
+    FROM b GROUP BY bucket_lo ORDER BY bucket_lo
+    """,
+)
+def q_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-two buckets — the
+    context-window planning profile (how much of the corpus fits a
+    2k/4k/8k window, where truncation or packing waste concentrates).
+    Bucket [2^k, 2^(k+1)) membership is computed with pure integer
+    shifts and comparisons (count of powers of two <= wc), NOT
+    floor(log2(wc)) — libm log rounding is not identical across
+    engines, shift arithmetic is.
+
+    Scale shape: one narrow map + one ~20-group aggregate with
+    map-side partials; nothing here changes at 100x."""
+    t = table(spark, sf_dir, "documents").select(
+        F.expr(_WC).cast("bigint").alias("wc")
+    )
+    bits = F.size(
+        F.filter(
+            F.expr("transform(sequence(0, 20), x -> shiftleft(1, x))"),
+            lambda p: p <= F.col("wc"),
+        )
+    )
+    return (
+        t.withColumn("bits", bits)
+        .withColumn(
+            "bucket_lo", F.expr("cast(shiftleft(1, bits - 1) as bigint)")
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"), F.sum("wc").alias("sum_tokens"))
+        .select(
+            "bucket_lo",
+            (F.col("bucket_lo") * 2 - 1).cast("bigint").alias("bucket_hi"),
+            "n_docs",
+            "sum_tokens",
+        )
+        .orderBy("bucket_lo")
+    )
+
+
 @query("q_text_search")  # rows-only: BM25 log + filesystem side effect
 def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-text retrieval exercised end-to-end: build the persisted

@@ -233,6 +233,10 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_rolling_active_users",# events: WAU via contribution explode
     "q_yoy_growth",          # aggregates: signed YoY growth in bp
     "q_ratio_to_report",     # aggregates: share-of-parent in bp
+    "q_chunk_windows",       # RAG prep: 64/48 sliding-window chunking
+    "q_seqlen_histogram",    # training prep: power-of-2 length buckets
+    "q_event_paths",         # events: top 3-step event-type paths
+    "q_inter_event_gaps",    # events: inter-arrival cadence profile
     # TPC-H completeness family (Q2/Q11/Q13/Q15/Q18/Q20/Q21/Q22 shapes)
     "q_tpch_min_cost_supplier",
     "q_tpch_part_value_share",
