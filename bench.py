@@ -161,6 +161,11 @@ def main() -> None:
         if fn is None:
             failed[name] = "not registered"
             continue
+        # progress to stderr (stdout carries ONLY the JSON contract
+        # line): at larger scale factors a single straggler query can
+        # dominate the run, and without per-query marks the only
+        # signal is an anonymous Spark stage number
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         try:
             # pass 0: untimed, pays per-plan codegen. passes 1-2: timed;
             # report the MIN — a transient host-load spike on one pass
@@ -176,6 +181,7 @@ def main() -> None:
                 if measured:
                     runs.append(time.perf_counter() - t0)
             times[name] = round(min(runs), 3)
+            print(f"[bench] {name} = {times[name]} s", file=sys.stderr, flush=True)
             clear_rdd_storage()
         except Exception as exc:  # noqa: BLE001 — isolate per query
             # (str() can be empty — e.g. bare RuntimeError() — and

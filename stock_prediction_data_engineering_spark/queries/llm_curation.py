@@ -122,6 +122,87 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("passes", passes)
 
 
+def contamination_pairs(docs: DataFrame) -> DataFrame:
+    """df-level body of q_contamination_check (factored out so tests
+    can drive it with duplicated fixtures).
+
+    Scale shape: grams are distinct-per-doc before the join (bounds
+    posting duplication), and the join strategy is left to AQE on
+    purpose: when the benchmark side is genuinely eval-suite-sized it
+    broadcasts at runtime (AQE sees the actual post-filter bytes), and
+    when it grows with the corpus — as it does in this fixture, where
+    membership is doc_id % 97 — it shuffles on the gram key instead
+    of OOMing the driver. A forced broadcast measured SLOWER at both
+    sf0.1 (1.37 s vs 0.75 s) and sf1 (7.13 s vs 6.98 s) and caps out
+    at spark.driver.maxResultSize long before 100 TB.
+
+    Exact-duplicate collapse (adaptive, same move as
+    operators/dedup.py R107): output cardinality is quadratic in
+    exact-duplicate mass by the query's own semantics — the 10 copies
+    of one text straddle the % 97 cut, so every (train-copy,
+    bench-copy) pair is a real answer row. That output is irreducible,
+    but the GRAM JOIN need not pay it: when a 1-row duplication
+    profile shows material dup mass, grams are computed for ONE
+    representative per distinct text, the overlap join runs at
+    cluster level (directed pairs, self-pairs included — a cluster
+    with members on both sides of the cut overlaps itself on its full
+    gram set), and members are stamped back on by two content-hash
+    joins whose cost is output-bound. Candidate work drops from
+    O((m·D)²-ish) to O(D²-ish) for m-fold duplication."""
+    words = docs.select(
+        F.col("doc_id"), F.split("text", " ").alias("words")
+    )
+    members = docs.select(
+        "doc_id", F.md5(F.col("text").cast("string")).alias("__th")
+    ).localCheckpoint(eager=False)
+    prof = members.agg(
+        F.count("*").alias("n"), F.countDistinct("__th").alias("d")
+    ).first()
+    if prof.d * 100 > prof.n * 95:  # dup mass immaterial: direct path
+        grams = words.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_TRIGRAMS))).alias("g"),
+        )
+        bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("bench_doc_id"), "g"
+        )
+        train = grams.filter(F.col("doc_id") % 97 != 0).select(
+            F.col("doc_id").alias("train_doc_id"), "g"
+        )
+        return (
+            train.join(bench, "g")
+            .groupBy("train_doc_id", "bench_doc_id")
+            .agg(F.count("*").alias("n_shared"))
+        )
+    reps = members.groupBy("__th").agg(F.min("doc_id").alias("rid"))
+    rep_grams = (
+        words.join(reps, F.col("doc_id") == F.col("rid"), "inner")
+        .select(
+            "__th",
+            F.explode(F.array_distinct(F.expr(_TRIGRAMS))).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # directed cluster-pair overlap, self-pairs included: |∩| between
+    # the two clusters' gram sets is the n_shared every member pair
+    # inherits
+    directed = (
+        rep_grams.select(F.col("__th").alias("__th_t"), "g")
+        .join(rep_grams.select(F.col("__th").alias("__th_b"), "g"), "g")
+        .groupBy("__th_t", "__th_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    train_m = members.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("__th").alias("__th_t"), F.col("doc_id").alias("train_doc_id")
+    )
+    bench_m = members.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("__th").alias("__th_b"), F.col("doc_id").alias("bench_doc_id")
+    )
+    return directed.join(train_m, "__th_t").join(bench_m, "__th_b").select(
+        "train_doc_id", "bench_doc_id", "n_shared"
+    )
+
+
 @query(
     "q_contamination_check",
     oracle="""
@@ -143,39 +224,9 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination audit: word-3-gram overlap between the
     training corpus and a held-out benchmark slice (deterministic
     doc_id % 97 membership), reporting shared distinct n-grams per
-    (train, bench) document pair.
-
-    Scale shape: grams are distinct-per-doc before the join (bounds
-    posting duplication), and the join strategy is left to AQE on
-    purpose: when the benchmark side is genuinely eval-suite-sized it
-    broadcasts at runtime (AQE sees the actual post-filter bytes), and
-    when it grows with the corpus — as it does in this fixture, where
-    membership is doc_id % 97 — it shuffles on the gram key instead
-    of OOMing the driver. A forced broadcast measured SLOWER at both
-    sf0.1 (1.37 s vs 0.75 s) and sf1 (7.13 s vs 6.98 s) and caps out
-    at spark.driver.maxResultSize long before 100 TB. The aggregate
-    then shuffles only matched pairs; output cardinality is quadratic
-    in exact-duplicate mass by the query's own semantics (copies land
-    on both sides of the % 97 split), which SCALING_r4.md normalizes
-    for."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("words")
-    )
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(_TRIGRAMS))).alias("g"),
-    )
-    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("bench_doc_id"), "g"
-    )
-    train = grams.filter(F.col("doc_id") % 97 != 0).select(
-        F.col("doc_id").alias("train_doc_id"), "g"
-    )
-    return (
-        train.join(bench, "g")
-        .groupBy("train_doc_id", "bench_doc_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    (train, bench) document pair. See :func:`contamination_pairs` for
+    the plan (adaptive exact-dup collapse + AQE-decided join)."""
+    return contamination_pairs(table(spark, sf_dir, "documents"))
 
 
 @query(

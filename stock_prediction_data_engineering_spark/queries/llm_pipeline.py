@@ -392,6 +392,128 @@ def q_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FIVEGRAMS = (
+    "CASE WHEN size(words) >= 5 THEN "
+    "transform(sequence(1, size(words) - 4), "
+    "i -> array_join(slice(words, i, 5), ' ')) "
+    "ELSE array() END"
+)
+
+
+def leakage_profile(docs: DataFrame) -> DataFrame:
+    """df-level body of q_split_leakage (factored out so tests can
+    drive it with duplicated fixtures).
+
+    Scale shape: 5-grams are distinct-per-doc before the join (bounds
+    posting duplication). The eval side is ~20 % of the corpus — it
+    grows WITH the corpus, so the join strategy is deliberately left
+    to AQE: at small scale AQE broadcasts it from measured runtime
+    bytes (faster than the hint ever was: 1.04 s vs 1.43 s at sf0.1),
+    and at corpus scale it shuffles on the gram key — the only plan
+    that survives 100 TB, where a forced broadcast of 20 % of the
+    corpus is a driver OOM.
+
+    Exact-duplicate collapse (adaptive, ALGEBRAIC — stronger than the
+    pair-expansion in operators/dedup.py R107 because this query's
+    output is per-eval-doc aggregates, not pairs): the split is a
+    function of md5(text), so every member of an exact-dup cluster
+    shares one split label, and for an eval doc e in cluster E the
+    answer is pure cluster-level algebra over train clusters T —
+
+        n_train_docs(e)   = sum_T  m_T * [shared(T, E) > 0]
+        n_shared_grams(e) = sum_T  m_T * shared(T, E)
+
+    (m_T = cluster size, shared = gram overlap between the two
+    distinct texts). So when the 1-row duplication profile shows
+    material dup mass, the gram join runs once per distinct-text
+    pair, the two sums aggregate a cluster-sized table, and members
+    are stamped on by one content-hash join — the whole path is
+    LINEAR in corpus size even though the direct pipeline's
+    intermediate match set grows quadratically in duplication (the
+    direct path's per-gram fan-out is m^2 per cluster; measured 5.5x
+    time for 10x data on the fully-duplicated sf1 fixture)."""
+    bucket = F.substring(F.md5("text"), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    members = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("string")).alias("__th"),
+        split.alias("split"),
+    ).localCheckpoint(eager=False)
+    prof = members.agg(
+        F.count("*").alias("n"), F.countDistinct("__th").alias("d")
+    ).first()
+    if prof.d * 100 > prof.n * 95:  # dup mass immaterial: direct path
+        grams = docs.select(
+            "doc_id",
+            split.alias("split"),
+            F.split("text", " ").alias("words"),
+        ).select(
+            "doc_id",
+            "split",
+            F.explode(F.array_distinct(F.expr(_FIVEGRAMS))).alias("g"),
+        )
+        train = grams.filter(F.col("split") == "train").select(
+            F.col("doc_id").alias("train_doc_id"), "g"
+        )
+        eval_ = grams.filter(F.col("split") != "train").select(
+            F.col("doc_id").alias("eval_doc_id"), "g"
+        )
+        return (
+            train.join(eval_, "g")
+            .groupBy("eval_doc_id")
+            .agg(
+                F.count_distinct("train_doc_id").alias("n_train_docs"),
+                F.count("*").alias("n_shared_grams"),
+            )
+        )
+    sizes = members.groupBy("__th").agg(
+        F.count("*").alias("m"), F.first("split").alias("split")
+    )
+    reps = members.groupBy("__th").agg(F.min("doc_id").alias("rid"))
+    rep_grams = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .join(reps, F.col("doc_id") == F.col("rid"), "inner")
+        .join(sizes.select("__th", "split"), "__th")
+        .select(
+            "__th",
+            "split",
+            F.explode(F.array_distinct(F.expr(_FIVEGRAMS))).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    shared = (
+        rep_grams.filter(F.col("split") == "train")
+        .select(F.col("__th").alias("__th_t"), "g")
+        .join(
+            rep_grams.filter(F.col("split") != "train").select(
+                F.col("__th").alias("__th_e"), "g"
+            ),
+            "g",
+        )
+        .groupBy("__th_t", "__th_e")
+        .agg(F.count("*").alias("shared"))
+    )
+    per_eval_cluster = (
+        shared.join(
+            sizes.select(F.col("__th").alias("__th_t"), F.col("m").alias("m_t")),
+            "__th_t",
+        )
+        .groupBy("__th_e")
+        .agg(
+            F.sum("m_t").alias("n_train_docs"),
+            F.sum(F.col("shared") * F.col("m_t")).alias("n_shared_grams"),
+        )
+    )
+    return (
+        members.filter(F.col("split") != "train")
+        .select(F.col("__th").alias("__th_e"), F.col("doc_id").alias("eval_doc_id"))
+        .join(per_eval_cluster, "__th_e")
+        .select("eval_doc_id", "n_train_docs", "n_shared_grams")
+    )
+
+
 @query(
     "q_split_leakage",
     oracle="""
@@ -424,56 +546,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gram, train-doc) collisions there are in total. The content-hash
     split already pins exact duplicates to one side; this catches the
     NEAR-duplicate leakage the split cannot see — the decontamination
-    gate run before an eval set is trusted.
-
-    Scale shape: 5-grams are distinct-per-doc before the join (bounds
-    posting duplication). The eval side is ~20 % of the corpus — it
-    grows WITH the corpus, so the join strategy is deliberately left
-    to AQE: at small scale AQE broadcasts it from measured runtime
-    bytes (faster than the hint ever was: 1.04 s vs 1.43 s at sf0.1),
-    and at corpus scale it shuffles on the gram key — the only plan
-    that survives 100 TB, where a forced broadcast of 20 % of the
-    corpus is a driver OOM. One keyed aggregate over matched pairs
-    follows. Same plan family as q_contamination_check, one zoom
-    level up (doc-level rollup).
+    gate run before an eval set is trusted. See :func:`leakage_profile`
+    for the plan (adaptive algebraic dup collapse + AQE-decided join).
     """
-    _FIVEGRAMS = (
-        "CASE WHEN size(words) >= 5 THEN "
-        "transform(sequence(1, size(words) - 4), "
-        "i -> array_join(slice(words, i, 5), ' ')) "
-        "ELSE array() END"
-    )
-    bucket = F.substring(F.md5("text"), 1, 2)
-    split = (
-        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
-    )
-    grams = (
-        table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            split.alias("split"),
-            F.split("text", " ").alias("words"),
-        )
-        .select(
-            "doc_id",
-            "split",
-            F.explode(F.array_distinct(F.expr(_FIVEGRAMS))).alias("g"),
-        )
-    )
-    train = grams.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc_id"), "g"
-    )
-    eval_ = grams.filter(F.col("split") != "train").select(
-        F.col("doc_id").alias("eval_doc_id"), "g"
-    )
-    return (
-        train.join(eval_, "g")
-        .groupBy("eval_doc_id")
-        .agg(
-            F.count_distinct("train_doc_id").alias("n_train_docs"),
-            F.count("*").alias("n_shared_grams"),
-        )
-    )
+    return leakage_profile(table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -689,3 +689,93 @@ def test_collapse_expansion_equivalence_under_heavy_duplication(spark):
     cross_01 = [(a, b) for (a, b) in pairs if a < 100 <= b < 200]
     assert len(cross_01) == 100  # all 10x10 member pairs of clusters 0,1
     assert len({pairs[p] for p in cross_01}) == 1  # identical jaccard
+
+
+def test_audit_collapse_equivalence_under_heavy_duplication(spark):
+    """contamination_pairs and leakage_profile must return exactly the
+    brute-force answers when the exact-dup collapse engages (10 copies
+    per text, ids arranged so copies straddle the %97 bench cut)."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from stock_prediction_data_engineering_spark.queries.llm_curation import (
+        contamination_pairs,
+    )
+    from stock_prediction_data_engineering_spark.queries.llm_pipeline import (
+        leakage_profile,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    texts = [
+        base,                                  # md5 -> 'train'
+        base + " omega8",                      # md5 -> 'test'; shares 5-grams with base
+        base.replace("delta", "spark"),
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen",
+        "zz",  # too short for 3- and 5-grams: must never pair
+    ]
+    # ids t*1000 + c: the 10 copies of a text take 10 CONSECUTIVE
+    # residues mod 97, so some clusters straddle the bench/train cut
+    # (id 0 and id 3007 = 31*97 are bench; their cluster twins train)
+    rows = [(t * 1000 + c, txt) for t, txt in enumerate(texts) for c in range(10)]
+    assert any(i % 97 == 0 for i, _ in rows) and any(i % 97 != 0 for i, _ in rows)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(text, n):
+        ws = [w for w in re.split(r" ", text) if True]
+        return {
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        } if len(ws) >= n else set()
+
+    g3 = {i: grams(t, 3) for i, t in rows}
+    exp_pairs = set()
+    for b_id, _ in rows:
+        if b_id % 97 != 0:
+            continue
+        for t_id, _ in rows:
+            if t_id % 97 == 0:
+                continue
+            n = len(g3[t_id] & g3[b_id])
+            if n:
+                exp_pairs.add((t_id, b_id, n))
+    got_pairs = {
+        (r.train_doc_id, r.bench_doc_id, r.n_shared)
+        for r in contamination_pairs(docs).collect()
+    }
+    assert got_pairs == exp_pairs
+    # the collapse really engaged on a case with self-cluster pairs
+    # (copies of one text on both sides of the cut => n_shared = |grams|)
+    assert any(
+        g3[t] == g3[b] and n == len(g3[t]) for (t, b, n) in exp_pairs
+    )
+
+    def split_of(text):
+        h = hashlib.md5(text.encode()).hexdigest()[:2]
+        return "train" if h < "cc" else ("val" if h < "e6" else "test")
+
+    g5 = {i: grams(t, 5) for i, t in rows}
+    exp_leak = {}
+    for e_id, e_txt in rows:
+        if split_of(e_txt) == "train":
+            continue
+        n_docs = n_grams = 0
+        for t_id, t_txt in rows:
+            if split_of(t_txt) != "train":
+                continue
+            s = len(g5[t_id] & g5[e_id])
+            if s:
+                n_docs += 1
+                n_grams += s
+        if n_grams:
+            exp_leak[e_id] = (n_docs, n_grams)
+    got_leak = {
+        r.eval_doc_id: (r.n_train_docs, r.n_shared_grams)
+        for r in leakage_profile(docs).collect()
+    }
+    assert got_leak == exp_leak
+    # fixture must exercise both split sides or the check is vacuous
+    assert {split_of(t) for t in texts} >= {"train", "test"} and exp_leak
