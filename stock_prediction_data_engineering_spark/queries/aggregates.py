@@ -292,7 +292,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(*) AS n,
                SUM(xi) AS sx, SUM(yi) AS sy,
-               SUM(xi * yi) AS sxy, SUM(xi * xi) AS sxx, SUM(yi * yi) AS syy
+               SUM(CAST(xi AS HUGEINT) * yi) AS sxy,
+               SUM(CAST(xi AS HUGEINT) * xi) AS sxx,
+               SUM(CAST(yi AS HUGEINT) * yi) AS syy
         FROM lagged WHERE yi IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
@@ -333,13 +335,18 @@ def q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "xi", F.lag("xi").over(w).alias("yi")
     ).filter(F.col("yi").isNotNull())
 
+    # daily totals grow linearly with corpus size, so their products
+    # overflow int64 around sf10-sf100; decimal(19,0) operands make
+    # the products exact decimal(38,0) (oracle: HUGEINT)
+    xid = F.col("xi").cast("decimal(19,0)")
+    yid = F.col("yi").cast("decimal(19,0)")
     sums = lagged.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("xi").alias("sx"),
         F.sum("yi").alias("sy"),
-        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
-        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
-        F.sum(F.col("yi") * F.col("yi")).alias("syy"),
+        F.sum(xid * yid).alias("sxy"),
+        F.sum(xid * xid).alias("sxx"),
+        F.sum(yid * yid).alias("syy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     corr = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(

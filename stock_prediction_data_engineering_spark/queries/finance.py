@@ -481,8 +481,9 @@ def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, day,
              COUNT(*) OVER w AS n,
              SUM(x) OVER w AS sx, SUM(mx) OVER w AS sy,
-             SUM(x * mx) OVER w AS sxy,
-             SUM(x * x) OVER w AS sxx, SUM(mx * mx) OVER w AS syy
+             SUM(CAST(x AS HUGEINT) * mx) OVER w AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+             SUM(CAST(mx AS HUGEINT) * mx) OVER w AS syy
       FROM j
       WINDOW w AS (PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
@@ -530,15 +531,23 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-19, 0)
     )
+    # product terms widen BEFORE multiplying: mx is a sum over ALL
+    # users, so mx^2 grows quadratically with corpus size and overflows
+    # int64 around sf10 (measured: ArithmeticException in the sf10
+    # sweep). decimal(19,0) operands make every long x long product
+    # exact in decimal(38,0) — the same widening the oracle gets from
+    # HUGEINT — while sx/sy stay cheap longs
+    xd = F.col("x").cast("decimal(19,0)")
+    mxd = F.col("mx").cast("decimal(19,0)")
     comp = j.select(
         "user_id",
         "day",
         F.count("*").over(w).alias("n"),
         F.sum("x").over(w).alias("sx"),
         F.sum("mx").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("mx")).over(w).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
-        F.sum(F.col("mx") * F.col("mx")).over(w).alias("syy"),
+        F.sum(xd * mxd).over(w).alias("sxy"),
+        F.sum(xd * xd).over(w).alias("sxx"),
+        F.sum(mxd * mxd).over(w).alias("syy"),
     )
     d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (d38("n") * d38("sxy") - d38("sx") * d38("sy")).cast("double")

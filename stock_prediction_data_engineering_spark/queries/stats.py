@@ -93,7 +93,9 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (
       SELECT type_a, type_b, COUNT(*) AS n,
              SUM(xa) AS sx, SUM(xb) AS sy,
-             SUM(xa * xb) AS sxy, SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+             SUM(CAST(xa AS HUGEINT) * xb) AS sxy,
+             SUM(CAST(xa AS HUGEINT) * xa) AS sxx,
+             SUM(CAST(xb AS HUGEINT) * xb) AS syy
       FROM pairs GROUP BY type_a, type_b
     )
     SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
@@ -135,13 +137,18 @@ def q_event_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("type_b"), "day", F.col("x").alias("xb")
     )
     pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    # per-(type, day) totals grow linearly with corpus size, so their
+    # products overflow int64 around sf10-sf100; decimal(19,0)
+    # operands make the products exact decimal(38,0) (oracle: HUGEINT)
+    xad = F.col("xa").cast("decimal(19,0)")
+    xbd = F.col("xb").cast("decimal(19,0)")
     comp = pairs.groupBy("type_a", "type_b").agg(
         F.count("*").alias("n"),
         F.sum("xa").alias("sx"),
         F.sum("xb").alias("sy"),
-        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
-        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
-        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        F.sum(xad * xbd).alias("sxy"),
+        F.sum(xad * xad).alias("sxx"),
+        F.sum(xbd * xbd).alias("syy"),
     )
     d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (d38("n") * d38("sxy") - d38("sx") * d38("sy")).cast("double")
