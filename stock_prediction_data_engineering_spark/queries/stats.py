@@ -430,9 +430,9 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(c) AS BIGINT) AS total_cents,
-           CAST((2 * CAST(SUM(rnk * c) AS BIGINT)
-                 - (COUNT(*) + 1) * CAST(SUM(c) AS BIGINT)) * 10000
-                // (COUNT(*) * CAST(SUM(c) AS BIGINT)) AS BIGINT)
+           CAST((2 * SUM(CAST(rnk AS HUGEINT) * c)
+                 - (COUNT(*) + 1) * CAST(SUM(c) AS HUGEINT)) * 10000
+                // (COUNT(*) * CAST(SUM(c) AS HUGEINT)) AS BIGINT)
              AS gini_bp
     FROM v GROUP BY event_type
     """,
@@ -447,7 +447,13 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, and the final coefficient is a single integer division —
     no float anywhere, so the result is bit-identical across engines
     and partitionings. One keyed window + one keyed aggregate on the
-    same key: a single exchange."""
+    same key: a single exchange.
+
+    Overflow headroom: Σrnk·c grows ~quadratically with rows per type
+    (rank itself grows), and the ·10000 numerator blows int64 around
+    sf10 (the sf1 sweep passed with only ~1.5x headroom). The rank
+    product and the final combination run in decimal(38,0)
+    (oracle: HUGEINT) — exact to ~1e38, i.e. through sf1e6."""
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     v = table(spark, sf_dir, "events").select(
         "event_type",
@@ -458,9 +464,10 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("total_cents"),
         F.expr(
-            "(2 * sum(rnk * c) - (count(*) + 1) * sum(c)) * 10000"
-            " div (count(*) * sum(c))"
-        ).alias("gini_bp"),
+            "(2 * sum(cast(rnk as decimal(19,0)) * c)"
+            " - (count(*) + 1) * cast(sum(c) as decimal(38,0))) * 10000"
+            " div (count(*) * cast(sum(c) as decimal(38,0)))"
+        ).cast("bigint").alias("gini_bp"),
     )
 
 
