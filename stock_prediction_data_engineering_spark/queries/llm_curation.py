@@ -440,7 +440,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT w1, w2, CAST(both_df AS BIGINT) AS both_df,
            CAST((both_df * 10000) // n AS BIGINT) AS support_bp,
            CAST((both_df * 10000) // u1.df AS BIGINT) AS confidence_bp,
-           CAST((both_df * n * 10000) // (u1.df * u2.df) AS BIGINT)
+           CAST((CAST(both_df AS HUGEINT) * n * 10000)
+                // (CAST(u1.df AS HUGEINT) * u2.df) AS BIGINT)
              AS lift_x10000
     FROM pairs
     JOIN uni u1 ON pairs.w1 = u1.w
@@ -497,7 +498,13 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("both_df").cast("bigint").alias("both_df"),
         F.expr("(both_df * 10000) div n").alias("support_bp"),
         F.expr("(both_df * 10000) div df1").alias("confidence_bp"),
-        F.expr("(both_df * n * 10000) div (df1 * df2)").alias("lift_x10000"),
+        # lift multiplies TWO corpus-growing counts on each side of the
+        # division — int64 dies around 1000x today's corpus; the
+        # products run in decimal(38,0) (oracle: HUGEINT), exact
+        F.expr(
+            "(cast(both_df as decimal(19,0)) * n * 10000)"
+            " div (cast(df1 as decimal(19,0)) * df2)"
+        ).cast("bigint").alias("lift_x10000"),
     )
 
 
