@@ -651,6 +651,90 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boilerplate_profile(docs: DataFrame) -> DataFrame:
+    """df-level body of q_boilerplate_ngrams (factored out so tests can
+    drive it with duplicated fixtures).
+
+    Plan: distinct-gram explode -> gram-df aggregate -> join back ->
+    per-doc aggregate; gram df is the same inverted-index shape the
+    dedup family uses, and the >= 10 threshold reads straight off it.
+
+    Two scale defenses, both measured on the sf10 sweep where this
+    query took 596 s:
+
+    1. Exact-dup collapse (adaptive, ALGEBRAIC like leakage_profile):
+       corpus df(gram) = sum over clusters containing the gram of the
+       cluster size (grams are distinct per doc), and every member of
+       a cluster has the SAME per-doc profile — so grams are computed
+       once per distinct text, df aggregates a cluster-sized table,
+       and one content-hash join stamps the profile onto members.
+       Linear in corpus size at any duplication level.
+    2. Explicit repartition of the gram table before the df join on
+       the direct path: natural-language grams repeat across documents
+       and compress heavily in shuffle files, so AQE's byte-based
+       advisory coalesces the gram-keyed exchanges far below the real
+       decompressed work (observed: a 70M-row join squeezed into 2
+       partitions running ~2 threads). The same trap
+       operators/dedup.py documents; row counts, not compressed
+       bytes, are the honest sizing here."""
+    from ..operators.ssjoin import word_ngrams
+
+    n_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    members = docs.select(
+        "doc_id", F.md5(F.col("text").cast("string")).alias("__th")
+    ).localCheckpoint(eager=False)
+    prof = members.agg(
+        F.count("*").alias("n"), F.countDistinct("__th").alias("d")
+    ).first()
+    boiler = F.sum(F.when(F.col("docs") >= 10, 1).otherwise(0))
+    bp = F.expr(
+        "sum(CASE WHEN docs >= 10 THEN 1 ELSE 0 END) * 10000 div count(*)"
+    )
+    if prof.d * 100 > prof.n * 95:  # dup mass immaterial: direct path
+        g = docs.select(
+            "doc_id", F.explode(word_ngrams("text", 5)).alias("gram")
+        ).repartition(n_parts, "gram")
+        df = g.groupBy("gram").agg(F.count("*").cast("bigint").alias("docs"))
+        return (
+            g.join(df, "gram")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_grams"),
+                boiler.cast("bigint").alias("n_boiler"),
+                bp.cast("bigint").alias("boiler_bp"),
+            )
+        )
+    sizes = members.groupBy("__th").agg(F.count("*").alias("m"))
+    reps = members.groupBy("__th").agg(F.min("doc_id").alias("rid"))
+    rep_grams = (
+        docs.join(reps, F.col("doc_id") == F.col("rid"), "inner")
+        .select("__th", F.explode(word_ngrams("text", 5)).alias("gram"))
+        .repartition(n_parts, "gram")
+        .localCheckpoint(eager=False)
+    )
+    # corpus df = sum of cluster sizes over clusters containing the
+    # gram (grams are distinct per doc, so each member contributes 1)
+    df = (
+        rep_grams.join(sizes, "__th")
+        .groupBy("gram")
+        .agg(F.sum("m").cast("bigint").alias("docs"))
+    )
+    per_rep = (
+        rep_grams.join(df, "gram")
+        .groupBy("__th")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            boiler.cast("bigint").alias("n_boiler"),
+            bp.cast("bigint").alias("boiler_bp"),
+        )
+    )
+    return members.join(per_rep, "__th").select(
+        "doc_id", "n_grams", "n_boiler", "boiler_bp"
+    )
+
+
 @query(
     "q_boilerplate_ngrams",
     oracle="""
@@ -683,32 +767,9 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     are boilerplate (headers, footers, templates); the per-doc
     boilerplate ratio drives removal. Differs from
     q_contamination_check (external benchmark membership) — this is
-    the corpus audited against itself.
-
-    Plan: distinct-gram explode -> gram-df aggregate -> join back ->
-    per-doc aggregate; gram df is the same inverted-index shape the
-    dedup family uses, and the >= 10 threshold reads straight off it."""
-    from ..operators.ssjoin import word_ngrams
-
-    g = table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(word_ngrams("text", 5)).alias("gram")
-    )
-    df = g.groupBy("gram").agg(F.count("*").cast("bigint").alias("docs"))
-    boiler = F.sum(F.when(F.col("docs") >= 10, 1).otherwise(0))
-    return (
-        g.join(df, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            boiler.cast("bigint").alias("n_boiler"),
-            F.expr(
-                "sum(CASE WHEN docs >= 10 THEN 1 ELSE 0 END) * 10000"
-                " div count(*)"
-            )
-            .cast("bigint")
-            .alias("boiler_bp"),
-        )
-    )
+    the corpus audited against itself. See :func:`boilerplate_profile`
+    for the plan (algebraic dup collapse + row-honest repartition)."""
+    return boilerplate_profile(table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -779,3 +779,44 @@ def test_audit_collapse_equivalence_under_heavy_duplication(spark):
     assert got_leak == exp_leak
     # fixture must exercise both split sides or the check is vacuous
     assert {split_of(t) for t in texts} >= {"train", "test"} and exp_leak
+
+
+def test_boilerplate_collapse_equivalence_under_heavy_duplication(spark):
+    """boilerplate_profile must return the brute-force per-doc profile
+    when the collapse engages — including the df amplification from
+    duplication itself (12 copies push every gram over the >=10 df
+    threshold, so all copies must report 100% boilerplate)."""
+    import re
+    from collections import Counter
+
+    from stock_prediction_data_engineering_spark.queries.llm_curation import (
+        boilerplate_profile,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon nine ten eleven twelve thirteen",
+        "totally unrelated content words here spread over many tokens now",
+    ]
+    rows = [(t * 1000 + c, txt) for t, txt in enumerate(texts) for c in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(text):
+        ws = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        return {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+
+    gsets = {i: grams(t) for i, t in rows}
+    df = Counter(g for s in gsets.values() for g in s)
+    expected = {}
+    for i, s in gsets.items():
+        if not s:
+            continue
+        nb = sum(1 for g in s if df[g] >= 10)
+        expected[i] = (len(s), nb, nb * 10000 // len(s))
+    got = {
+        r.doc_id: (r.n_grams, r.n_boiler, r.boiler_bp)
+        for r in boilerplate_profile(docs).collect()
+    }
+    assert got == expected
+    # 12 copies of each text => every gram's df >= 12 => all boilerplate
+    assert all(bp == 10000 for (_n, _nb, bp) in expected.values())
