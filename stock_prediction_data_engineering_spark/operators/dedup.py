@@ -396,27 +396,54 @@ def minhash_index_write(
 ) -> None:
     """Persist a probeable MinHash-LSH index of ``docs`` under ``path``:
 
-    - ``bands/`` — (id, band, band_hash) partitioned by
+    - ``bands/`` — (th, band, band_hash) partitioned by
       ``bucket = pmod(band_hash, n_buckets)``, so a probe batch that
       touches few hash buckets prunes to those partition directories
       (static partition pruning — the incremental-ingest win);
-    - ``hashes/`` — (id, sh_hashes) for the exact-Jaccard verify.
+    - ``hashes/`` — (th, sh_hashes) for the exact-Jaccard verify;
+    - ``members/`` — (id, th) mapping every ingested doc id to its
+      content hash.
+
+    The signature tables are keyed by ``th = md5(text)`` — ONE row per
+    DISTINCT text, however many exact copies the corpus carries. This
+    is the index-shaped form of the exact-dup collapse (R107): without
+    it, m copies of a text put m identical band rows in every bucket
+    and a probe against them verifies m × (batch copies) identical
+    candidate pairs — measured 23x time for 10x data on the sf10
+    replication fixture (64 s -> 1472 s). With it, candidates and
+    verify work are distinct-text-bounded and member pairs are
+    restored by output-bound joins through ``members/``.
 
     Why an index at all: re-running all-pairs dedup over a 100 TB
     corpus for every ingest batch is O(corpus²); probing a persisted
     index is O(batch × matched buckets) + a candidate-bounded verify.
     ``mode="append"`` adds a batch to the index after it has been
-    probed/admitted (the incremental ingest loop).
+    probed/admitted (the incremental ingest loop); an appended text
+    that already exists in the index just adds members rows plus one
+    redundant signature row, which the probe deduplicates
+    candidate-bounded.
     """
-    base, banded = _minhash_base(docs, text_col, id_col, k, num_hashes, bands)
+    members = docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col).cast("string")).alias("th"),
+    )
+    reps = (
+        docs.select(F.md5(F.col(text_col).cast("string")).alias("th"), text_col)
+        .dropDuplicates(["th"])
+    )
+    base, banded = _minhash_base(reps, text_col, "th", k, num_hashes, bands)
     (
-        banded.withColumn("bucket", F.pmod("band_hash", F.lit(n_buckets)))
+        banded.select(F.col("id").alias("th"), "band", "band_hash")
+        .withColumn("bucket", F.pmod("band_hash", F.lit(n_buckets)))
         .repartition("bucket")
         .write.mode(mode)
         .partitionBy("bucket")
         .parquet(f"{path}/bands")
     )
-    base.write.mode(mode).parquet(f"{path}/hashes")
+    base.select(F.col("id").alias("th"), "sh_hashes").write.mode(mode).parquet(
+        f"{path}/hashes"
+    )
+    members.write.mode(mode).parquet(f"{path}/members")
 
 
 def minhash_index_probe(
@@ -434,16 +461,30 @@ def minhash_index_probe(
     (same shingle/band parameters as the build — the caller owns that
     contract). Returns (new_id, corpus_id, jaccard).
 
-    Scale shape: the new batch's band table is tiny and BROADCAST; the
-    corpus band table is filtered to the batch's buckets first
+    Scale shape: the new batch collapses to ONE representative per
+    distinct text (the index stores the corpus the same way, see
+    minhash_index_write), the rep band table is tiny and BROADCAST,
+    and the corpus band scan is filtered to the batch's buckets first
     (collected from the batch — at most ``n_buckets`` values, driver-
     bounded), so the scan prunes to matching partition directories and
-    the candidate join is map-side with no corpus shuffle. Only
-    candidate ids flow into the two hash-array joins for the exact
-    verify, exactly as in minhash_lsh_pairs."""
+    the candidate join is map-side with no corpus shuffle. The exact
+    verify runs once per DISTINCT-TEXT pair; member (new_id,
+    corpus_id) pairs are restored by broadcasting the verified th
+    pairs over a map-side scan of ``members/`` — no corpus shuffle
+    anywhere, and the expansion cost is the output cardinality."""
     spark = new_docs.sparkSession
+    new_members = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        F.md5(F.col(text_col).cast("string")).alias("th_n"),
+    )
+    new_reps = (
+        new_docs.select(
+            F.md5(F.col(text_col).cast("string")).alias("th"), text_col
+        )
+        .dropDuplicates(["th"])
+    )
     new_base, new_banded = _minhash_base(
-        new_docs, text_col, id_col, k, num_hashes, bands
+        new_reps, text_col, "th", k, num_hashes, bands
     )
     # the batch-side shingle+signature pipeline (the probe's dominant
     # Python-UDF cost) is referenced three times below — the bucket
@@ -464,36 +505,65 @@ def minhash_index_probe(
         corpus_bands.join(
             F.broadcast(
                 new_banded.select(
-                    F.col("id").alias("new_id"), "band", "band_hash"
+                    F.col("id").alias("th_n"), "band", "band_hash"
                 )
             ),
             ["band", "band_hash"],
         )
-        .select(F.col("id").alias("corpus_id"), "new_id")
-        # a new doc may equal a doc in the batch AND the corpus; the
-        # self-pair (same id on both sides) is meaningless — drop it
-        .filter(F.col("corpus_id") != F.col("new_id"))
-        .dropDuplicates(["corpus_id", "new_id"])
+        .select(F.col("th").alias("th_c"), "th_n")
+        .dropDuplicates(["th_c", "th_n"])
+        # consumed twice (hash semi-prune + verify join): cache the
+        # candidate-bounded pair set rather than re-scan the bands
+        .cache()
     )
     # same per-doc set-size precompute as minhash_lsh_pairs: one
-    # array_intersect per candidate, union size by set arithmetic
-    corpus_hashes = spark.read.parquet(f"{path}/hashes").select(
-        F.col("id").alias("corpus_id"),
-        F.col("sh_hashes").alias("h_c"),
-        F.size(F.array_distinct("sh_hashes")).alias("n_c"),
+    # array_intersect per DISTINCT-TEXT candidate pair, union size by
+    # set arithmetic. An appended re-ingest can leave a duplicate th
+    # row in hashes/; dedupe AFTER the candidate semi-prune so the
+    # shuffle is candidate-bounded, never corpus-bounded.
+    corpus_hashes = (
+        spark.read.parquet(f"{path}/hashes")
+        .join(F.broadcast(cands.select("th_c").distinct()),
+              F.col("th") == F.col("th_c"), "left_semi")
+        .dropDuplicates(["th"])
+        .select(
+            F.col("th").alias("th_c"),
+            F.col("sh_hashes").alias("h_c"),
+            F.size(F.array_distinct("sh_hashes")).alias("n_c"),
+        )
     )
     new_hashes = new_base.select(
-        F.col("id").alias("new_id"),
+        F.col("id").alias("th_n"),
         F.col("sh_hashes").alias("h_n"),
         F.size(F.array_distinct("sh_hashes")).alias("n_n"),
     )
     inter = F.size(F.array_intersect("h_c", "h_n"))
     jaccard = inter.cast("double") / (F.col("n_c") + F.col("n_n") - inter)
-    return (
-        cands.join(corpus_hashes, "corpus_id")
-        .join(F.broadcast(new_hashes), "new_id")
+    verified = (
+        cands.join(corpus_hashes, "th_c")
+        .join(F.broadcast(new_hashes), "th_n")
         .withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("th_c", "th_n", "jaccard")
+        # consumed twice (members semi-prune + expansion join)
+        .cache()
+    )
+    # expand distinct-text pairs to member pairs: verified pairs are
+    # batch-bounded — broadcast them over a map-side members/ scan
+    # (dedup guards a double-appended id), then attach batch members
+    members = (
+        spark.read.parquet(f"{path}/members")
+        .join(F.broadcast(verified.select("th_c").distinct()),
+              F.col("th") == F.col("th_c"), "left_semi")
+        .dropDuplicates(["id", "th"])
+        .select(F.col("id").alias("corpus_id"), F.col("th").alias("th_c"))
+    )
+    return (
+        members.join(F.broadcast(verified), "th_c")
+        .join(F.broadcast(new_members), "th_n")
+        # a new doc may equal a doc in the batch AND the corpus; the
+        # self-pair (same id on both sides) is meaningless — drop it
+        .filter(F.col("corpus_id") != F.col("new_id"))
         .select("new_id", "corpus_id", "jaccard")
     )
 
