@@ -874,15 +874,38 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate vectors: random-hyperplane LSH buckets as
     candidates, exact cosine as verifier. See similarity.lsh_bucket
-    for the signature construction."""
+    for the signature construction.
+
+    Exact-duplicate collapse (adaptive, the embedding twin of the
+    text-side R107): identical vectors share a bucket, so m copies of
+    one vector inflate the bucket self-join by C(m,2) while data grows
+    by m — measured 39x time for 10x data on the sf10 replication
+    fixture. When a 1-row duplication profile shows material dup mass,
+    the bucket join runs on ONE representative per distinct vector
+    (grouped by the vector itself — exact float equality, no hash
+    collision risk) and pairs expand back through vector-keyed joins
+    whose cost is the output cardinality. Intra-cluster pairs compute
+    the SAME cosine_expr(v, v) as the direct path would, so the
+    zero-vector NaN edge case filters identically."""
     from .similarity import cosine_expr, lsh_bucket
 
-    tagged = _spread(embeddings).select(
+    src = _spread(embeddings).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), num_planes=num_planes))
-
+    )
+    prof = src.agg(
+        F.count("*").alias("n"), F.countDistinct("vec").alias("d")
+    ).first()
+    collapse = prof.d * 100 <= prof.n * 95
+    if collapse:
+        reps = src.groupBy("vec").agg(F.min("id").alias("id"))
+        base = reps.select("id", "vec").localCheckpoint(eager=False)
+    else:
+        base = src
+    tagged = base.withColumn(
+        "bucket", lsh_bucket(F.col("vec"), num_planes=num_planes)
+    )
     l, r = tagged.alias("l"), tagged.alias("r")
-    return (
+    rep_pairs = (
         l.join(
             r,
             (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
@@ -894,6 +917,49 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= cosine_threshold)
     )
+    if not collapse:
+        return rep_pairs
+    # expand representative pairs to member pairs (disjoint clusters:
+    # least/greatest restores id_a < id_b; cross and intra disjoint)
+    rep_ids = base.select(F.col("id").alias("rid"), "vec")
+    cross = (
+        rep_pairs.join(
+            rep_ids.select(F.col("rid").alias("id_a"), F.col("vec").alias("__v_a")),
+            "id_a",
+        )
+        .join(
+            rep_ids.select(F.col("rid").alias("id_b"), F.col("vec").alias("__v_b")),
+            "id_b",
+        )
+        .join(
+            src.select(F.col("vec").alias("__v_a"), F.col("id").alias("a_id")),
+            "__v_a",
+        )
+        .join(
+            src.select(F.col("vec").alias("__v_b"), F.col("id").alias("b_id")),
+            "__v_b",
+        )
+        .select(
+            F.least("a_id", "b_id").alias("id_a"),
+            F.greatest("a_id", "b_id").alias("id_b"),
+            "cosine",
+        )
+    )
+    mm = src.alias("x").join(
+        src.alias("y"),
+        (F.col("x.vec") == F.col("y.vec")) & (F.col("x.id") < F.col("y.id")),
+    )
+    intra = (
+        mm.select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(cosine_expr(F.col("x.vec"), F.col("y.vec")), 4).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )
+    return cross.unionByName(intra)
 
 
 def embedding_index_probe(

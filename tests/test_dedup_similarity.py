@@ -820,3 +820,44 @@ def test_boilerplate_collapse_equivalence_under_heavy_duplication(spark):
     assert got == expected
     # 12 copies of each text => every gram's df >= 12 => all boilerplate
     assert all(bp == 10000 for (_n, _nb, bp) in expected.values())
+
+
+def test_embedding_collapse_equivalence_under_heavy_duplication(spark):
+    """embedding_near_dup_pairs with 10 copies per vector (collapse
+    engaged) must return every intra-cluster pair at cosine 1.0 and
+    the full member expansion of each near-dup cluster pair."""
+    import math
+    from itertools import combinations
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    dim = 16
+
+    def vec(seed, eps=0.0):
+        v = [math.sin(seed * 31 + j) for j in range(dim)]
+        v[0] += eps
+        return v
+
+    vecs = {0: vec(1), 1: vec(1, 0.08), 2: vec(7)}
+    rows = [(t * 1000 + c, vecs[t]) for t in vecs for c in range(10)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(docs, cosine_threshold=0.95).collect()
+    }
+    # every intra-cluster member pair at cosine exactly 1.0
+    for t in vecs:
+        for a, b in combinations([t * 1000 + c for c in range(10)], 2):
+            assert pairs.get((a, b)) == 1.0, (a, b)
+    # clusters 0 and 1 are near-dups: all 100 member pairs present,
+    # one shared cosine value below 1.0
+    cross_01 = {p: c for p, c in pairs.items() if p[0] < 1000 <= p[1] < 2000}
+    assert len(cross_01) == 100
+    assert len(set(cross_01.values())) == 1 and all(
+        c < 1.0 for c in cross_01.values()
+    )
+    # cluster 2 is unrelated: no pairs against 0/1
+    assert not any(b >= 2000 and a < 2000 for (a, b) in pairs)
