@@ -309,10 +309,17 @@ def test_zorder_clustering_skips_on_both_columns(spark, tmp_path_factory):
     # y-sorted: an x probe touches every row group; z-ordered: a probe
     # on EITHER dimension skips most row groups (ideal geometry is
     # 0.75; range-partition sampling jitter can shave slice alignment,
-    # so assert the decisive half rather than the ideal)
-    assert skip_fraction(root + "/by_y", "x", 137) <= 0.1
-    assert skip_fraction(root + "/zorder", "x", 137) >= 0.5
-    assert skip_fraction(root + "/zorder", "y", 137) >= 0.5
+    # and a single probe can land on one unlucky jittered boundary —
+    # observed flaking once under host load — so assert the MEAN over
+    # spread probes clears the decisive half rather than one point
+    # clearing the ideal)
+    probes = (37, 101, 137, 201)
+    mean = lambda path, col: sum(  # noqa: E731
+        skip_fraction(path, col, p) for p in probes
+    ) / len(probes)
+    assert mean(root + "/by_y", "x") <= 0.1
+    assert mean(root + "/zorder", "x") >= 0.5
+    assert mean(root + "/zorder", "y") >= 0.5
 
     # real-table sanity: z-ordering events on (user_id, ts) beats the
     # ts-sorted layout for user probes without losing all ts locality
