@@ -610,3 +610,92 @@ def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(gap_us) div count(*)").alias("avg_gap_us"),
         )
     )
+
+
+@query(
+    "q_dedup_consecutive",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM s
+    WHERE prev_type IS NULL OR event_type <> prev_type
+    """,
+)
+def q_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate suppression (run-length dedup): keep an
+    event only when its type differs from the user's immediately
+    preceding event — the debounce/compaction pass that collapses
+    button-mash and sensor-repeat runs before sessionization. Distinct
+    from exact dedup (L1): the SAME type recurring later in the stream
+    is kept; only adjacent repeats drop.
+
+    Scale shape: one per-user window exchange with a single lag — the
+    same exchange sessionization uses, so the two compose without a
+    second shuffle. The (ts, event_id) ordering is total; ties cannot
+    flip keep/drop decisions across engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return s.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@query(
+    "q_user_lifetime",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT MAX(ts) AS now_ts FROM events)
+    SELECT user_id, n_events,
+           CAST(date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+                AS BIGINT) AS lifetime_days,
+           (date_diff('day', CAST(last_ts AS DATE), CAST(now_ts AS DATE)) > 30)
+             AS churned
+    FROM u, g
+    """,
+)
+def q_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifetime and churn flag: per user, the event count, the
+    day span between first and last activity, and whether the user is
+    churned (last activity more than 30 days before the corpus's
+    latest event — the observation horizon, so the flag is
+    reproducible from the data alone, no wall clock).
+
+    Scale shape: one keyed aggregate with map-side partials plus a
+    1-row global max broadcast back onto it — the per-key output is
+    user-sized and every downstream LTV/segmentation join starts
+    broadcast-eligible."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
+    g = ev.agg(F.max("ts").alias("now_ts"))
+    return u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "n_events",
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+        .cast("bigint")
+        .alias("lifetime_days"),
+        (F.datediff(F.to_date("now_ts"), F.to_date("last_ts")) > 30).alias(
+            "churned"
+        ),
+    )

@@ -237,6 +237,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_seqlen_histogram",    # training prep: power-of-2 length buckets
     "q_event_paths",         # events: top 3-step event-type paths
     "q_inter_event_gaps",    # events: inter-arrival cadence profile
+    "q_dedup_consecutive",   # events: run-length (debounce) dedup
+    "q_user_lifetime",       # events: lifetime span + churn flag
     # TPC-H completeness family (Q2/Q11/Q13/Q15/Q18/Q20/Q21/Q22 shapes)
     "q_tpch_min_cost_supplier",
     "q_tpch_part_value_share",
