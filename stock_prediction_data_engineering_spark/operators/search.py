@@ -120,7 +120,14 @@ def search_index_write(
         )
 
     prev = _current_build(path)
-    tmp = os.path.join(path, f".CURRENT.tmp.{os.getpid()}")
+    import threading
+
+    # unique per thread, not just per process — two same-pid rebuilders
+    # sharing one tmp path could publish a mixed pointer or unlink the
+    # tmp between the other's write and replace
+    tmp = os.path.join(
+        path, f".CURRENT.tmp.{os.getpid()}.{threading.get_ident()}"
+    )
     with open(tmp, "w") as fh:
         fh.write(os.path.basename(build))
     os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic publish

@@ -239,15 +239,27 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_inter_event_gaps",    # events: inter-arrival cadence profile
     "q_dedup_consecutive",   # events: run-length (debounce) dedup
     "q_user_lifetime",       # events: lifetime span + churn flag
-    # TPC-H completeness family (Q2/Q11/Q13/Q15/Q18/Q20/Q21/Q22 shapes)
-    "q_tpch_min_cost_supplier",
-    "q_tpch_part_value_share",
-    "q_tpch_order_count_histogram",
-    "q_tpch_top_supplier",
-    "q_tpch_large_orders",
-    "q_tpch_excess_shippers",
-    "q_tpch_sole_late_shipper",
-    "q_tpch_quiet_rich_customers",
+    # TPC-H completeness family — the full 22-query suite. Q1/Q3/Q5/Q8
+    # shapes live in the core roster (q_multi_agg, q_join_multiway, the
+    # composite family); the remaining 18 recognizable shapes are here.
+    "q_tpch_min_cost_supplier",      # Q2
+    "q_tpch_part_value_share",       # Q11
+    "q_tpch_order_count_histogram",  # Q13
+    "q_tpch_top_supplier",           # Q15
+    "q_tpch_large_orders",           # Q18
+    "q_tpch_excess_shippers",        # Q20
+    "q_tpch_sole_late_shipper",      # Q21
+    "q_tpch_quiet_rich_customers",   # Q22
+    "q_tpch_priority_late_orders",   # Q4
+    "q_tpch_revenue_delta",          # Q6
+    "q_tpch_nation_volume",          # Q7
+    "q_tpch_product_profit",         # Q9
+    "q_tpch_returned_items",         # Q10
+    "q_tpch_shipmode_priority",      # Q12
+    "q_tpch_promo_effect",           # Q14
+    "q_tpch_supplier_parts",         # Q16
+    "q_tpch_small_qty_revenue",      # Q17
+    "q_tpch_disjunctive_revenue",    # Q19
 )
 
 ROWS_ONLY: tuple[str, ...] = (

@@ -127,7 +127,9 @@ def snapshot_write(
         if f.endswith(".parquet")
     )
 
-    for _ in range(max_retries):
+    import threading
+
+    for retry in range(max_retries):
         versions = list_versions(path)
         new_version = (versions[-1] + 1) if versions else 1
         if mode == "append" and versions:
@@ -149,7 +151,16 @@ def snapshot_write(
             # maintainer's source-table watermarks,
             # operators/incremental.py)
             manifest["extra"] = extra_meta
-        tmp = _manifest_path(path, new_version) + f".tmp.{os.getpid()}"
+        # the tmp name must be unique per WRITER AND ATTEMPT, not just
+        # per process: concurrent threads share the pid, and two
+        # racers for the same version with one shared tmp path would
+        # overwrite each other's manifest bytes (publishing the loser's
+        # dir list under the winner's version) or unlink the tmp out
+        # from under the other's os.link
+        tmp = (
+            _manifest_path(path, new_version)
+            + f".tmp.{os.getpid()}.{threading.get_ident()}.{retry}"
+        )
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         try:
