@@ -99,6 +99,14 @@ HEADLINE_QUERIES = [
     "q_quantile_sketch",
     "q_hll_merge",
     "q_gains_table",
+    # TPC-H completion surface: the four heaviest of the ten new
+    # shapes — 5-way broadcast-pruned star (Q9), aggregate-then-
+    # broadcast top-20 (Q10), pair-keyed DISTINCT relation (Q16),
+    # decorrelated per-part AVG join-back (Q17)
+    "q_tpch_product_profit",
+    "q_tpch_returned_items",
+    "q_tpch_supplier_parts",
+    "q_tpch_small_qty_revenue",
 ]
 
 
