@@ -1,0 +1,165 @@
+"""Exact-substring overlap detection via winnowing fingerprints.
+
+The dedup family covers set-similarity (MinHash/SimHash/PPJoin over
+shingle SETS); this operator covers the orthogonal axis the LLM-data
+literature calls exact-substring dedup (Lee et al., "Deduplicating
+Training Data Makes Language Models Better", ACL 2022, which uses a
+suffix array): find document pairs that share a long VERBATIM
+character run — copy-paste, quotation, mirrored boilerplate —
+regardless of how dissimilar the rest of the texts are (a 40-char
+quote inside two otherwise-unrelated documents has near-zero Jaccard
+but is exactly what contamination screening must catch).
+
+A distributed suffix array is the wrong tool on Spark (global sort
+over every suffix). The public alternative is winnowing (Schleimer,
+Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
+character k-gram, then keep the MINIMUM hash of every w consecutive
+k-grams. The guarantee is deterministic, not probabilistic: any
+shared substring of length >= k + w - 1 contains at least one full
+window on both sides, and the minimum of identical windows is the
+same hash — so every such pair shares a fingerprint (no false
+negatives above the guarantee length). Density is ~2/(w+1) of all
+k-grams, so the index is a small fraction of the corpus.
+
+Scale shape (everything keyed or row-local):
+  1. fingerprinting is PER-ROW array algebra (transform/slice/
+     array_min) — embarrassingly parallel, no shuffle at all;
+  2. duplicate texts are collapsed FIRST (the semantics are defined
+     over distinct texts, with cluster sizes carried in the output),
+     so an m-copy cluster costs one fingerprint pass, not m, and the
+     pair stage never sees the C(m,2) intra-cluster blowup;
+  3. fingerprint document frequencies are a keyed count, and
+     fingerprints shared by more than ``df_cap`` distinct texts are
+     excluded from pairing — corpus-wide boilerplate (license
+     headers, templates) is a *frequency* signal, not a *pair*
+     signal (q_boilerplate_ngrams measures it); the cap bounds every
+     posting list, so the self-join emits at most C(df_cap, 2) pairs
+     per fingerprint;
+  4. the pair aggregate is keyed on (doc_a, doc_b).
+
+No reference-repo counterpart (the reference is a 131-line ingest
+DAG, reference dags/stock_data_airflow_local_aws_s3.py); this is
+north-star LLM-curation surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    w: int = 8,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Pairs of DISTINCT texts sharing >= 1 winnowing fingerprint.
+
+    Detects every pair sharing a verbatim run of >= k + w - 1 chars
+    (shorter shared runs may or may not surface — standard winnowing
+    semantics). Returns (doc_a, doc_b, shared_fp, dup_a, dup_b) where
+    doc_a/doc_b are each text's minimum member id, doc_a < doc_b,
+    shared_fp counts distinct shared fingerprints, and dup_a/dup_b
+    are the exact-duplicate cluster sizes — total member-pair counts
+    are derivable as dup_a * dup_b without quadratic output.
+
+    Hashes are md5-derived 60-bit ints (first 15 hex digits), the
+    engine-portable idiom shared with q_feature_hashing, so an ANSI
+    oracle can reproduce every fingerprint bit-for-bit.
+    """
+    min_len = k + w - 1
+    # one representative per distinct text; carries the cluster size.
+    # The groupBy shuffles text payloads once — the same cost class as
+    # the ssjoin/dedup members table, and it makes every later stage
+    # per-DISTINCT-text (the replication fixture's 10x duplication
+    # multiplies this stage's input, not the fingerprint or pair work).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    m = (
+        docs.filter(F.length(text_col) >= min_len)
+        .repartition(par, id_col)
+        .groupBy(F.col(text_col).alias("__txt"))
+        .agg(
+            F.min(id_col).alias("rep"),
+            F.count("*").cast("bigint").alias("dup"),
+        )
+    )
+    # per-row fingerprinting: k-gram hash array, then sliding-window
+    # min. `hs` is materialized as its own projection so the window
+    # lambda slices ONE array column instead of re-embedding the whole
+    # md5 subtree per window (the codegen-CSE trap measured in
+    # operators/ssjoin.py word_ngrams). Both arrays are guarded with
+    # when(): sequence(1, x) counts DOWN for x < 1 and feeds slice a
+    # zero start — and the length filter above does NOT protect these
+    # expressions, because Catalyst infers a size(fps) > 0 predicate
+    # from the explode below and may evaluate it on pre-filter rows
+    # (observed: INVALID_PARAMETER_VALUE.START from the pushed-down
+    # filter). The expressions must be total.
+    empty = F.array().cast("array<bigint>")
+    hs = F.when(
+        F.length("__txt") >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), F.length("__txt") - (k - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.substr(F.col("__txt"), i, F.lit(k))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        ),
+    ).otherwise(empty)
+    fp_arr = F.when(
+        F.size("hs") >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
+            )
+        ),
+    ).otherwise(empty)
+    fps = (
+        m.withColumn("hs", hs)
+        .withColumn("fps", fp_arr)
+        .select("rep", F.explode("fps").alias("fp"))
+    )
+    # boilerplate mask: drop fingerprints present in > df_cap distinct
+    # texts (keyed count + fp-keyed semi join; bounds every posting)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= df_cap)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp", "left_semi")
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .groupBy(
+            F.col("a.rep").alias("doc_a"), F.col("b.rep").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_fp"))
+    )
+    sizes = m.select("rep", "dup")
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("rep").alias("doc_a"), F.col("dup").alias("dup_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("rep").alias("doc_b"), F.col("dup").alias("dup_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "shared_fp", "dup_a", "dup_b")
+    )

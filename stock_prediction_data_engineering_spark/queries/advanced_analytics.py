@@ -557,3 +557,73 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _col_cents(c: F.Column) -> F.Column:
     return (c.cast(DEC) * 100).cast("bigint")
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,4))*100 AS BIGINT)
+               AS price_c,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, price_c,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM g
+    )
+    SELECT l_returnflag, CAST(MIN(price_c) AS BIGINT) AS wmedian_c,
+           CAST(MIN(tot) AS BIGINT) AS total_w
+    FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag: the
+    smallest price whose cumulative quantity reaches half the total —
+    the robust per-segment price level (an unweighted median treats a
+    1-unit and a 50-unit line alike).
+
+    Scale argument: the corpus-sized work is the (flag, price_c)
+    pre-aggregate — a keyed, map-side-combined hash aggregate. The
+    cumulative window that follows runs per flag over DISTINCT PRICES
+    only, and the cents price domain is bounded (~1e7 values)
+    regardless of corpus size, so the per-key window input cannot
+    grow with the data — unlike a naive row-level cumsum, which would
+    concentrate the whole corpus into |flag| window partitions.
+    Weights are integral quantities; the half-total test is the
+    integer cross-multiplication 2*cum >= tot. No floats anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy(
+            "l_returnflag",
+            (F.col("l_extendedprice").cast(DEC) * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_c").cast("bigint").alias("wmedian_c"),
+            F.min("tot").cast("bigint").alias("total_w"),
+        )
+    )

@@ -699,3 +699,88 @@ def q_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "churned"
         ),
     )
+
+
+@query(
+    "q_linear_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,4))*100 AS BIGINT) AS v_c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT p.event_id, p.v_c, t.event_type,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+    ),
+    credit AS (
+      SELECT event_type AS channel, v_c * 1000000 // n AS cu FROM j
+    ),
+    direct AS (
+      SELECT 'direct' AS channel, v_c * 1000000 AS cu FROM p
+      WHERE event_id NOT IN (SELECT event_id FROM j)
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(cu) AS BIGINT) AS credited_uc
+    FROM (SELECT * FROM credit UNION ALL SELECT * FROM direct)
+    GROUP BY channel
+    """,
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's view/click touches in the 7 days before
+    it; purchases with no preceding touch credit a 'direct' channel.
+    The classic marketing-analytics allocation, reduced to a per-
+    channel scorecard.
+
+    Shape at scale: purchases join touches on user_id (keyed,
+    AQE-skew-eligible; the time predicate rides the join), the
+    per-purchase touch count is ONE window keyed by the purchase's
+    event_id, and the no-touch remainder is a keyed left-anti join.
+    Credits are exact integer micro-cents (v_c * 1e6 div n) — no
+    float division anywhere, so the per-channel sums are bit-identical
+    across engines."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("value").cast("decimal(18,4)") * 100)
+        .cast("bigint")
+        .alias("v_c"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).withColumn("n", F.count("*").over(Window.partitionBy("event_id")))
+    credit = j.select(
+        F.col("event_type").alias("channel"),
+        F.expr("v_c * 1000000 div n").alias("cu"),
+    )
+    direct = p.join(
+        j.select("event_id"), "event_id", "left_anti"
+    ).select(
+        F.lit("direct").alias("channel"),
+        (F.col("v_c") * 1000000).alias("cu"),
+    )
+    return (
+        credit.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.sum("cu").cast("bigint").alias("credited_uc"),
+        )
+    )

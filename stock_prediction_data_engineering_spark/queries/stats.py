@@ -666,3 +666,122 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_values * 10000 div n").cast("bigint").alias("share_bp"),
         )
     )
+
+
+@query(
+    "q_feature_covariance",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(CAST(l_quantity      AS DECIMAL(18,4))*100 AS BIGINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,4))*100 AS BIGINT) AS e,
+             CAST(CAST(l_discount      AS DECIMAL(18,4))*100 AS BIGINT) AS d,
+             CAST(CAST(l_tax           AS DECIMAL(18,4))*100 AS BIGINT) AS t
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(q) AS sq, SUM(e) AS se, SUM(d) AS sd, SUM(t) AS st,
+             SUM(CAST(q AS HUGEINT)*q) AS sqq,
+             SUM(CAST(q AS HUGEINT)*e) AS sqe,
+             SUM(CAST(q AS HUGEINT)*d) AS sqd,
+             SUM(CAST(q AS HUGEINT)*t) AS sqt,
+             SUM(CAST(e AS HUGEINT)*e) AS see,
+             SUM(CAST(e AS HUGEINT)*d) AS sed,
+             SUM(CAST(e AS HUGEINT)*t) AS set_,
+             SUM(CAST(d AS HUGEINT)*d) AS sdd,
+             SUM(CAST(d AS HUGEINT)*t) AS sdt,
+             SUM(CAST(t AS HUGEINT)*t) AS stt
+      FROM c
+    )
+    SELECT feat_x, feat_y, CAST(n AS BIGINT) AS n,
+           CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             AS cov_c2
+    FROM (
+      SELECT 'quantity' AS feat_x, 'quantity' AS feat_y, n,
+             n*sqq - CAST(sq AS HUGEINT)*sq AS num FROM s
+      UNION ALL SELECT 'quantity', 'extendedprice', n,
+             n*sqe - CAST(sq AS HUGEINT)*se FROM s
+      UNION ALL SELECT 'quantity', 'discount', n,
+             n*sqd - CAST(sq AS HUGEINT)*sd FROM s
+      UNION ALL SELECT 'quantity', 'tax', n,
+             n*sqt - CAST(sq AS HUGEINT)*st FROM s
+      UNION ALL SELECT 'extendedprice', 'extendedprice', n,
+             n*see - CAST(se AS HUGEINT)*se FROM s
+      UNION ALL SELECT 'extendedprice', 'discount', n,
+             n*sed - CAST(se AS HUGEINT)*sd FROM s
+      UNION ALL SELECT 'extendedprice', 'tax', n,
+             n*set_ - CAST(se AS HUGEINT)*st FROM s
+      UNION ALL SELECT 'discount', 'discount', n,
+             n*sdd - CAST(sd AS HUGEINT)*sd FROM s
+      UNION ALL SELECT 'discount', 'tax', n,
+             n*sdt - CAST(sd AS HUGEINT)*st FROM s
+      UNION ALL SELECT 'tax', 'tax', n,
+             n*stt - CAST(st AS HUGEINT)*st FROM s
+    )
+    """,
+)
+def q_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the four lineitem numeric features
+    (quantity, extendedprice, discount, tax, all in cents), in long
+    form — the feature-correlation profile a training pipeline
+    computes before fitting anything on tabular features.
+
+    ONE scan, ONE map-side-combined hash aggregate producing all 15
+    power sums (count, 4 sums, 10 pair products); the result is a
+    single row exploded driver-free into the 10 (feat_x, feat_y)
+    cells. Product sums widen to DECIMAL(38,0) before multiplying
+    (HUGEINT in the oracle) — cents products reach 1e14 per row, so
+    int64 would overflow around sf1 (the q_rolling_corr lesson); the
+    covariance numerator n*Sxy - Sx*Sy stays exact until the ONE
+    double division, written token-identically in both engines. The
+    aggregate state is 15 numbers regardless of corpus size: the
+    cheapest possible 100 TB shape."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = lambda col: (  # noqa: E731
+        (F.col(col).cast(DEC) * 100).cast("bigint")
+    )
+    c = li.select(
+        cents("l_quantity").alias("q"),
+        cents("l_extendedprice").alias("e"),
+        cents("l_discount").alias("d"),
+        cents("l_tax").alias("t"),
+    )
+    d19 = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    feats = ("q", "e", "d", "t")
+    names = {
+        "q": "quantity",
+        "e": "extendedprice",
+        "d": "discount",
+        "t": "tax",
+    }
+    aggs = [F.count("*").cast("decimal(38,0)").alias("n")]
+    aggs += [F.sum(x).alias(f"s{x}") for x in feats]
+    pairs = [
+        (x, y) for i, x in enumerate(feats) for y in feats[i:]  # x <= y
+    ]
+    aggs += [F.sum(d19(x) * d19(y)).alias(f"s{x}{y}") for x, y in pairs]
+    s = c.agg(*aggs)
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    # ONE row with all 10 covariances, then stack() to long form — a
+    # 10-way union of per-cell selects would re-run the corpus
+    # aggregate once per branch; stack explodes the single computed row
+    wide = s.select(
+        F.col("n").cast("bigint").alias("n"),
+        *[
+            (
+                (F.col("n") * F.col(f"s{x}{y}") - d38(f"s{x}") * d38(f"s{y}"))
+                .cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).alias(f"cov_{x}{y}")
+            for x, y in pairs
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{names[x]}', '{names[y]}', cov_{x}{y}" for x, y in pairs
+    )
+    return wide.select(
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (feat_x, feat_y, cov_c2)"
+        ),
+    ).select("feat_x", "feat_y", "n", "cov_c2")

@@ -1,0 +1,82 @@
+"""Exact-substring overlap dedup (winnowing fingerprints) over the
+``documents`` table — the verbatim-run counterpart to the set-
+similarity dedup family (operators/winnow.py has the algorithm and
+scale notes; operators/dedup.py and operators/ssjoin.py cover the
+Jaccard axis this deliberately does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..registry import query
+
+_K, _W, _CAP = 24, 8, 50
+
+
+@query(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH m AS (
+      SELECT text AS txt, MIN(doc_id) AS rep,
+             CAST(COUNT(*) AS BIGINT) AS dup
+      FROM documents WHERE length(text) >= {_K + _W - 1}
+      GROUP BY text
+    ),
+    kg AS (
+      SELECT rep, i AS pos,
+             ('0x' || substr(md5(substr(txt, CAST(i AS INT), {_K})),
+                             1, 15))::BIGINT AS h,
+             length(txt) - {_K - 1} AS npos
+      FROM m, unnest(generate_series(1, length(txt) - {_K - 1})) AS t(i)
+    ),
+    win AS (
+      SELECT rep, pos, npos,
+             MIN(h) OVER (PARTITION BY rep ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_W - 1} FOLLOWING) AS fp
+      FROM kg
+    ),
+    fps AS (
+      SELECT DISTINCT rep, fp FROM win WHERE pos + {_W - 1} <= npos
+    ),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_CAP}),
+    fps2 AS (SELECT fps.rep, fps.fp FROM fps JOIN rare USING (fp)),
+    pairs AS (
+      SELECT a.rep AS doc_a, b.rep AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fp
+      FROM fps2 a JOIN fps2 b ON a.fp = b.fp AND a.rep < b.rep
+      GROUP BY a.rep, b.rep
+    )
+    SELECT doc_a, doc_b, shared_fp, da.dup AS dup_a, db.dup AS dup_b
+    FROM pairs
+    JOIN m da ON da.rep = doc_a
+    JOIN m db ON db.rep = doc_b
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing a verbatim character run of >= 31 chars
+    (k=24 char k-grams, winnowing window w=8 — guarantee length
+    k+w-1), the exact-substring contamination screen that Jaccard
+    dedup misses: a long quote inside two otherwise-unrelated
+    documents never clears a set-similarity threshold but always
+    shares a winnowing fingerprint.
+
+    Fingerprinting is row-local array algebra (no shuffle); pairs are
+    generated only from fingerprints rarer than 50 distinct texts
+    (boilerplate is a frequency signal, not a pair signal), so every
+    posting list — and therefore the self-join — is bounded at any
+    corpus size. Defined over DISTINCT texts with cluster sizes in
+    the output, so the result stays pair-linear even on fully
+    duplicated corpora."""
+    from ..operators.winnow import winnow_pairs
+
+    return winnow_pairs(
+        table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        k=_K,
+        w=_W,
+        df_cap=_CAP,
+    )

@@ -239,6 +239,10 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_inter_event_gaps",    # events: inter-arrival cadence profile
     "q_dedup_consecutive",   # events: run-length (debounce) dedup
     "q_user_lifetime",       # events: lifetime span + churn flag
+    "q_substring_dedup",     # curation: winnowing exact-substring pairs
+    "q_feature_covariance",  # stats: one-scan exact covariance matrix
+    "q_linear_attribution",  # events: multi-touch revenue attribution
+    "q_weighted_median",     # stats: exact quantity-weighted median
     # TPC-H completeness family — the full 22-query suite. Q1/Q3/Q5/Q8
     # shapes live in the core roster (q_multi_agg, q_join_multiway, the
     # composite family); the remaining 18 recognizable shapes are here.
@@ -341,6 +345,7 @@ def load_all() -> None:
         streaming_batch,
         surface_extras,
         text_match,
+        text_overlap,
         tpch_shapes,
         windows,
     )

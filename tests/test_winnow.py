@@ -1,0 +1,127 @@
+"""Winnowing exact-substring overlap: the detection guarantee, the
+duplicate-cluster accounting, and the boilerplate cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_prediction_data_engineering_spark.operators.winnow import winnow_pairs
+
+# distinct filler prefixes long enough that docs share nothing except
+# what the test plants (k=24: any 24-gram from different fillers
+# differs)
+_FILLER_A = "alpha bravo charlie delta echo foxtrot golf hotel india "
+_FILLER_B = "juliet kilo lima mike november oscar papa quebec romeo "
+_FILLER_C = "sierra tango uniform victor whiskey xray yankee zulu one "
+_QUOTE = "the quick brown fox jumps over the lazy dog tonight"  # 51 chars
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: bigint, text: string")
+
+
+def test_shared_long_run_is_always_detected(spark):
+    # guarantee: shared run of len >= k + w - 1 = 31 chars must pair
+    out = winnow_pairs(
+        _docs(
+            spark,
+            [
+                (1, _FILLER_A + _QUOTE + _FILLER_A),
+                (2, _FILLER_B + _QUOTE + _FILLER_B),
+                (3, _FILLER_C * 3),  # no planted quote
+            ],
+        )
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_exact_duplicates_collapse_with_cluster_sizes(spark):
+    # 3 copies of A-with-quote, 2 copies of B-with-quote: ONE
+    # representative pair, cluster sizes carried
+    rows = [(i, _FILLER_A + _QUOTE + _FILLER_A) for i in (1, 2, 3)]
+    rows += [(i, _FILLER_B + _QUOTE + _FILLER_B) for i in (10, 11)]
+    out = winnow_pairs(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b, r.dup_a, r.dup_b) == (1, 10, 3, 2)
+    assert r.shared_fp >= 1
+
+
+def test_boilerplate_cap_drops_corpus_wide_fingerprints(spark):
+    # the quote appears in 4 distinct texts; with df_cap=3 none of the
+    # quote's fingerprints may generate pairs
+    rows = [
+        (1, _FILLER_A + _QUOTE),
+        (2, _FILLER_B + _QUOTE),
+        (3, _FILLER_C + _QUOTE),
+        (4, _QUOTE + _FILLER_A[::-1]),
+    ]
+    capped = winnow_pairs(_docs(spark, rows), df_cap=3).collect()
+    uncapped = winnow_pairs(_docs(spark, rows), df_cap=50).collect()
+    assert len(uncapped) >= 6  # all C(4,2) pairs share the quote
+    assert len(capped) < len(uncapped)
+
+
+def test_short_texts_never_enter(spark):
+    # below the guarantee length (31) a doc has no full window
+    out = winnow_pairs(
+        _docs(spark, [(1, "short shared text!"), (2, "short shared text!")])
+    ).collect()
+    assert out == []
+
+
+def test_matches_oracle_fingerprints_bitwise(spark, duck):
+    # the md5->60-bit-int idiom must produce identical fingerprints in
+    # both engines for the oracle to hold at any scale: compare the
+    # full fingerprint SET for one real document
+    row = duck.sql(
+        "SELECT doc_id, text FROM documents "
+        "WHERE length(text) >= 31 ORDER BY doc_id LIMIT 1"
+    ).fetchone()
+    doc_id, text = row
+    duck_fps = {
+        r[0]
+        for r in duck.sql(
+            f"""
+            WITH kg AS (
+              SELECT i AS pos,
+                     ('0x' || substr(md5(substr(t.txt, CAST(i AS INT), 24)),
+                                     1, 15))::BIGINT AS h,
+                     length(t.txt) - 23 AS npos
+              FROM (SELECT text AS txt FROM documents
+                    WHERE doc_id = {doc_id}) t,
+                   unnest(generate_series(1, length(t.txt) - 23)) AS g(i)
+            )
+            SELECT DISTINCT MIN(h) OVER (ORDER BY pos ROWS BETWEEN
+                                         CURRENT ROW AND 7 FOLLOWING)
+            FROM kg QUALIFY pos + 7 <= npos
+            """
+        ).fetchall()
+    }
+    df = _docs(spark, [(doc_id, text)])
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 23),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substr(F.col("text"), i, F.lit(24))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    spark_fps = {
+        r.fp
+        for r in df.withColumn("hs", hs)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("hs") - 7),
+                        lambda j: F.array_min(F.slice(F.col("hs"), j, 8)),
+                    )
+                )
+            ).alias("fp")
+        )
+        .collect()
+    }
+    assert spark_fps == duck_fps
