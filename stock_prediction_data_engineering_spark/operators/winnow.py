@@ -121,10 +121,26 @@ def winnow_pairs(
             )
         ),
     ).otherwise(empty)
-    fps = (
-        m.withColumn("hs", hs)
-        .withColumn("fps", fp_arr)
-        .select("rep", F.explode("fps").alias("fp"))
+    # TWO projections with a materialization barrier between them.
+    # Without it, CollapseProject inlines the whole `hs` md5 transform
+    # into the window lambda, and slice() re-evaluates ALL n k-gram
+    # hashes for EVERY one of the n windows — O(n^2) md5 calls per
+    # document on the interpreted eval path (measured: a 4-query sf1
+    # sweep pinned one core for 14+ minutes; with the barrier the
+    # same stage is seconds). localCheckpoint stores the hash arrays
+    # executor-local (~8 bytes per character, no exchange) — the same
+    # lineage-truncation trade operators/ssjoin.py documents. The
+    # preceding repartition is row-honest parallelism for the CPU-
+    # heavy fingerprint stage: the post-groupBy text table is
+    # byte-tiny, so AQE's byte-based coalescing would otherwise run
+    # the entire md5 pass on ONE core.
+    mh = (
+        m.repartition(par, "rep")
+        .withColumn("hs", hs)
+        .localCheckpoint(eager=False)
+    )
+    fps = mh.withColumn("fps", fp_arr).select(
+        "rep", F.explode("fps").alias("fp")
     )
     # boilerplate mask: drop fingerprints present in > df_cap distinct
     # texts (keyed count + fp-keyed semi join; bounds every posting)
@@ -147,7 +163,9 @@ def winnow_pairs(
         )
         .agg(F.count("*").cast("bigint").alias("shared_fp"))
     )
-    sizes = m.select("rep", "dup")
+    # read sizes off the checkpointed table so the text groupBy does
+    # not re-execute for a third consumer
+    sizes = mh.select("rep", "dup")
     return (
         pairs.join(
             sizes.select(
