@@ -119,3 +119,68 @@ def learn_bpe(
             "weight",
         ).localCheckpoint()
     return merges
+
+
+def encode_words(
+    words: DataFrame, merges: list[Row] | list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a learned merge table to a (word, weight) vocabulary:
+    returns (word, weight, toks array<string>) — each distinct word's
+    BPE token sequence.
+
+    Semantics: merges apply in RANK ORDER, each merging all its
+    non-overlapping occurrences left-to-right before the next rank
+    (the single-pass fold ``_merge_expr`` pins; the same rule the
+    trainer used, so train->encode round-trips bit-identically).
+
+    Scale shape — the point of encoding the VOCABULARY, not the
+    corpus: merge application is K interpreted folds over the
+    vocabulary-sized distinct-word table (Heaps' law: sublinear in
+    corpus size); the corpus-sized pass is only the upstream word
+    count and the downstream word->toks join, both keyed hash
+    operations. Encoding the corpus row-by-row would re-run the K
+    folds once per token occurrence instead of once per distinct
+    word. Lineage is truncated every few rounds (lazy localCheckpoint
+    — the learn_bpe / connected-components pattern) so the plan tree
+    does not deepen with the merge count.
+    """
+    enc = words.select(
+        "word",
+        "weight",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))).alias(
+            "syms"
+        ),
+    )
+    for i, m in enumerate(merges):
+        left, right = m["left"], m["right"]
+        enc = enc.select(
+            "word", "weight", F.expr(_merge_expr(left, right)).alias("syms")
+        )
+        if (i + 1) % 8 == 0:
+            enc = enc.localCheckpoint(eager=False)
+    return enc.withColumnRenamed("syms", "toks")
+
+
+def encode_corpus_token_counts(
+    docs: DataFrame,
+    merges: list[Row] | list[tuple[str, str]],
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus token frequencies under a learned BPE merge table:
+    (token, n_occurrences) for the top_k most frequent tokens, ordered
+    (n desc, token) — deterministic under any partitioning.
+
+    One corpus scan (word frequencies), vocabulary-sized encoding,
+    then token counts weighted by word frequency — the token histogram
+    a tokenizer-fit pipeline reports without ever materializing the
+    encoded corpus."""
+    wf = word_frequencies(docs, text_col)
+    enc = encode_words(wf, merges)
+    return (
+        enc.select(F.explode("toks").alias("token"), "weight")
+        .groupBy("token")
+        .agg(F.sum("weight").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(top_k)
+    )

@@ -420,6 +420,24 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges)
 
 
+@query("q_bpe_encode")  # rows-only: depends on the learned merge loop
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram under a trained BPE tokenizer: learn 10
+    merges (q_bpe_merges' loop), ENCODE the corpus with them, and
+    report the 50 most frequent tokens — the train->apply round trip
+    a real tokenizer pipeline runs (operators/bpe.py encode_words has
+    the rank-order merge semantics and the vocabulary-sized scale
+    argument: the K merge folds run once per DISTINCT word, never per
+    occurrence). Rows-only for the same reason as q_bpe_merges;
+    pinned against a pure-python reference encoder in
+    tests/test_text_multimodal.py."""
+    from ..operators.bpe import encode_corpus_token_counts, learn_bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=10)
+    return encode_corpus_token_counts(docs, merges, top_k=50)
+
+
 @query(
     "q_assoc_rules",
     oracle="""

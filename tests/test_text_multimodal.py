@@ -260,3 +260,64 @@ def test_bpe_query_returns_ranked_merges(spark):
     # weights are non-increasing in merge order only within equal
     # symbol inventories, so just sanity-check positivity
     assert all(r.weight > 0 for r in out)
+
+
+def _brute_encode(word: str, merges) -> list[str]:
+    """Reference encoder: apply each merge in rank order, all
+    non-overlapping occurrences left-to-right — the semantics
+    operators/bpe.py encode_words declares."""
+    syms = list(word) + ["</w>"]
+    for left, right, _w in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference(spark):
+    from pyspark.sql import Row
+
+    from stock_prediction_data_engineering_spark.operators.bpe import encode_words
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low newer wide wide",
+    ]
+    weights: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split(" "):
+            weights[w] = weights.get(w, 0) + 1
+    merges = _brute_bpe(weights, 8)
+    words = spark.createDataFrame(
+        [(w, n) for w, n in weights.items()], "word string, weight long"
+    )
+    got = {
+        r.word: list(r.toks)
+        for r in encode_words(
+            words,
+            [Row(left=l, right=r_, merged=l + r_) for l, r_, _ in merges],
+        ).collect()
+    }
+    for w in weights:
+        assert got[w] == _brute_encode(w, merges), w
+
+
+def test_bpe_encode_query_token_histogram(spark):
+    from conftest import SF_SMOKE
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["q_bpe_encode"](spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= 50
+    counts = [r.n_occurrences for r in out]
+    # ordered (count desc, token): deterministic top-k
+    assert counts == sorted(counts, reverse=True)
+    assert all(c > 0 for c in counts)

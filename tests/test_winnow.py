@@ -125,3 +125,39 @@ def test_matches_oracle_fingerprints_bitwise(spark, duck):
         .collect()
     }
     assert spark_fps == duck_fps
+
+
+# ---------------------------------------------------------------------------
+# property: the winnowing guarantee holds for arbitrary planted runs
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz 0123456789"
+
+
+@given(
+    data=st.data(),
+    run_len=st.integers(min_value=31, max_value=80),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_planted_run_always_pairs(spark, data, run_len):
+    # two random texts (chance overlap vanishingly unlikely to matter
+    # either way — the assertion is one-sided: the planted pair MUST
+    # appear) with one shared run of >= k + w - 1 = 31 chars planted
+    # at random offsets
+    rnd = data.draw(st.randoms(use_true_random=False))
+    run = "".join(rnd.choice(_ALPHA) for _ in range(run_len))
+    pad = lambda n: "".join(rnd.choice(_ALPHA) for _ in range(n))  # noqa: E731
+    t1 = pad(rnd.randint(0, 60)) + run + pad(rnd.randint(0, 60))
+    t2 = pad(rnd.randint(0, 60)) + run + pad(rnd.randint(0, 60))
+    if t1 == t2:  # identical texts collapse into one cluster, no pair
+        t2 = t2 + "x"
+    out = winnow_pairs(
+        _docs(spark, [(1, t1), (2, t2)]), df_cap=10
+    ).collect()
+    assert any((r.doc_a, r.doc_b) == (1, 2) for r in out), (t1, t2)
