@@ -486,3 +486,71 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("index_bp"),
     )
+
+
+@query(
+    "q_calibration_bins",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS n_views,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT (n_views * 10000) // (n_views + 5) AS pred_bp, converted
+      FROM u
+    )
+    SELECT CAST(pred_bp // 1000 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_conv,
+           CAST(SUM(pred_bp) // COUNT(*) AS BIGINT) AS mean_pred_bp,
+           CAST((SUM(converted) * 10000) // COUNT(*) AS BIGINT)
+             AS actual_bp
+    FROM p GROUP BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table for a deterministic propensity
+    score: users are scored by a saturating view-count propensity
+    pred_bp = 10000*v/(v+5), binned into ten fixed-width buckets, and
+    each bin reports mean predicted vs actual conversion rate — the
+    reliability diagram every scored-model deployment is validated
+    with (q_auc_rank ranks, q_gains_table accumulates; this checks
+    the SCORE SCALE itself).
+
+    One user-keyed collapse then a 10-key hash aggregate; everything
+    is exact integer arithmetic (scores and rates in basis points via
+    integer division), so bins and rates are bit-identical across
+    engines. Aggregate state is bounded by the bin count — scale-free."""
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("n_views"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    p = u.select(
+        F.expr("(n_views * 10000) div (n_views + 5)").alias("pred_bp"),
+        "converted",
+    )
+    return (
+        p.groupBy(F.expr("pred_bp div 1000").cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_conv"),
+            F.expr("sum(pred_bp) div count(*)")
+            .cast("bigint")
+            .alias("mean_pred_bp"),
+            F.expr("(sum(converted) * 10000) div count(*)")
+            .cast("bigint")
+            .alias("actual_bp"),
+        )
+    )

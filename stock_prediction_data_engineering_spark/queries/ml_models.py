@@ -96,3 +96,38 @@ def q_word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return word2vec_neighbors(docs, probe="data", top_n=5)
+
+
+@query("q_pca_variance")  # rows-only: MLlib eigensolver output
+def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embeddings table: explained-variance share of the
+    top-5 principal components, in basis points — the dimensionality
+    screen run before choosing an index or compression width for a
+    vector corpus.
+
+    MLlib's ml.feature.PCA computes the d×d Gram/covariance matrix in
+    ONE distributed tree-aggregate (d = embedding width, so the
+    aggregate state is d² doubles per partition regardless of row
+    count) and eigendecomposes the d×d result on the driver — the
+    canonical tall-skinny layout: nothing row-sized ever leaves the
+    executors. Rows-only: eigensolver output is engine-internal;
+    pinned against a numpy covariance eigendecomposition to float
+    tolerance in tests/test_ml_pipelines.py."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    k = 5
+    model = PCA(k=k, inputCol="features", outputCol="pc").fit(emb)
+    ev = model.explainedVariance
+    return spark.createDataFrame(
+        [
+            (int(i), int(round(float(ev[i]) * 10000)))
+            for i in range(k)
+        ],
+        "component: bigint, explained_var_bp: bigint",
+    )

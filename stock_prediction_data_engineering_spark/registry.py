@@ -219,6 +219,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_ab_lift",             # hash-armed A/B conversion lift
     "q_pps_sample",          # deterministic PPS systematic sampling
     "q_rfm",                 # RFM quintile segmentation (3x global NTILE)
+    "q_calibration_bins",    # eval: integer-exact reliability table
     "q_atr",                 # finance: average true range (integer TR)
     "q_stochastic_osc",      # finance: %K/%D channel position
     "q_cusum",               # stats: integer CUSUM change-point locator
@@ -292,6 +293,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_doc_classify",                # HashingTF/IDF/LogReg confusion profile
     "q_kmeans_clusters",             # MLlib KMeans embedding segmentation
     "q_word2vec_neighbors",          # Word2Vec distributional neighbors
+    "q_pca_variance",                # MLlib PCA explained-variance screen
 )
 
 DRIVER_ORDER: tuple[str, ...] = (

@@ -160,3 +160,35 @@ def test_registered_ml_queries_run(spark):
         df = registry.QUERIES[name](spark, SF_SMOKE)
         assert set(df.columns) == cols, name
         assert df.count() > 0, name
+
+
+def test_pca_variance_matches_numpy(spark):
+    """MLlib's explained-variance shares must match a closed-form
+    numpy covariance eigendecomposition on the same vectors (float
+    tolerance — different eigensolvers, same spectrum)."""
+    from stock_prediction_data_engineering_spark import registry
+    from stock_prediction_data_engineering_spark.catalog import table
+
+    registry.load_all()
+    got = {
+        r.component: r.explained_var_bp
+        for r in registry.QUERIES["q_pca_variance"](spark, SF_SMOKE).collect()
+    }
+    X = np.array(
+        [
+            r.embedding
+            for r in table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cov = np.cov(X, rowvar=False, ddof=1)
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    share = eig / eig.sum()
+    assert len(got) == 5
+    for i in range(5):
+        assert abs(got[i] - share[i] * 10000) <= 2, (i, got[i], share[i])
+    # shares are non-increasing in component order
+    vals = [got[i] for i in range(5)]
+    assert vals == sorted(vals, reverse=True)
