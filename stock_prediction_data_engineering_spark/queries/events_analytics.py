@@ -784,3 +784,98 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cu").cast("bigint").alias("credited_uc"),
         )
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+               AS cohort_week,
+             MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, s.cohort_week,
+             date_diff('day', s.cohort_week, CAST(e.ts AS DATE)) // 7
+               AS age_week,
+             CAST(CAST(e.value AS DECIMAL(18,4))*100 AS BIGINT) AS v_c
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+    ),
+    g AS (
+      SELECT cohort_week, CAST(age_week AS BIGINT) AS age_week,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(v_c) AS BIGINT) AS revenue_c
+      FROM p GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, age_week,
+           n_purchases, revenue_c,
+           CAST(SUM(revenue_c) OVER (PARTITION BY cohort_week
+                ORDER BY age_week ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum_revenue_c
+    FROM g
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by signup week,
+    purchase revenue accumulated by weeks-since-signup — the LTV
+    triangle that complements q_retention_cohorts' retention rates
+    with money.
+
+    Shape at scale: one user-keyed signup collapse joins purchases on
+    user_id (keyed, skew-eligible), then a (cohort, age) hash
+    aggregate whose output is calendar-bounded (weeks x ages), so the
+    cumulative window runs over a tiny table no matter the corpus.
+    Revenue is exact integer cents end-to-end."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+        .select(
+            "user_id",
+            "signup_ts",
+            F.date_trunc("week", F.col("signup_ts"))
+            .cast("date")
+            .alias("cohort_week"),
+        )
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            "ts",
+            (F.col("value").cast("decimal(18,4)") * 100)
+            .cast("bigint")
+            .alias("v_c"),
+        )
+        .join(
+            s,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("ts") >= F.col("signup_ts")),
+        )
+        .select(
+            "cohort_week",
+            F.expr("datediff(CAST(ts AS DATE), cohort_week) div 7")
+            .cast("bigint")
+            .alias("age_week"),
+            "v_c",
+        )
+    )
+    g = p.groupBy("cohort_week", "age_week").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum("v_c").cast("bigint").alias("revenue_c"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "age_week",
+        "n_purchases",
+        "revenue_c",
+        F.sum("revenue_c").over(w).cast("bigint").alias("cum_revenue_c"),
+    )

@@ -859,3 +859,108 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("surprisal_ppm"),
         )
     )
+
+
+@query(
+    "q_domain_similarity",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, COUNT(*) AS n
+      FROM toks WHERE tok <> '' GROUP BY source, tok
+    ),
+    norms AS (
+      SELECT source, SUM(CAST(n AS HUGEINT) * n) AS ss FROM tf GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_tokens,
+             SUM(CAST(a.n AS HUGEINT) * b.n) AS num
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, shared_tokens,
+           CAST(num AS DOUBLE)
+             / sqrt(CAST(na.ss AS DOUBLE) * CAST(nb.ss AS DOUBLE)) AS cos_tf
+    FROM pairs
+    JOIN norms na ON na.source = src_a
+    JOIN norms nb ON nb.source = src_b
+    """,
+)
+def q_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair similarity matrix: cosine of the term-frequency
+    vectors of every pair of document sources — the corpus-cartography
+    view (which domains overlap, which are distinct) that sits beside
+    q_domain_divergence's drift test and q_domain_mixture's weights.
+
+    Shape at scale: the corpus collapses to (source, token, n) in one
+    keyed aggregate; the pair join is keyed on token with postings
+    bounded by the SOURCE count (each token appears at most once per
+    source after the collapse), so the join emits at most
+    |sources|^2/2 rows per distinct token and the output is
+    |sources|^2-bounded. Dot products and norms are exact
+    decimal(38) sums (HUGEINT in the oracle); the cosine is one
+    double div-sqrt written token-identically in both engines."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    norms = tf.groupBy("source").agg(
+        F.sum(d19("n") * d19("n")).alias("ss")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("shared_tokens"),
+            F.sum(
+                F.col("a.n").cast("decimal(19,0)")
+                * F.col("b.n").cast("decimal(19,0)")
+            ).alias("num"),
+        )
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                norms.select(
+                    F.col("source").alias("src_a"), F.col("ss").alias("ss_a")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                norms.select(
+                    F.col("source").alias("src_b"), F.col("ss").alias("ss_b")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_tokens",
+            (
+                F.col("num").cast("double")
+                / F.sqrt(
+                    F.col("ss_a").cast("double") * F.col("ss_b").cast("double")
+                )
+            ).alias("cos_tf"),
+        )
+    )

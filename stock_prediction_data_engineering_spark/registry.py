@@ -240,6 +240,8 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_inter_event_gaps",    # events: inter-arrival cadence profile
     "q_dedup_consecutive",   # events: run-length (debounce) dedup
     "q_user_lifetime",       # events: lifetime span + churn flag
+    "q_cohort_ltv",          # events: cohort lifetime-value triangle
+    "q_domain_similarity",   # curation: source-pair tf cosine matrix
     "q_substring_dedup",     # curation: winnowing exact-substring pairs
     "q_feature_covariance",  # stats: one-scan exact covariance matrix
     "q_linear_attribution",  # events: multi-touch revenue attribution
