@@ -181,3 +181,169 @@ def winnow_pairs(
         )
         .select("doc_a", "doc_b", "shared_fp", "dup_a", "dup_b")
     )
+
+
+def _fp_exprs(k: int, w: int):
+    """The guarded (hs, fps) expression pair over a `__txt` column —
+    shared by the standalone join and the persisted index. Guards and
+    the materialization-barrier requirement are documented at the use
+    site in winnow_pairs."""
+    min_len = k + w - 1
+    empty = F.array().cast("array<bigint>")
+    hs = F.when(
+        F.length("__txt") >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), F.length("__txt") - (k - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.substr(F.col("__txt"), i, F.lit(k))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        ),
+    ).otherwise(empty)
+    fp_arr = F.when(
+        F.size("hs") >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
+            )
+        ),
+    ).otherwise(empty)
+    return hs, fp_arr
+
+
+def winnow_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    w: int = 8,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a probeable exact-substring (winnowing) index:
+
+    - ``fps/`` — (th, fp) rows partitioned by
+      ``bucket = pmod(fp, n_buckets)``, ONE row set per DISTINCT text
+      (keyed by content hash ``th`` — the same index-shaped
+      exact-dup collapse as the MinHash index, operators/dedup.py
+      minhash_index_write);
+    - ``members/`` — (id, th) for output-bound member expansion.
+
+    A probe batch collects its fingerprints' buckets and prunes the
+    corpus scan to those partition directories, so re-checking a new
+    batch for verbatim overlap against a standing corpus is O(batch ×
+    matched buckets), never O(corpus). ``mode="append"`` admits a
+    probed batch into the index (the incremental-ingest loop)."""
+    min_len = k + w - 1
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    flt = docs.filter(F.length(text_col) >= min_len)
+    members = flt.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col).cast("string")).alias("th"),
+    )
+    reps = (
+        flt.select(
+            F.md5(F.col(text_col).cast("string")).alias("th"),
+            F.col(text_col).alias("__txt"),
+        )
+        .dropDuplicates(["th"])
+        .repartition(par, "th")
+    )
+    hs, fp_arr = _fp_exprs(k, w)
+    # barrier between the two projections — see winnow_pairs
+    rh = reps.withColumn("hs", hs).localCheckpoint(eager=False)
+    (
+        rh.withColumn("fps", fp_arr)
+        .select("th", F.explode("fps").alias("fp"))
+        .withColumn("bucket", F.pmod("fp", F.lit(n_buckets)))
+        .repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{path}/fps")
+    )
+    members.write.mode(mode).parquet(f"{path}/members")
+
+
+def winnow_index_probe(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    w: int = 8,
+    n_buckets: int = 64,
+    df_cap: int = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Verbatim-overlap hits of ``new_docs`` against a persisted
+    winnowing index (same k/w/n_buckets as the build — caller owns
+    that contract). Returns (new_id, corpus_id, shared_fp).
+
+    Scale shape (the minhash_index_probe discipline): the batch
+    collapses to one representative per distinct text and its
+    fingerprint table is BROADCAST; the corpus scan prunes to the
+    batch's buckets (collected — at most n_buckets values); corpus-
+    side boilerplate fingerprints (df > df_cap distinct texts within
+    the pruned scan) are dropped before pairing, bounding every
+    posting; member pairs are restored by output-bound joins through
+    ``members/``. No corpus shuffle anywhere."""
+    min_len = k + w - 1
+    spark = new_docs.sparkSession
+    flt = new_docs.filter(F.length(text_col) >= min_len)
+    new_members = flt.select(
+        F.col(id_col).alias("new_id"),
+        F.md5(F.col(text_col).cast("string")).alias("th_n"),
+    )
+    new_reps = flt.select(
+        F.md5(F.col(text_col).cast("string")).alias("th_n"),
+        F.col(text_col).alias("__txt"),
+    ).dropDuplicates(["th_n"])
+    hs, fp_arr = _fp_exprs(k, w)
+    new_fps = (
+        new_reps.withColumn("hs", hs)
+        .localCheckpoint(eager=False)
+        .withColumn("fps", fp_arr)
+        .select("th_n", F.explode("fps").alias("fp"))
+        .withColumn("bucket", F.pmod("fp", F.lit(n_buckets)))
+        .cache()
+    )
+    probe_buckets = [
+        r.bucket for r in new_fps.select("bucket").distinct().collect()
+    ]
+    corpus = spark.read.parquet(f"{path}/fps").filter(
+        F.col("bucket").isin(probe_buckets)
+    )
+    # df-cap inside the pruned scan: a fingerprint carried by > df_cap
+    # distinct corpus texts is boilerplate, not an overlap signal
+    rare = (
+        corpus.groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= df_cap)
+        .select("fp")
+    )
+    pairs = (
+        corpus.join(rare, "fp", "left_semi")
+        .join(F.broadcast(new_fps.select("th_n", "fp")), "fp")
+        .groupBy(F.col("th").alias("th_c"), "th_n")
+        .agg(F.count("*").cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    # member expansion: the verified th-pair set (batch-output-bound)
+    # broadcasts over a map-side scan of members/ — never a corpus
+    # shuffle
+    hits_th = pairs.join(F.broadcast(new_members), "th_n").select(
+        "new_id", "th_c", "shared_fp"
+    )
+    members = spark.read.parquet(f"{path}/members")
+    return (
+        members.select(
+            F.col("th").alias("th_c"), F.col("id").alias("corpus_id")
+        )
+        .join(F.broadcast(hits_th), "th_c")
+        .select("new_id", "corpus_id", "shared_fp")
+    )

@@ -8,6 +8,7 @@ Jaccard axis this deliberately does not).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
@@ -80,3 +81,29 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         w=_W,
         df_cap=_CAP,
     )
+
+
+@query("q_substring_incremental")  # rows-only: filesystem side effect
+def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring screening end-to-end: build the
+    persisted winnowing index over the standing corpus (doc_id % 5
+    != 0), probe the remaining ~20 % as the arriving batch, and
+    return its verbatim-overlap hits (new_id, corpus_id, shared_fp) —
+    the O(batch)-per-ingest contamination gate that replaces
+    re-fingerprinting the whole corpus (operators/winnow.py
+    winnow_index_write/probe; bucket-pruned scan, broadcast batch,
+    df-capped postings). Rows-only: the oracle cannot observe the
+    filesystem side effect."""
+    import os
+    import tempfile
+
+    from ..operators.winnow import winnow_index_probe, winnow_index_write
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(
+        tempfile.mkdtemp(dir=scratch, prefix="wn_idx_"), "idx"
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    winnow_index_write(docs.filter(F.col("doc_id") % 5 != 0), path)
+    return winnow_index_probe(docs.filter(F.col("doc_id") % 5 == 0), path)

@@ -286,6 +286,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_doc_fingerprint_rolling",     # rolling-hash fold
     "q_ema_macd",                    # per-key EMA recurrence (grouped map)
     "q_dedup_incremental",           # R28 persisted-index probe (fs side effect)
+    "q_substring_incremental",       # winnowing index probe (fs side effect)
     "q_bpe_merges",                  # iterative BPE merge learning (argmax loop)
     "q_bpe_encode",                  # BPE train->apply token histogram
     "q_text_search",                 # persisted inverted-index BM25 retrieval

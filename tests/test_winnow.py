@@ -161,3 +161,94 @@ def test_planted_run_always_pairs(spark, data, run_len):
         _docs(spark, [(1, t1), (2, t2)]), df_cap=10
     ).collect()
     assert any((r.doc_a, r.doc_b) == (1, 2) for r in out), (t1, t2)
+
+
+# ---------------------------------------------------------------------------
+# persisted winnowing index (write / probe / append)
+
+
+def _idx_path(tmp_path):
+    return str(tmp_path / "wn_idx")
+
+
+def test_index_probe_finds_planted_overlap(spark, tmp_path):
+    from stock_prediction_data_engineering_spark.operators.winnow import (
+        winnow_index_probe,
+        winnow_index_write,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (1, _FILLER_A + _QUOTE + _FILLER_A),
+            (2, _FILLER_B * 3),
+            (3, _FILLER_C * 3),
+        ],
+    )
+    batch = _docs(
+        spark,
+        [
+            (100, _FILLER_C[::-1] + _QUOTE),  # shares the quote with 1
+            (101, "zz " + _FILLER_B[:40].upper() + " qq"),  # shares nothing
+        ],
+    )
+    path = _idx_path(tmp_path)
+    winnow_index_write(corpus, path)
+    hits = winnow_index_probe(batch, path).collect()
+    assert {(r.new_id, r.corpus_id) for r in hits} == {(100, 1)}
+    assert all(r.shared_fp >= 1 for r in hits)
+
+
+def test_index_append_admits_batch(spark, tmp_path):
+    from stock_prediction_data_engineering_spark.operators.winnow import (
+        winnow_index_probe,
+        winnow_index_write,
+    )
+
+    path = _idx_path(tmp_path)
+    winnow_index_write(
+        _docs(spark, [(1, _FILLER_A + _QUOTE + _FILLER_A)]), path
+    )
+    batch1 = _docs(spark, [(50, _FILLER_B + _QUOTE)])
+    assert {
+        (r.new_id, r.corpus_id)
+        for r in winnow_index_probe(batch1, path).collect()
+    } == {(50, 1)}
+    # admit batch1, then a later batch must see BOTH standing docs
+    winnow_index_write(batch1, path, mode="append")
+    batch2 = _docs(spark, [(60, _QUOTE + _FILLER_C)])
+    assert {
+        (r.new_id, r.corpus_id)
+        for r in winnow_index_probe(batch2, path).collect()
+    } == {(60, 1), (60, 50)}
+
+
+def test_index_probe_matches_standalone_pairs(spark, duck, tmp_path):
+    """Index probe and the standalone join must agree on real data:
+    split sf0.01 documents 80/20, probe the 20 % — every standalone
+    pair that crosses the split must be an index hit and vice versa."""
+    from stock_prediction_data_engineering_spark.catalog import table as t
+    from stock_prediction_data_engineering_spark.operators.winnow import (
+        winnow_index_probe,
+        winnow_index_write,
+        winnow_pairs,
+    )
+
+    docs = t(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = _idx_path(tmp_path)
+    winnow_index_write(corpus, path)
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in winnow_index_probe(batch, path).collect()
+    }
+    # sf0.01 has no exact-duplicate texts, so rep pairs ARE doc pairs
+    expected = {
+        (r.doc_a, r.doc_b) if r.doc_a % 5 == 0 else (r.doc_b, r.doc_a)
+        for r in winnow_pairs(docs).collect()
+        if (r.doc_a % 5 == 0) != (r.doc_b % 5 == 0)
+    }
+    assert got == expected
