@@ -361,3 +361,35 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
             "applicationSideScanSizeThreshold",
             "10GB",
         )
+
+
+def test_tpch_completion_plan_shapes(spark):
+    """The round-close TPC-H shapes keep their scale contracts:
+    Q9 broadcasts both dimension sides (part, supplier⨝nation) and
+    never builds a cartesian; Q16's exclusion is a broadcast anti
+    join; Q6 pushes all predicates to the scan."""
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    q9 = _plan(registry.QUERIES["q_tpch_product_profit"](spark, SF_SMOKE))
+    assert q9.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in q9 and "BroadcastNestedLoop" not in q9
+    q16 = _plan(registry.QUERIES["q_tpch_supplier_parts"](spark, SF_SMOKE))
+    assert "LeftAnti, BuildRight" in q16
+    q6 = _plan(registry.QUERIES["q_tpch_revenue_delta"](spark, SF_SMOKE))
+    assert "PushedFilters: [" in q6
+    assert "SinglePartition" not in q6.split("HashAggregate")[0]
+
+
+def test_winnow_and_covariance_plan_shapes(spark):
+    """q_substring_dedup: keyed joins only — no cartesian, no
+    single-partition stage before the final assembly. q_feature_
+    covariance: ONE parquet scan feeds the whole 15-sum aggregate
+    (the stack() rewrite must not re-scan per cell)."""
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    wn = _plan(registry.QUERIES["q_substring_dedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in wn and "BroadcastNestedLoop" not in wn
+    cov = _plan(registry.QUERIES["q_feature_covariance"](spark, SF_SMOKE))
+    assert cov.count("Scan parquet") == 1

@@ -93,6 +93,26 @@ PICKS = {
         "boilerplate audit: distinct-gram explode, gram-df aggregate, "
         "AQE-sized join back, per-doc aggregate"
     ),
+    "q_tpch_product_profit": (
+        "TPC-H Q9 shape: name-filtered part and supplier-nation both "
+        "broadcast so lineitem is pruned BEFORE the one real shuffle "
+        "(orders equi-join), exact decimal profit aggregate"
+    ),
+    "q_substring_dedup": (
+        "winnowing substring dedup: row-local fingerprint arrays behind a "
+        "localCheckpoint barrier (no CollapseProject re-eval), fp-keyed "
+        "df-cap semi join, bounded pair self-join — keyed joins only"
+    ),
+    "q_feature_covariance": (
+        "covariance matrix: ONE lineitem scan into a 15-sum map-side-"
+        "combined aggregate (decimal(38) products), stack() explodes the "
+        "single result row — no per-cell re-aggregation"
+    ),
+    "q_weighted_median": (
+        "weighted median: keyed (flag, price) pre-aggregate bounds the "
+        "cumulative window to the price DOMAIN, not the corpus; integer "
+        "half-total test"
+    ),
 }
 
 
