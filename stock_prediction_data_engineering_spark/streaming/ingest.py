@@ -47,6 +47,8 @@ def start_dedup_ingest(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.7,
     snapshot_lake: bool = False,
+    substring_index_path: str | None = None,
+    substring_min_shared: int = 1,
 ):
     """Start the admission stream. ``docs`` must carry (id_col,
     text_col). The index directory may be absent (cold start): the
@@ -58,7 +60,16 @@ def start_dedup_ingest(
     parquet append: downstream readers see each admission batch
     atomically and can tail ``snapshot_changes`` — e.g. to keep a
     corpus-stats view current via
-    ``operators/incremental.sync_view_from_snapshots``."""
+    ``operators/incremental.sync_view_from_snapshots``.
+
+    ``substring_index_path`` adds the orthogonal VERBATIM-overlap
+    screen (operators/winnow.py): survivors sharing an exact run of
+    >= 31 chars with any admitted doc are rejected even when their
+    Jaccard is far below the near-dup threshold — the quote/
+    boilerplate contamination the set-similarity probe cannot see.
+    Admissions then append to BOTH indexes, so batch N+1 is screened
+    against batch N on both axes. Same O(batch) probe discipline
+    (bucket-pruned scan, broadcast batch)."""
 
     def _admit(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -85,6 +96,24 @@ def start_dedup_ingest(
                 jaccard_threshold=jaccard_threshold,
             ).select(F.col("new_id").alias(id_col)).distinct()
             survivors = survivors.join(hits, id_col, "left_anti")
+        # 2b) cross-batch verbatim screen (optional, orthogonal axis)
+        if substring_index_path is not None and os.path.isdir(
+            f"{substring_index_path}/fps"
+        ):
+            from ..operators.winnow import winnow_index_probe
+
+            sub_hits = (
+                winnow_index_probe(
+                    survivors,
+                    substring_index_path,
+                    id_col=id_col,
+                    text_col=text_col,
+                    min_shared=substring_min_shared,
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            survivors = survivors.join(sub_hits, id_col, "left_anti")
         # one deterministic materialization: admitted rows feed both
         # the lake append and the index append
         survivors = survivors.localCheckpoint(eager=True)
@@ -104,6 +133,16 @@ def start_dedup_ingest(
             id_col=id_col,
             mode="append",
         )
+        if substring_index_path is not None:
+            from ..operators.winnow import winnow_index_write
+
+            winnow_index_write(
+                survivors,
+                substring_index_path,
+                id_col=id_col,
+                text_col=text_col,
+                mode="append",
+            )
 
     return (
         docs.writeStream.outputMode("append")

@@ -915,3 +915,66 @@ def test_streaming_quantiles_match_batch_sketch(spark, tmp_path_factory):
             idx = -(-p * want_n // 100)
             ev = vals[idx - 1]
             assert got[2 * i] <= ev <= got[2 * i + 1], (et, p, ev)
+
+
+def test_dedup_ingest_substring_screen(spark, tmp_path_factory):
+    """The optional winnowing screen rejects a verbatim-overlap doc
+    the MinHash probe admits: batch 2's doc shares a 51-char quote
+    with an admitted doc but has low set-similarity (different
+    filler), so only the substring axis can catch it."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from stock_prediction_data_engineering_spark.streaming.ingest import (
+        start_dedup_ingest,
+    )
+
+    fa = "alpha bravo charlie delta echo foxtrot golf hotel india "
+    fb = "juliet kilo lima mike november oscar papa quebec romeo "
+    fc = "sierra tango uniform victor whiskey xray yankee zulu one "
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    s1 = pd.DataFrame({"doc_id": [1], "text": [fa * 2 + quote + fa]})
+    s2 = pd.DataFrame(
+        {
+            "doc_id": [2, 3],
+            "text": [fb * 2 + quote + fb, fc * 4],  # 2: quote thief
+        }
+    )
+    root = tmp_path_factory.mktemp("wn_ingest")
+    src = str(root / "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, part in enumerate((s1, s2)):
+        p = f"{src}/slice-{i}.parquet"
+        part.to_parquet(p, index=False)
+        os.utime(p, times=(now + i, now + i))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_dedup_ingest(
+        stream,
+        str(root / "mh_idx"),
+        str(root / "lake"),
+        substring_index_path=str(root / "wn_idx"),
+    )
+    q.awaitTermination()
+    admitted = {
+        r.doc_id for r in spark.read.parquet(str(root / "lake")).collect()
+    }
+    assert admitted == {1, 3}  # 2 rejected on the verbatim axis
+    # the substring index admitted exactly the lake's distinct texts
+    from stock_prediction_data_engineering_spark.operators.winnow import (
+        winnow_index_probe,
+    )
+
+    reprobe = winnow_index_probe(
+        spark.createDataFrame(
+            [(99, fb + quote + fb)], "doc_id: bigint, text: string"
+        ),
+        str(root / "wn_idx"),
+    ).collect()
+    assert {r.corpus_id for r in reprobe} == {1}
