@@ -964,3 +964,90 @@ def q_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_tf"),
         )
     )
+
+
+@query(
+    "q_containment_screen",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''),
+    bench AS (
+      SELECT doc_id AS bench_id, tok FROM toks WHERE doc_id % 97 = 0
+    ),
+    train AS (
+      SELECT doc_id, tok FROM toks WHERE doc_id % 97 <> 0
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_toks FROM train GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT t.doc_id, b.bench_id, COUNT(*) AS n_shared
+      FROM train t JOIN bench b ON t.tok = b.tok
+      GROUP BY t.doc_id, b.bench_id
+    )
+    SELECT i.doc_id, i.bench_id,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(s.n_toks AS BIGINT) AS n_toks,
+           CAST((i.n_shared * 10000) // s.n_toks AS BIGINT)
+             AS containment_bp
+    FROM inter i JOIN sizes s ON s.doc_id = i.doc_id
+    WHERE i.n_shared * 2 >= s.n_toks
+    """,
+)
+def q_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric token-containment contamination screen: training
+    documents whose DISTINCT-token set is at least half contained in
+    some benchmark document (the %97 eval cut, as in
+    q_contamination_check). Containment |T∩B|/|T| is the right
+    measure when the eval item is short and embedded in a longer
+    training doc — Jaccard divides by the union and never fires.
+
+    Why this scales where a general containment JOIN cannot: set-
+    containment has no symmetric prefix filter (a 1-token probe set
+    forces indexing the entire other side), but contamination
+    screening is asymmetric BY NATURE — the benchmark side is
+    eval-suite-sized, so its token table broadcasts and the corpus
+    side streams map-side through one token-keyed aggregate. Exact
+    integers end-to-end (cross-multiplied threshold, bp via integer
+    division)."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("text"), " "))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    bench = toks.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "tok"
+    )
+    train = toks.filter(F.col("doc_id") % 97 != 0)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    # join strategy left to AQE on purpose (the q_contamination_check
+    # lesson): a REAL benchmark side is eval-suite-sized and AQE
+    # broadcasts it from measured bytes; this fixture's %97 cut grows
+    # with the corpus, where a forced broadcast would OOM the driver
+    # at scale — AQE then shuffles on the token key instead.
+    inter = (
+        train.join(bench, "tok")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .filter(F.col("n_shared") * 2 >= F.col("n_toks"))
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            F.expr("(n_shared * 10000) div n_toks")
+            .cast("bigint")
+            .alias("containment_bp"),
+        )
+    )

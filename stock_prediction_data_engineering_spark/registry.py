@@ -242,6 +242,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_user_lifetime",       # events: lifetime span + churn flag
     "q_cohort_ltv",          # events: cohort lifetime-value triangle
     "q_domain_similarity",   # curation: source-pair tf cosine matrix
+    "q_containment_screen",  # curation: asymmetric eval-containment gate
     "q_substring_dedup",     # curation: winnowing exact-substring pairs
     "q_feature_covariance",  # stats: one-scan exact covariance matrix
     "q_linear_attribution",  # events: multi-touch revenue attribution
