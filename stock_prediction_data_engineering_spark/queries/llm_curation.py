@@ -969,41 +969,48 @@ def q_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_containment_screen",
     oracle="""
-    WITH toks0 AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ),
-    toks AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i + 1]))) AS g
+      FROM w WHERE len(ws) >= 2
+    ),
     bench AS (
-      SELECT doc_id AS bench_id, tok FROM toks WHERE doc_id % 97 = 0
+      SELECT doc_id AS bench_id, g FROM bg WHERE doc_id % 97 = 0
     ),
-    train AS (
-      SELECT doc_id, tok FROM toks WHERE doc_id % 97 <> 0
-    ),
+    train AS (SELECT doc_id, g FROM bg WHERE doc_id % 97 <> 0),
     sizes AS (
-      SELECT doc_id, COUNT(*) AS n_toks FROM train GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id
     ),
     inter AS (
       SELECT t.doc_id, b.bench_id, COUNT(*) AS n_shared
-      FROM train t JOIN bench b ON t.tok = b.tok
+      FROM train t JOIN bench b ON t.g = b.g
       GROUP BY t.doc_id, b.bench_id
     )
     SELECT i.doc_id, i.bench_id,
            CAST(i.n_shared AS BIGINT) AS n_shared,
-           CAST(s.n_toks AS BIGINT) AS n_toks,
-           CAST((i.n_shared * 10000) // s.n_toks AS BIGINT)
+           CAST(s.n_grams AS BIGINT) AS n_grams,
+           CAST((i.n_shared * 10000) // s.n_grams AS BIGINT)
              AS containment_bp
     FROM inter i JOIN sizes s ON s.doc_id = i.doc_id
-    WHERE i.n_shared * 2 >= s.n_toks
+    WHERE i.n_shared * 10 >= s.n_grams
     """,
 )
 def q_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric token-containment contamination screen: training
-    documents whose DISTINCT-token set is at least half contained in
+    """Asymmetric containment contamination screen: training
+    documents whose DISTINCT word-bigram set is >= 10 % contained in
     some benchmark document (the %97 eval cut, as in
     q_contamination_check). Containment |T∩B|/|T| is the right
-    measure when the eval item is short and embedded in a longer
-    training doc — Jaccard divides by the union and never fires.
+    measure when the eval item is embedded in a longer training doc —
+    Jaccard divides by the union and never fires. Bigrams, not single
+    tokens, carry the candidate bar: unigram postings on a natural
+    vocabulary make nearly every doc pair a candidate (measured: the
+    unigram form produced a 22M-row intermediate at sf1), while
+    bigram overlap between unrelated documents is rare, so the
+    candidate aggregate stays sparse.
 
     Why this scales where a general containment JOIN cannot: set-
     containment has no symmetric prefix filter (a 1-token probe set
@@ -1013,41 +1020,90 @@ def q_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     side streams map-side through one token-keyed aggregate. Exact
     integers end-to-end (cross-multiplied threshold, bp via integer
     division)."""
-    toks = (
-        table(spark, sf_dir, "documents")
-        .select(
+    # row-honest repartition before the CPU-heavy bigram explode: the
+    # documents file is few input splits and byte-tiny relative to its
+    # per-row compute, so without this the whole gram build runs on
+    # two cores (the operators/dedup.py byte-based-sizing trap;
+    # observed live at sf10). Join strategy is left to AQE throughout
+    # (the q_contamination_check lesson): a REAL benchmark side is
+    # eval-suite-sized and broadcasts from measured bytes; a corpus-
+    # growing side shuffles on the gram key instead of OOMing the
+    # driver.
+    par = spark.sparkContext.defaultParallelism
+    src = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    members = src.select(
+        "doc_id", F.md5(F.col("text").cast("string")).alias("__th")
+    ).localCheckpoint(eager=False)
+    prof = members.agg(
+        F.count("*").alias("n"), F.countDistinct("__th").alias("d")
+    ).first()
+    out_cols = lambda df: df.filter(  # noqa: E731
+        F.col("n_shared") * 10 >= F.col("n_grams")
+    ).select(
+        "doc_id",
+        "bench_id",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.expr("(n_shared * 10000) div n_grams")
+        .cast("bigint")
+        .alias("containment_bp"),
+    )
+    if prof.d * 100 > prof.n * 95:  # dup mass immaterial: direct path
+        grams = src.select(
+            "doc_id", F.split("text", " ").alias("words")
+        ).select(
             "doc_id",
-            F.explode(
-                F.array_distinct(F.split(F.col("text"), " "))
-            ).alias("tok"),
+            F.explode(F.array_distinct(F.expr(_BIGRAMS))).alias("g"),
         )
-        .filter(F.col("tok") != "")
+        bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("bench_id"), "g"
+        )
+        train = grams.filter(F.col("doc_id") % 97 != 0)
+        sizes = train.groupBy("doc_id").agg(
+            F.count("*").alias("n_grams")
+        )
+        inter = (
+            train.join(bench, "g")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count("*").alias("n_shared"))
+        )
+        return out_cols(inter.join(sizes, "doc_id"))
+    # exact-dup collapse (R107, the contamination_pairs move):
+    # containment is text-pure, so the gram join, the size table, AND
+    # the threshold all evaluate at cluster level — only PASSING
+    # cluster pairs expand to members, so candidate work is
+    # distinct-text-bounded and expansion is output-bound (the direct
+    # path paid dup^2 in the aggregate: measured 405 s / 441M rows at
+    # sf10; cluster-level the same answer streams from ~4.5k pairs)
+    reps = members.groupBy("__th").agg(F.min("doc_id").alias("rid"))
+    rep_grams = (
+        src.join(reps, F.col("doc_id") == F.col("rid"), "inner")
+        .select("__th", F.split("text", " ").alias("words"))
+        .select(
+            "__th",
+            F.explode(F.array_distinct(F.expr(_BIGRAMS))).alias("g"),
+        )
+        .localCheckpoint(eager=False)
     )
-    bench = toks.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("bench_id"), "tok"
+    sizes_th = rep_grams.groupBy("__th").agg(
+        F.count("*").alias("n_grams")
     )
-    train = toks.filter(F.col("doc_id") % 97 != 0)
-    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
-    # join strategy left to AQE on purpose (the q_contamination_check
-    # lesson): a REAL benchmark side is eval-suite-sized and AQE
-    # broadcasts it from measured bytes; this fixture's %97 cut grows
-    # with the corpus, where a forced broadcast would OOM the driver
-    # at scale — AQE then shuffles on the token key instead.
-    inter = (
-        train.join(bench, "tok")
-        .groupBy("doc_id", "bench_id")
+    directed = (
+        rep_grams.select(F.col("__th").alias("__th_t"), "g")
+        .join(rep_grams.select(F.col("__th").alias("__th_b"), "g"), "g")
+        .groupBy("__th_t", "__th_b")
         .agg(F.count("*").alias("n_shared"))
     )
-    return (
-        inter.join(sizes, "doc_id")
-        .filter(F.col("n_shared") * 2 >= F.col("n_toks"))
-        .select(
-            "doc_id",
-            "bench_id",
-            F.col("n_shared").cast("bigint").alias("n_shared"),
-            F.col("n_toks").cast("bigint").alias("n_toks"),
-            F.expr("(n_shared * 10000) div n_toks")
-            .cast("bigint")
-            .alias("containment_bp"),
-        )
+    passing = directed.join(
+        sizes_th.select(
+            F.col("__th").alias("__th_t"), "n_grams"
+        ),
+        "__th_t",
+    ).filter(F.col("n_shared") * 10 >= F.col("n_grams"))
+    train_m = members.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("__th").alias("__th_t"), "doc_id"
     )
+    bench_m = members.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("__th").alias("__th_b"), F.col("doc_id").alias("bench_id")
+    )
+    return out_cols(passing.join(train_m, "__th_t").join(bench_m, "__th_b"))

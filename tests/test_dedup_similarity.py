@@ -861,3 +861,67 @@ def test_embedding_collapse_equivalence_under_heavy_duplication(spark):
     )
     # cluster 2 is unrelated: no pairs against 0/1
     assert not any(b >= 2000 and a < 2000 for (a, b) in pairs)
+
+
+def test_containment_collapse_equivalence_under_duplication(spark):
+    """q_containment_screen's cluster-level collapse must return the
+    brute-force bigram-containment answer when the exact-dup collapse
+    engages (10 copies per text straddling the %97 cut)."""
+    import re
+
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    texts = [
+        base,
+        base + " omega8",             # high containment vs base
+        base.replace("delta", "spark"),
+        "one two three four five six seven eight nine ten",
+        "zz",                          # no bigrams: never appears
+    ]
+    rows = [
+        (t * 1000 + c, txt) for t, txt in enumerate(texts) for c in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def bigrams(text):
+        ws = re.split(r" ", text)
+        return (
+            {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+            if len(ws) >= 2
+            else set()
+        )
+
+    g = {i: bigrams(t) for i, t in rows}
+    exp = set()
+    for b_id, _ in rows:
+        if b_id % 97 != 0:
+            continue
+        for t_id, _ in rows:
+            if t_id % 97 == 0 or not g[t_id]:
+                continue
+            ns, n = len(g[t_id] & g[b_id]), len(g[t_id])
+            if ns * 10 >= n:
+                exp.add((t_id, b_id, ns, n, ns * 10000 // n))
+    # monkeypatched table(): run the registered query body on the
+    # fixture by calling the underlying operator path directly
+    from stock_prediction_data_engineering_spark.queries import llm_curation
+
+    orig = llm_curation.table
+    llm_curation.table = lambda _s, _d, _n: docs
+    try:
+        got = {
+            (r.doc_id, r.bench_id, r.n_shared, r.n_grams, r.containment_bp)
+            for r in registry.QUERIES["q_containment_screen"](
+                spark, "unused"
+            ).collect()
+        }
+    finally:
+        llm_curation.table = orig
+    assert got == exp
+    # sanity: the fixture really exercises the collapse branch
+    assert len(rows) == 50 and len({t for _, t in rows}) == 5
