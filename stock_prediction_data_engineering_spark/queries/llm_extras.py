@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, pq, similarity, text
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -137,6 +137,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0)
     return similarity.ivf_topk(emb, qv, k=10, n_cells=8, nprobe=4)
+
+
+@query("q_ann_pq")
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k (L7 scale path #3):
+    per-subspace k-means codebooks fit on a bounded sample, corpus
+    encoded to m one-byte codes (32× compression at 64-dim float32),
+    scored by a pure-JVM asymmetric-distance fold over a broadcast
+    lookup table. Rows-only — codes are model-dependent, not
+    SQL-expressible. Recall vs brute force gated in
+    tests/test_ann_recall_gate.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    return pq.pq_topk(emb, qv, k=10, m=8, nbits=8)
 
 
 # ---------------------------------------------------------------------------

@@ -5,7 +5,7 @@ Floors are pinned with margin below the measured values on the
 deterministic sf0.001 fixture (fixed query slice, hash-synthesized
 LSH planes, seeded KMeans — measured 2026-08-14: recall_lsh 0.24 /
 lift 1.89, recall_ivf 0.56 / lift 1.94, recall_ivf_fine 0.64 /
-lift 3.21). A similarity-operator change that degrades recall or
+lift 3.21; 2026-08-15: recall_pq 0.68 at 32× byte compression). A similarity-operator change that degrades recall or
 recall-per-scanned-row below these floors now fails the suite instead
 of silently shipping a worse index. Absolute recall on this synthetic
 corpus is bounded by its weak cosine structure — the LIFT (recall /
@@ -31,6 +31,10 @@ FLOORS = {
     "lift_ivf": 1.5,
     "recall_ivf_fine": 0.55,
     "lift_ivf_fine": 2.5,
+    # PQ scans all rows at ~32× fewer bytes/row: recall is the gate,
+    # compression the work bound (pinned exactly below)
+    "recall_pq": 0.55,
+    "pq_compression": 32.0,
 }
 
 

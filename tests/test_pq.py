@@ -1,0 +1,104 @@
+"""Product-quantization ANN (operators/pq.py): code validity, exact
+agreement between the JVM ADC fold and a driver-side numpy twin, index
+persistence round-trip, and determinism. Recall floors live in
+tests/test_ann_recall_gate.py alongside the LSH/IVF gates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from stock_prediction_data_engineering_spark.operators import pq, similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return pq.pq_build(emb, m=8, nbits=6)
+
+
+def test_codes_shape_and_range(index):
+    rows = index.table.select(
+        F.size("codes").alias("m"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    ).agg(
+        F.min("m"), F.max("m"), F.min("lo"), F.max("hi")
+    ).first()
+    assert rows[0] == rows[1] == 8
+    assert rows[2] >= 0
+    assert rows[3] < 64
+
+
+def test_adc_matches_numpy_twin(emb, index):
+    """The JVM aggregate/transform/element_at scoring fold must equal
+    the straightforward numpy ADC on identical codes — pins the
+    1-based element_at indexing and the lut flattening order."""
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding")
+    got = {
+        r.vec_id: r.adc_score
+        for r in pq.pq_search(index, qvec, k=5).collect()
+    }
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in index.table.filter(
+            F.col("vec_id").isin(list(got))
+        ).collect()
+    }
+    q = np.asarray(qvec.first()[0], dtype=np.float64)
+    q /= np.linalg.norm(q)
+    qs = q.reshape(index.m, -1)
+    lut = np.einsum("sd,skd->sk", qs, index.codebooks)
+    for vid, score in got.items():
+        expect = sum(lut[s, c] for s, c in enumerate(codes[vid]))
+        assert score == pytest.approx(round(expect, 4), abs=1e-9)
+
+
+def test_self_retrieval(emb, index):
+    """A vector's own (exactly-encoded-input) row must rank in the
+    top-k for its own query — quantization distorts, but the query's
+    own code maximizes its own lookup table within its cell
+    neighborhood on this fixture."""
+    for qid in (0, 101, 303):
+        qvec = emb.filter(F.col("vec_id") == qid).select("embedding")
+        top = [r.vec_id for r in pq.pq_search(index, qvec, k=10).collect()]
+        assert qid in top
+
+
+def test_encode_deterministic(emb):
+    """Same corpus + seed → byte-identical codes (hash-ordered sample,
+    seeded k-means, no RNG at encode time)."""
+    a = pq.pq_build(emb, m=8, nbits=4, seed=7)
+    b = pq.pq_build(emb, m=8, nbits=4, seed=7)
+    diff = (
+        a.table.alias("a")
+        .join(b.table.alias("b"), "vec_id")
+        .filter(F.col("a.codes") != F.col("b.codes"))
+        .count()
+    )
+    assert diff == 0
+    assert np.array_equal(a.codebooks, b.codebooks)
+
+
+def test_persisted_roundtrip(emb, tmp_path):
+    idx = pq.pq_build(emb, m=8, nbits=4, path=str(tmp_path / "pq_lake"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    top = [r.vec_id for r in pq.pq_search(idx, qvec, k=5).collect()]
+    assert len(top) == 5 and top[0] == 0
+
+
+def test_pq_beats_random_baseline(emb, index):
+    """Recall sanity at module params (full gate in
+    test_ann_recall_gate.py): PQ top-10 should intersect exact top-10
+    far above the 10/N random floor."""
+    qvec = emb.filter(F.col("vec_id") == 21).select("embedding")
+    exact = {r.vec_id for r in similarity.brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {r.vec_id for r in pq.pq_search(index, qvec, k=10).collect()}
+    assert len(exact & approx) >= 3

@@ -1,6 +1,8 @@
 """ANN quality harness: recall@k of the approximate similarity paths
-(hyperplane-LSH, IVF-Flat) against brute-force cosine ground truth,
-reported next to the *scan fraction* each path actually examined.
+(hyperplane-LSH, IVF-Flat, product quantization) against brute-force
+cosine ground truth, reported next to the *scan fraction* each path
+actually examined (for PQ: the byte *compression* of the scan — PQ
+reads every row but ~32× fewer bytes per row).
 
 A correct-but-low-recall ANN index is as broken as a slow one — but
 recall must be judged against work: on weakly-structured vectors the
@@ -58,8 +60,16 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
     # apples even with unbalanced KMeans cells.
     import numpy as np
 
+    from stock_prediction_data_engineering_spark.operators import pq as pqm
+
     coarse_idx = sim.ivf_build(emb, n_cells=params["n_cells"])
     fine_idx = sim.ivf_build(emb, n_cells=params["n_cells_fine"])
+    # PQ index built once over the full corpus (the query row is
+    # excluded at search time by id — same accounting as IVF).
+    params["pq_m"], params["pq_nbits"] = 8, 8
+    pq_idx = pqm.pq_build(emb, m=params["pq_m"], nbits=params["pq_nbits"])
+    dim = len(emb.select("embedding").first()[0])
+    hits_pq = 0
 
     def _probe(idx, qvec, qid, nprobe):
         """Search corpus-minus-query and count actually-scanned rows."""
@@ -99,6 +109,15 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
                 multi_probe=params["multi_probe"],
             ).collect()
         }
+        pq_q = pqm.PqIndex(
+            pq_idx.table.filter(F.col("vec_id") != qid),
+            pq_idx.codebooks,
+            pq_idx.id_col,
+        )
+        pq_found = {
+            r.vec_id for r in pqm.pq_search(pq_q, qvec, k=k).collect()
+        }
+        hits_pq += len(exact & pq_found)
         ivf, s_ivf = _probe(coarse_idx, qvec, qid, params["nprobe"])
         fine, s_fine = _probe(fine_idx, qvec, qid, params["nprobe_fine"])
         scanned_ivf += s_ivf
@@ -134,6 +153,10 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
         "recall_ivf_fine": round(r_fine, 4),
         "scan_frac_ivf_fine": round(f_fine, 4),
         "lift_ivf_fine": round(r_fine / f_fine, 2),
+        "recall_pq": round(hits_pq / total, 4),
+        # PQ scans all rows but reads m code bytes instead of dim
+        # float32s — the work ratio is byte compression, not row count
+        "pq_compression": round(dim * 4 / params["pq_m"], 1),
         "params": params,
     }
 
