@@ -153,6 +153,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(emb, qv, k=10, m=8, nbits=8)
 
 
+@query("q_ann_ivfpq")
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ approximate top-k (FAISS IVFPQ shape): coarse
+    cells prune WHICH codes are scanned (nprobe/n_cells of the
+    corpus), residual PQ compresses WHAT each scan reads (~32×).
+    Scoring = per-cell constant + the same JVM ADC fold. Rows-only —
+    model-dependent."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    return pq.ivfpq_topk(emb, qv, k=10, n_cells=8, nprobe=4, m=8, nbits=8)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 

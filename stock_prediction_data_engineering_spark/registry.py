@@ -280,6 +280,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_ann_lsh",                     # L7 hyperplane-LSH buckets
     "q_ann_ivf",                     # L7 IVF-Flat (KMeans cells)
     "q_ann_pq",                      # L7 product quantization (ADC)
+    "q_ann_ivfpq",                   # L7 composed IVF-PQ (residual ADC)
     "q_grouped_map_zscore",          # D2 applyInPandas
     "q_multimodal_features",         # L8 binary payload decode
     "q_multimodal_frame_sample",

@@ -35,6 +35,9 @@ FLOORS = {
     # compression the work bound (pinned exactly below)
     "recall_pq": 0.55,
     "pq_compression": 32.0,
+    # composed IVF-PQ (measured 0.52 at scan_frac 0.29): cell-pruned
+    # AND compressed — recall floor with margin
+    "recall_ivfpq": 0.4,
 }
 
 
@@ -60,3 +63,4 @@ def test_scan_fractions_stay_sublinear(recall):
     assert recall["scan_frac_lsh"] < 0.5
     assert recall["scan_frac_ivf"] < 0.5
     assert recall["scan_frac_ivf_fine"] < 0.5
+    assert recall["scan_frac_ivfpq"] < 0.5

@@ -94,6 +94,62 @@ def test_persisted_roundtrip(emb, tmp_path):
     assert len(top) == 5 and top[0] == 0
 
 
+@pytest.fixture(scope="module")
+def ivfpq_index(emb):
+    return pq.ivfpq_build(emb, n_cells=8, m=8, nbits=6)
+
+
+def test_ivfpq_self_retrieval(emb, ivfpq_index):
+    for qid in (0, 101, 303):
+        qvec = emb.filter(F.col("vec_id") == qid).select("embedding")
+        top = [
+            r.vec_id
+            for r in pq.ivfpq_search(ivfpq_index, qvec, k=10, nprobe=4).collect()
+        ]
+        assert qid in top
+
+
+def test_ivfpq_score_decomposition(emb, ivfpq_index):
+    """The composed score must equal q·c_cell + ADC(residual codes)
+    computed driver-side — pins the per-cell constant lookup and the
+    residual lut order."""
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding")
+    got = {
+        r.vec_id: r.adc_score
+        for r in pq.ivfpq_search(ivfpq_index, qvec, k=5, nprobe=8).collect()
+    }
+    rows = {
+        r.vec_id: (r.ivf_cell, list(r.codes))
+        for r in ivfpq_index.table.filter(
+            F.col("vec_id").isin(list(got))
+        ).collect()
+    }
+    q = np.asarray(qvec.first()[0], dtype=np.float64)
+    q /= np.linalg.norm(q)
+    m, _, dsub = ivfpq_index.codebooks.shape
+    lut = np.einsum("sd,skd->sk", q.reshape(m, dsub), ivfpq_index.codebooks)
+    for vid, score in got.items():
+        cell, codes = rows[vid]
+        expect = ivfpq_index.centroids[cell] @ q + sum(
+            lut[s, c] for s, c in enumerate(codes)
+        )
+        assert score == pytest.approx(round(expect, 4), abs=1e-9)
+
+
+def test_ivfpq_persisted_prunes_partitions(emb, tmp_path, spark):
+    """A persisted index reads a cell-partitioned lake; a probed
+    search must touch only the probed cells' files."""
+    idx = pq.ivfpq_build(
+        emb, n_cells=8, m=8, nbits=4, path=str(tmp_path / "ivfpq_lake")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    plan = pq.ivfpq_search(idx, qvec, k=5, nprobe=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "ivf_cell" in plan
+    res = pq.ivfpq_search(idx, qvec, k=5, nprobe=2).collect()
+    assert len(res) == 5
+
+
 def test_pq_beats_random_baseline(emb, index):
     """Recall sanity at module params (full gate in
     test_ann_recall_gate.py): PQ top-10 should intersect exact top-10

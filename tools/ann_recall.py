@@ -68,8 +68,11 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
     # excluded at search time by id — same accounting as IVF).
     params["pq_m"], params["pq_nbits"] = 8, 8
     pq_idx = pqm.pq_build(emb, m=params["pq_m"], nbits=params["pq_nbits"])
+    ivfpq_idx = pqm.ivfpq_build(
+        emb, n_cells=params["n_cells"], m=params["pq_m"], nbits=params["pq_nbits"]
+    )
     dim = len(emb.select("embedding").first()[0])
-    hits_pq = 0
+    hits_pq = hits_ivfpq = scanned_ivfpq = 0
 
     def _probe(idx, qvec, qid, nprobe):
         """Search corpus-minus-query and count actually-scanned rows."""
@@ -118,6 +121,31 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
             r.vec_id for r in pqm.pq_search(pq_q, qvec, k=k).collect()
         }
         hits_pq += len(exact & pq_found)
+        ivfpq_q = pqm.IvfPqIndex(
+            ivfpq_idx.table.filter(F.col("vec_id") != qid),
+            ivfpq_idx.centroids,
+            ivfpq_idx.codebooks,
+            ivfpq_idx.id_col,
+        )
+        hits_ivfpq += len(
+            exact
+            & {
+                r.vec_id
+                for r in pqm.ivfpq_search(
+                    ivfpq_q, qvec, k=k, nprobe=params["nprobe"]
+                ).collect()
+            }
+        )
+        qarr2 = np.array(qvec.first()[0], dtype=float)
+        qn2 = np.linalg.norm(qarr2)
+        if qn2 > 0:
+            qarr2 = qarr2 / qn2
+        probed2 = np.argsort(((ivfpq_idx.centroids - qarr2) ** 2).sum(axis=1))[
+            : params["nprobe"]
+        ].tolist()
+        scanned_ivfpq += ivfpq_q.table.filter(
+            F.col("ivf_cell").isin(probed2)
+        ).count()
         ivf, s_ivf = _probe(coarse_idx, qvec, qid, params["nprobe"])
         fine, s_fine = _probe(fine_idx, qvec, qid, params["nprobe_fine"])
         scanned_ivf += s_ivf
@@ -157,6 +185,11 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
         # PQ scans all rows but reads m code bytes instead of dim
         # float32s — the work ratio is byte compression, not row count
         "pq_compression": round(dim * 4 / params["pq_m"], 1),
+        # IVF-PQ: cell-pruned row scan AND compressed per-row reads
+        "recall_ivfpq": round(hits_ivfpq / total, 4),
+        "scan_frac_ivfpq": round(
+            scanned_ivfpq / (len(query_ids) * n_corpus), 4
+        ),
         "params": params,
     }
 
