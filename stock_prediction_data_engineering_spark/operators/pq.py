@@ -342,6 +342,9 @@ def ivfpq_build(
         if sample_fraction is not None
         else corpus
     )
+    # KMeans fit bounded like ivf_build's fit_limit: hash-ordered
+    # top-k keeps the quantizer fit O(sample) at any corpus size
+    fit_input = fit_input.orderBy(F.xxhash64(F.col(vec_col))).limit(sample_limit)
     model, centroids = ivf_fit_centroids(fit_input, vec_col, n_cells, seed)
     assigned = ivf_assign(corpus, model, vec_col)
 

@@ -16,6 +16,7 @@ state) so signatures are reproducible across runs and engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,28 +128,80 @@ def ivf_fit_centroids(
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
-        array_to_vector(l2_normalize_expr(F.col(vec_col))).alias("features")
+    # Normalize via MLlib's compiled O(d) Normalizer, not the
+    # l2_normalize_expr lambda: CollapseProject inlines the norm
+    # aggregate into the per-element division — O(d²) interpreted
+    # per row (see operators/winnow.py). Normalizer keeps zero
+    # vectors unchanged, matching l2_normalize_expr's semantics.
+    # The repartition matters because callers bound the fit input
+    # with ORDER BY hash LIMIT n — a single-partition result that
+    # would otherwise serialize the normalize + fit input scan.
+    sc = corpus.sparkSession.sparkContext
+    # hash-partitioned (not round-robin): deterministic placement, so
+    # KMeans|| per-partition init sampling is stable across runs
+    spread = corpus.repartition(
+        sc.defaultParallelism, F.xxhash64(F.col(vec_col))
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
-    return model, np.array(model.clusterCenters())
+    raw = spread.select(array_to_vector(F.col(vec_col)).alias("raw"))
+    feats = (
+        Normalizer(inputCol="raw", outputCol="features", p=2.0)
+        .transform(raw)
+        .select("features")
+    )
+    # KMeans drives ~maxIter jobs over its input; uncached, each one
+    # re-runs the upstream scan + bounded top-k (measured 31 s for a
+    # 16k-row fit at sf10 — all re-scan, not math). The fit input is
+    # sample-bounded by the callers, so caching it is O(sample) memory.
+    feats = feats.cache()
+    try:
+        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+        centroids = np.array(model.clusterCenters())
+    finally:
+        feats.unpersist()
+    return model, centroids
 
 
 def ivf_assign(
     corpus: DataFrame, model, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Add the IVF cell id to every corpus row (distributed transform,
-    normalized features to match the spherical quantizer's space)."""
-    from pyspark.ml.functions import array_to_vector
+    """Add the IVF cell id to every corpus row.
 
-    assigned = model.transform(
-        corpus.withColumn(
-            "features", array_to_vector(l2_normalize_expr(F.col(vec_col)))
-        )
+    Accepts the fitted KMeans model or a raw (n_cells, dim) centroid
+    matrix. Assignment is an Arrow-batched numpy matmul against the
+    broadcast-in-closure centroid matrix, NOT ``model.transform``:
+    the MLlib path pays the vector-UDT conversion plus the
+    CollapseProject trap (the norm aggregate inside
+    :func:`l2_normalize_expr`'s per-element lambda re-evaluates O(d²)
+    interpreted — see ``operators/winnow.py``), measured 51 s for a
+    200k-row assignment at sf10 vs ~2 s for the batched matmul. Same
+    math: on unit vectors, euclidean argmin over centroids equals
+    argmax of (x̂·c − ‖c‖²/2); first-minimum tie-break matches MLlib's
+    in-order centroid scan."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents = (
+        np.array(model.clusterCenters())
+        if hasattr(model, "clusterCenters")
+        else np.asarray(model)
     )
-    return assigned.withColumnRenamed("prediction", "ivf_cell").drop("features")
+    C = cents.astype(np.float64).T  # (dim, n_cells)
+    half_sq = (cents.astype(np.float64) ** 2).sum(axis=1) / 2.0
+
+    @pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0  # zero vectors pass through unscaled
+        scores = (X / norms[:, None]) @ C - half_sq
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    return corpus.withColumn("ivf_cell", _cell(F.col(vec_col)))
 
 
 class IvfIndex:
@@ -180,6 +233,7 @@ def ivf_build(
     n_cells: int | str = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
+    fit_limit: int | None = 16384,
     path: str | None = None,
 ) -> IvfIndex:
     """Build the IVF index: fit the coarse quantizer on a sample, then
@@ -196,6 +250,12 @@ def ivf_build(
     ``sample_fraction`` bounds the KMeans fit input — at 100 TB the
     quantizer needs a representative sample, not every row; the full
     corpus only flows through the (cheap, map-only) assignment.
+    ``fit_limit`` (default 16384) hard-caps the fit input regardless:
+    the ``fit_limit`` rows with the smallest ``xxhash64(vector)`` — a
+    deterministic per-partition top-k (TakeOrderedAndProject), never
+    a full sort. Without the cap, a one-shot ``ivf_topk`` at sf10 paid
+    223 s of full-corpus KMeans for a 10-row answer (SWEEP_r4_sf10);
+    the quantizer fit must be O(sample), only the assignment O(corpus).
     ``path`` persists the assignment partitioned by ``ivf_cell`` so
     later searches read only the probed cells' directories.
     """
@@ -215,6 +275,10 @@ def ivf_build(
         else:
             n_rows = corpus.count()
         n_cells = max(4, min(4096, 1 << round(math.log2(max(4, math.isqrt(n_rows))))))
+    if fit_limit is not None:
+        # applied AFTER auto-sizing — the cell count keys off corpus
+        # size, the KMeans fit off the bounded sample
+        fit_input = fit_input.orderBy(F.xxhash64(F.col(vec_col))).limit(fit_limit)
     model, centroids = ivf_fit_centroids(fit_input, vec_col, n_cells, seed)
     assigned = ivf_assign(corpus, model, vec_col)
     if path is not None:

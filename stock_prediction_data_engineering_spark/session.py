@@ -53,6 +53,11 @@ def get_spark(
             str(8 * shuffle),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ORDER BY + LIMIT above 10k falls back from the per-partition
+        # top-k (TakeOrderedAndProject) to a full global sort; the
+        # bounded-sample operators (ANN quantizer fits, PQ codebooks)
+        # take 16-64k deterministic rows, well within a heap per task
+        .config("spark.sql.execution.topKSortFallbackThreshold", "1000000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- python boundary: always Arrow ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
