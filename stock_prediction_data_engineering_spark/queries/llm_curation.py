@@ -1107,3 +1107,116 @@ def q_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__th").alias("__th_b"), F.col("doc_id").alias("bench_id")
     )
     return out_cols(passing.join(train_m, "__th_t").join(bench_m, "__th_b"))
+
+
+@query(
+    "q_dsir_select",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS bucket
+      FROM tok
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tt,
+             SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS tr
+      FROM tb
+    ),
+    lam AS (
+      SELECT bucket,
+             CAST(round((ln((SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                             + 1.0) / CAST(tot.tt + 256 AS DOUBLE))
+                       - ln((SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                             + 1.0) / CAST(tot.tr + 256 AS DOUBLE)))
+                        * 1000000, 0) AS BIGINT) AS lam_micro
+      FROM tb CROSS JOIN tot
+      GROUP BY bucket, tot.tt, tot.tr
+    ),
+    per_doc AS (
+      SELECT doc_id, bucket, COUNT(*) AS c
+      FROM tb WHERE source <> 'src0' GROUP BY doc_id, bucket
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.c * l.lam_micro) AS BIGINT) AS weight_micro
+    FROM per_doc d JOIN lam l USING (bucket)
+    GROUP BY d.doc_id
+    ORDER BY weight_micro DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw-pool document by how much more
+    likely its hashed-unigram bag is under the target domain ('src0')
+    than under the raw pool, and take the top 50. The deterministic
+    rank-by-weight variant of the paper's Gumbel-top-k — reproducible
+    across engines, which is what the oracle checks.
+
+    Numeric discipline: per-bucket log-ratios (add-1 smoothed, natural
+    log of identical IEEE doubles on both engines) are quantized ONCE
+    to integer micro-units — round(λ·1e6) — so the per-document score
+    is an exact integer dot product; engine float-summation order can
+    never leak into the ranking (same pattern as q_label_centroids).
+
+    Scale shape: explode → one 256-key bucket aggregate with map-side
+    combine (the distribution fit), a ~256-row broadcast of the
+    log-ratio table, one (doc, bucket)-keyed count and one doc-keyed
+    integer aggregate — all linear, uniform keys (md5 buckets), no
+    skew. At 100 TB the bucket count B is the only knob (the paper
+    uses 10k buckets); everything stays one pass over tokens.
+    """
+    docs = table(spark, sf_dir, "documents")
+    b = F.lit(256)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+            )
+        ).alias("tok"),
+    )
+    tb = toks.select(
+        "doc_id",
+        "source",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"), b
+        ).alias("bucket"),
+    )
+    is_t = F.col("source") == "src0"
+    tot = tb.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("tt"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("tr"),
+    )
+    dist = tb.groupBy("bucket").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    lam = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("tt") + 256).cast("double"))
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + 256).cast("double"))
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("lam_micro"),
+    )
+    per_doc = (
+        tb.filter(~is_t).groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    )
+    w = (
+        per_doc.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lam_micro")).cast("bigint").alias("weight_micro"))
+    )
+    return w.orderBy(F.col("weight_micro").desc(), "doc_id").limit(50)

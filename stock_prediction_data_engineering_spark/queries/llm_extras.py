@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators import dedup, multimodal, pq, similarity, text
+from ..operators import dedup, multimodal, pq, semdedup, similarity, text
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -118,6 +118,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
     emb = table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(emb, cosine_threshold=0.2, num_planes=8)
+
+
+@query("q_semantic_dedup")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic dedup (SemDeDup, Abbas et al. 2023):
+    seeded-KMeans cells, per-cell greedy prune keeping the member
+    least similar to its centroid. Rows-only — cell boundaries are
+    model-dependent; the greedy rule is pinned against a driver-side
+    numpy twin in tests/test_semdedup.py. tau sits at the synthetic
+    corpus's p99.9 cosine so the query demonstrably drops rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    return semdedup.semantic_dedup(emb, tau=0.25, n_cells=8)
 
 
 @query("q_ann_lsh")

@@ -243,6 +243,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_cohort_ltv",          # events: cohort lifetime-value triangle
     "q_domain_similarity",   # curation: source-pair tf cosine matrix
     "q_containment_screen",  # curation: asymmetric eval-containment gate
+    "q_dsir_select",         # curation: DSIR importance-resampling top-k
     "q_substring_dedup",     # curation: winnowing exact-substring pairs
     "q_feature_covariance",  # stats: one-scan exact covariance matrix
     "q_linear_attribution",  # events: multi-touch revenue attribution
@@ -288,6 +289,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_lang_id",                     # n-gram heuristic, engine-specific
     "q_doc_fingerprint_rolling",     # rolling-hash fold
     "q_ema_macd",                    # per-key EMA recurrence (grouped map)
+    "q_semantic_dedup",              # SemDeDup cluster-scoped verdicts
     "q_dedup_incremental",           # R28 persisted-index probe (fs side effect)
     "q_substring_incremental",       # winnowing index probe (fs side effect)
     "q_bpe_merges",                  # iterative BPE merge learning (argmax loop)
