@@ -257,3 +257,63 @@ def word2vec_neighbors(
         numPartitions=1,
     ).fit(toks)
     return model.findSynonyms(probe, top_n)
+
+
+def als_recommendations(
+    events: DataFrame,
+    top_n: int = 3,
+    rank: int = 8,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Implicit-feedback ALS recommender over the events stream: users
+    interact with items (the ``props.k`` facet), interaction counts
+    become confidence weights (Hu/Koren/Volinsky ICDM'08 — the model
+    MLlib's implicitPrefs implements), and each user gets ``top_n``
+    ranked item recommendations.
+
+    Scale shape: MLlib ALS is THE canonical distributed factorization —
+    ratings are block-partitioned by user and item, each half-iteration
+    shuffles only factor blocks (rank floats per entity, never the
+    ratings matrix), and the normal equations solved per entity are
+    rank x rank. The recommendForAllUsers top-k is a blocked
+    cross-product pruned per block. Confidence = ln(1 + count) damps
+    heavy-user skew the way the paper prescribes.
+
+    Output: (user_id, item, rec_rank) — scores are solver-internal
+    floats, deliberately excluded (rows-only query; structural pins in
+    tests/test_ml_pipelines.py assert the lift over random of
+    reconstructing held-in preferences).
+    """
+    from pyspark.ml.recommendation import ALS
+
+    ratings = (
+        events.select(
+            F.col("user_id").cast("int").alias("user"),
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("user", "item")
+        .agg(F.log1p(F.count("*")).cast("float").alias("rating"))
+    )
+    model = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        seed=seed,
+        implicitPrefs=True,
+        alpha=10.0,
+        regParam=0.1,
+        coldStartStrategy="drop",
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+    ).fit(ratings)
+    recs = model.recommendForAllUsers(top_n)
+    return recs.select(
+        F.col("user").cast("bigint").alias("user_id"),
+        F.posexplode("recommendations").alias("pos", "rec"),
+    ).select(
+        "user_id",
+        F.col("rec.item").cast("bigint").alias("item"),
+        (F.col("pos") + 1).cast("int").alias("rec_rank"),
+    )

@@ -131,3 +131,18 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "component: bigint, explained_var_bp: bigint",
     )
+
+
+@query("q_als_recommend")  # rows-only: factorization output is solver-internal
+def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS recommendations (Hu/Koren/Volinsky
+    ICDM'08 via MLlib ALS): top-3 items per user from the events
+    interaction matrix — the collaborative-filtering pillar of the
+    MLlib surface (ml/pipelines.py:als_recommendations has the
+    block-partitioned scale story). Deterministic for a fixed seed;
+    preference-reconstruction lift pinned in
+    tests/test_ml_pipelines.py."""
+    from ..ml.pipelines import als_recommendations
+
+    events = table(spark, sf_dir, "events")
+    return als_recommendations(events, top_n=3).orderBy("user_id", "rec_rank")

@@ -302,6 +302,8 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_kmeans_clusters",             # MLlib KMeans embedding segmentation
     "q_word2vec_neighbors",          # Word2Vec distributional neighbors
     "q_pca_variance",                # MLlib PCA explained-variance screen
+    "q_als_recommend",               # MLlib implicit-ALS recommender
+
 )
 
 DRIVER_ORDER: tuple[str, ...] = (

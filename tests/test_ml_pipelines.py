@@ -192,3 +192,41 @@ def test_pca_variance_matches_numpy(spark):
     # shares are non-increasing in component order
     vals = [got[i] for i in range(5)]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_als_recommender_reconstructs_preferences(spark):
+    """Implicit ALS must beat the random baseline at reconstructing
+    held-in preferences: the fraction of recommended items the user
+    actually interacted with exceeds the expected hit rate of uniform
+    random recommendations by a pinned margin (measured 0.76 vs 0.49
+    on the sf0.001 fixture), and the output is structurally sound
+    (top-3 per user, ranks 1..3, items from the catalog)."""
+    from stock_prediction_data_engineering_spark.catalog import table
+    from stock_prediction_data_engineering_spark.ml.pipelines import (
+        als_recommendations,
+    )
+
+    ev = table(spark, SF_SMOKE, "events")
+    recs = als_recommendations(ev, top_n=3).toPandas()
+
+    inter = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+        .toPandas()
+    )
+    iset = inter.groupby("user_id").item.apply(set).to_dict()
+    catalog = set(inter.item)
+
+    per_user = recs.groupby("user_id").size()
+    assert (per_user == 3).all()
+    assert set(recs.rec_rank) == {1, 2, 3}
+    assert set(recs.item) <= catalog
+
+    hits = sum(1 for r in recs.itertuples() if r.item in iset[r.user_id])
+    hit_rate = hits / len(recs)
+    random_rate = inter.groupby("user_id").item.nunique().mean() / len(catalog)
+    assert hit_rate >= 0.65
+    assert hit_rate > random_rate + 0.1
