@@ -146,3 +146,58 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = table(spark, sf_dir, "events")
     return als_recommendations(events, top_n=3).orderBy("user_id", "rec_rank")
+
+
+@query("q_isotonic_calibration")  # rows-only: MLlib PAVA solver output
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the q_calibration_bins
+    propensity score via MLlib IsotonicRegression — the step-function
+    recalibration (Zadrozny & Elkan KDD'02) that reliability diagrams
+    motivate. Returns one row per distinct raw score:
+    (pred_bp, n_users, iso_rate_bp).
+
+    Scores are pre-pooled per distinct value (mean label, weight =
+    user count) BEFORE the fit, so the isotonic solution is unique and
+    the distributed parallel-PAVA (per-partition pools merged on the
+    driver — aggregate state is pool-count-bounded, never row-bounded)
+    is pinned exactly against a sequential numpy PAVA twin in
+    tests/test_ml_pipelines.py. Only the pooled table (bounded by the
+    score domain, ~10k values) leaves the row scan."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("n_views"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    pooled = (
+        u.select(
+            F.expr("(n_views * 10000) div (n_views + 5)").alias("pred_bp"),
+            "converted",
+        )
+        .groupBy("pred_bp")
+        .agg(
+            F.count("*").cast("double").alias("w"),
+            F.avg("converted").alias("y"),
+        )
+    )
+    feats = VectorAssembler(
+        inputCols=["pred_bp"], outputCol="features"
+    ).transform(pooled.withColumn("pred_bp", F.col("pred_bp").cast("double")))
+    model = IsotonicRegression(
+        labelCol="y", weightCol="w", featuresCol="features"
+    ).fit(feats)
+    fitted = model.transform(feats)
+    return fitted.select(
+        F.col("pred_bp").cast("bigint").alias("pred_bp"),
+        F.col("w").cast("bigint").alias("n_users"),
+        F.round(F.col("prediction") * 10000).cast("bigint").alias("iso_rate_bp"),
+    ).orderBy("pred_bp")

@@ -303,6 +303,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_word2vec_neighbors",          # Word2Vec distributional neighbors
     "q_pca_variance",                # MLlib PCA explained-variance screen
     "q_als_recommend",               # MLlib implicit-ALS recommender
+    "q_isotonic_calibration",        # MLlib parallel-PAVA recalibration
 
 )
 

@@ -230,3 +230,70 @@ def test_als_recommender_reconstructs_preferences(spark):
     random_rate = inter.groupby("user_id").item.nunique().mean() / len(catalog)
     assert hit_rate >= 0.65
     assert hit_rate > random_rate + 0.1
+
+
+def test_isotonic_matches_sequential_pava(spark):
+    """MLlib's distributed parallel-PAVA on the pooled score table must
+    equal the unique sequential pool-adjacent-violators solution
+    computed in numpy: same score domain, identical fitted rates
+    (exact weighted averages of 0/1 labels), and monotone
+    non-decreasing in the score."""
+    from stock_prediction_data_engineering_spark.registry import ordered_queries
+
+    got = (
+        ordered_queries()["q_isotonic_calibration"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("pred_bp")
+        .reset_index(drop=True)
+    )
+
+    from stock_prediction_data_engineering_spark.catalog import table
+
+    u = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "n_views"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+        .select(
+            F.expr("(n_views * 10000) div (n_views + 5)").alias("pred_bp"),
+            "converted",
+        )
+        .toPandas()
+    )
+    pooled = (
+        u.groupby("pred_bp")
+        .converted.agg(["count", "mean"])
+        .reset_index()
+        .sort_values("pred_bp")
+    )
+    # sequential PAVA: pool adjacent violators until monotone
+    vals = list(pooled["mean"])
+    wts = list(pooled["count"].astype(float))
+    blocks = [[v, w, 1] for v, w in zip(vals, wts)]  # value, weight, n_pts
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] > blocks[i + 1][0] + 1e-12:
+            v = (
+                blocks[i][0] * blocks[i][1]
+                + blocks[i + 1][0] * blocks[i + 1][1]
+            ) / (blocks[i][1] + blocks[i + 1][1])
+            blocks[i] = [v, blocks[i][1] + blocks[i + 1][1],
+                         blocks[i][2] + blocks[i + 1][2]]
+            del blocks[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    want = np.repeat([b[0] for b in blocks], [b[2] for b in blocks])
+
+    assert got.pred_bp.tolist() == pooled.pred_bp.tolist()
+    assert got.n_users.tolist() == pooled["count"].tolist()
+    got_rate = got.iso_rate_bp.to_numpy() / 10000.0
+    assert np.allclose(got_rate, want, atol=1e-4)  # bp quantization
+    assert (np.diff(got.iso_rate_bp.to_numpy()) >= 0).all()
