@@ -1164,14 +1164,25 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact integer dot product; engine float-summation order can
     never leak into the ranking (same pattern as q_label_centroids).
 
-    Scale shape: explode → one 256-key bucket aggregate with map-side
-    combine (the distribution fit), a ~256-row broadcast of the
-    log-ratio table, one (doc, bucket)-keyed count and one doc-keyed
-    integer aggregate — all linear, uniform keys (md5 buckets), no
+    Scale shape: the exploded token stream is consumed EXACTLY ONCE,
+    by one (class, doc, bucket)-keyed count with map-side combine;
+    the bucket distributions and grand totals then roll up from that
+    pre-aggregate (doc-count-bounded, then 256 rows, then 1 row — a
+    lazy localCheckpoint materializes it so its two consumers don't
+    re-run the explode, measured 49.7 s → ~17 s at sf10). The
+    log-ratio table is a ~256-row broadcast; the final score is one
+    doc-keyed integer aggregate. All keys uniform (md5 buckets), no
     skew. At 100 TB the bucket count B is the only knob (the paper
-    uses 10k buckets); everything stays one pass over tokens.
+    uses 10k buckets).
     """
-    docs = table(spark, sf_dir, "documents")
+    # row-honest repartition: duplicated text compresses ~100:1, so
+    # byte-based split sizing reads the corpus as a handful of
+    # partitions and the explode+md5 map side loses the machine (the
+    # same AQE trap q_boilerplate_ngrams hit; measured 2 partitions at
+    # sf10 → 47 s, 32 partitions → map side fully parallel)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     b = F.lit(256)
     toks = docs.select(
         "doc_id",
@@ -1184,19 +1195,23 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tb = toks.select(
         "doc_id",
-        "source",
+        (F.col("source") == "src0").alias("is_t"),
         F.pmod(
             F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"), b
         ).alias("bucket"),
     )
-    is_t = F.col("source") == "src0"
-    tot = tb.agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("tt"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).alias("tr"),
+    per_all = (
+        tb.groupBy("is_t", "doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    dist = tb.groupBy("bucket").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    dist = per_all.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(0)).alias("cr"),
+    )
+    tot = dist.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
     )
     lam = dist.crossJoin(F.broadcast(tot)).select(
         "bucket",
@@ -1211,9 +1226,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lam_micro"),
     )
-    per_doc = (
-        tb.filter(~is_t).groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
-    )
+    per_doc = per_all.filter(~F.col("is_t")).select("doc_id", "bucket", "c")
     w = (
         per_doc.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
