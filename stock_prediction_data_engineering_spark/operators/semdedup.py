@@ -81,7 +81,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     tau: float = 0.25,
-    n_cells: int = 8,
+    n_cells: int | str = "auto",
     seed: int = 42,
     fit_limit: int = 16384,
     centroids=None,
@@ -91,7 +91,12 @@ def semantic_dedup(
     dropped row (NULL for kept rows). ``centroids`` injects a
     pre-fitted (n_cells, dim) matrix — used by the pinned twin test;
     normally the quantizer is fit here on a bounded sample.
+    ``n_cells="auto"`` sizes the cell count to ~sqrt(N) (power of 2,
+    floor 8) — the same rule as ivf_build — so per-cell quadratic work
+    AND grouped-map parallelism both track the corpus.
     """
+    import math
+
     import numpy as np
 
     from .similarity import ivf_assign, ivf_fit_centroids
@@ -100,6 +105,12 @@ def semantic_dedup(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
     if centroids is None:
+        if n_cells == "auto":
+            n_rows = src.count()
+            n_cells = max(
+                8,
+                min(4096, 1 << round(math.log2(max(8, math.isqrt(n_rows))))),
+            )
         fit_input = src.orderBy(F.xxhash64(F.col("vec"))).limit(fit_limit)
         _, centroids = ivf_fit_centroids(fit_input, "vec", n_cells, seed)
     cents = np.asarray(centroids, dtype=np.float64)

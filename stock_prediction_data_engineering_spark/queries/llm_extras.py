@@ -127,9 +127,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     least similar to its centroid. Rows-only — cell boundaries are
     model-dependent; the greedy rule is pinned against a driver-side
     numpy twin in tests/test_semdedup.py. tau sits at the synthetic
-    corpus's p99.9 cosine so the query demonstrably drops rows."""
+    corpus's p99.9 cosine so the query demonstrably drops rows;
+    n_cells auto-sizes to ~sqrt(N) so cell-local quadratic work and
+    grouped-map parallelism both track the corpus."""
     emb = table(spark, sf_dir, "embeddings")
-    return semdedup.semantic_dedup(emb, tau=0.25, n_cells=8)
+    return semdedup.semantic_dedup(emb, tau=0.25)
 
 
 @query("q_ann_lsh")
