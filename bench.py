@@ -107,6 +107,11 @@ HEADLINE_QUERIES = [
     "q_tpch_returned_items",
     "q_tpch_supplier_parts",
     "q_tpch_small_qty_revenue",
+    # round-9 surface: SemDeDup cluster-scoped verdicts, DSIR
+    # importance selection, implicit-ALS factorization
+    "q_semantic_dedup",
+    "q_dsir_select",
+    "q_als_recommend",
 ]
 
 

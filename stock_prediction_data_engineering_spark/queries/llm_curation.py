@@ -1233,3 +1233,75 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("lam_micro")).cast("bigint").alias("weight_micro"))
     )
     return w.orderBy(F.col("weight_micro").desc(), "doc_id").limit(50)
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CAST(round(k * ln(CAST(k AS DOUBLE)) * 1000000, 0)
+                           AS BIGINT)) AS BIGINT) AS s_micro
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_distinct,
+           CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000, 0) AS BIGINT)
+             - s_micro // n_chars AS entropy_micro_nats
+    FROM agg
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy screen (the CCNet/Gopher-style
+    noise signal: near-zero entropy = boilerplate/padding, abnormally
+    high = binary junk). H = ln(n) - (1/n)·Σ cᵢ·ln(cᵢ), reported in
+    integer micro-nats.
+
+    Numeric discipline: each cᵢ·ln(cᵢ) term is quantized to integer
+    micro-units BEFORE the sum (counts are exact integers on both
+    engines, so the per-term doubles are identical), making the
+    aggregate an exact integer sum and the final value integer
+    arithmetic — summation order cannot perturb the result (same
+    pattern as q_dsir_select / q_label_centroids).
+
+    Scale shape: char explode → one (doc, char)-keyed count with
+    map-side combine (the char alphabet bounds per-doc state), then a
+    doc-keyed rollup. Linear; the row-honest repartition guards the
+    map side against byte-based under-parallelism on duplicated
+    corpora."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.round(F.col("k") * F.log(F.col("k").cast("double")) * 1000000, 0)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct",
+        (
+            F.round(F.log(F.col("n_chars").cast("double")) * 1000000, 0)
+            .cast("bigint")
+            - F.expr("s_micro div n_chars")
+        ).alias("entropy_micro_nats"),
+    )

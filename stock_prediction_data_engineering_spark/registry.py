@@ -244,6 +244,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_domain_similarity",   # curation: source-pair tf cosine matrix
     "q_containment_screen",  # curation: asymmetric eval-containment gate
     "q_dsir_select",         # curation: DSIR importance-resampling top-k
+    "q_char_entropy",        # curation: per-doc character-entropy screen
     "q_substring_dedup",     # curation: winnowing exact-substring pairs
     "q_feature_covariance",  # stats: one-scan exact covariance matrix
     "q_linear_attribution",  # events: multi-touch revenue attribution
