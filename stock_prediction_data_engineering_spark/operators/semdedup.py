@@ -111,6 +111,8 @@ def semantic_dedup(
                 8,
                 min(4096, 1 << round(math.log2(max(8, math.isqrt(n_rows))))),
             )
+            # a quantizer can't have more cells than fit points
+            n_cells = max(1, min(n_cells, n_rows))
         fit_input = src.orderBy(F.xxhash64(F.col("vec"))).limit(fit_limit)
         _, centroids = ivf_fit_centroids(fit_input, "vec", n_cells, seed)
     cents = np.asarray(centroids, dtype=np.float64)

@@ -686,3 +686,50 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index_query(
         spark, path, ["data", "stream", "window"], top_k=20
     )
+
+
+@query(
+    "q_group_split",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    )
+    SELECT split, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s GROUP BY split, event_type
+    """,
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware ~80/10/10 split (the GroupKFold discipline for
+    behavioral data): the SPLIT KEY is the user, not the row, so every
+    event of a user lands in exactly one split — the leakage mode
+    q_train_split's content hashing cannot prevent when near-identical
+    rows share an ENTITY rather than a text. Same hex-threshold
+    partition of md5 as q_train_split (engine-portable, re-ingestion
+    stable); output is the per-(split, event_type) audit a pipeline
+    checks before training.
+
+    Scale shape: one narrow map (md5 of the group key rides the scan)
+    + one small aggregate whose key space is |splits| x |types|;
+    COUNT(DISTINCT user_id) is the only wide state and is bounded by
+    the user dimension, with Spark's planner expanding it to a
+    two-phase exact distinct. No joins, no skew (md5 uniformizes)."""
+    bucket = F.substring(F.md5(F.col("user_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    ev = table(spark, sf_dir, "events").select(
+        split.alias("split"), "event_type", "user_id"
+    )
+    return ev.groupBy("split", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -245,6 +245,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_containment_screen",  # curation: asymmetric eval-containment gate
     "q_dsir_select",         # curation: DSIR importance-resampling top-k
     "q_char_entropy",        # curation: per-doc character-entropy screen
+    "q_group_split",         # training prep: entity-keyed leakage-safe split
     "q_substring_dedup",     # curation: winnowing exact-substring pairs
     "q_feature_covariance",  # stats: one-scan exact covariance matrix
     "q_linear_attribution",  # events: multi-touch revenue attribution
