@@ -393,3 +393,42 @@ def test_winnow_and_covariance_plan_shapes(spark):
     assert "CartesianProduct" not in wn and "BroadcastNestedLoop" not in wn
     cov = _plan(registry.QUERIES["q_feature_covariance"](spark, SF_SMOKE))
     assert cov.count("Scan parquet") == 1
+
+
+def test_round9_curation_plan_shapes(spark):
+    """Round-9 additions keep their scale contracts. q_dsir_select:
+    the exploded token stream is consumed by exactly ONE pre-aggregate
+    (one parquet scan of documents in the whole plan), the log-ratio
+    table joins as a broadcast, and no stage collapses to a single
+    partition before the final top-k. q_char_entropy: one scan, no
+    joins at all, no single-partition exchange. q_group_split: the
+    split is a pure projection riding the scan — no join, exactly the
+    two aggregate exchanges Spark plans for an exact distinct-count."""
+    from stock_prediction_data_engineering_spark import registry
+
+    registry.load_all()
+    dsir = _plan(registry.QUERIES["q_dsir_select"](spark, SF_SMOKE))
+    # the token explode lives BEHIND the localCheckpoint barrier: the
+    # final plan reads the materialized (class, doc, bucket) counts —
+    # zero parquet scans here proves the corpus is never re-exploded,
+    # and both consumers (distribution fit + per-doc score) read the
+    # same checkpointed RDD
+    assert dsir.count("Scan parquet") == 0
+    assert dsir.count("Scan ExistingRDD") >= 2
+    assert "BroadcastHashJoin" in dsir
+    assert "CartesianProduct" not in dsir
+    # exactly ONE SinglePartition exchange, and it is the final step
+    # of the keyless grand-total aggregate (its input is the 256-row
+    # bucket table, never corpus rows) — the doc- and bucket-keyed
+    # aggregates all stay hash-partitioned
+    assert dsir.count("Exchange SinglePartition") == 1
+
+    ent = _plan(registry.QUERIES["q_char_entropy"](spark, SF_SMOKE))
+    assert ent.count("Scan parquet") == 1
+    assert "Join" not in ent
+    assert "SinglePartition" not in ent
+
+    gs = _plan(registry.QUERIES["q_group_split"](spark, SF_SMOKE))
+    assert gs.count("Scan parquet") == 1
+    assert "Join" not in gs
+    assert "SinglePartition" not in gs
