@@ -225,6 +225,14 @@ def snapshot_changes(
     added: list[str] = []
     for v in newer:
         m = _load_manifest(path, v)
+        if m.get("extra", {}).get("compaction"):
+            # a compaction rewrites FILES, not DATA (Delta's
+            # dataChange=false): the change feed skips it, and the
+            # append dirs it superseded remain readable until
+            # expire_snapshots reclaims them. A consumer that lags
+            # past an expire re-syncs from a full read — same
+            # contract as vacuuming under a streaming reader.
+            continue
         if m["mode"] != "append":
             raise ValueError(
                 f"version {v} is {m['mode']!r}; incremental read only "
@@ -236,6 +244,110 @@ def snapshot_changes(
             [], schema=snapshot_read(spark, path).schema
         )
     return _read_dirs(spark, path, added)
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int | None:
+    """Rewrite the latest snapshot's accumulated commit dirs into one
+    compacted dir and publish it as a new version — the OPTIMIZE /
+    small-file-management half of the lakehouse (streaming appends
+    produce one dir per micro-batch; at 100 TB the scan dies of file
+    listing and per-file open overhead long before it dies of bytes).
+
+    Semantics: data is UNCHANGED (Delta's dataChange=false) — the
+    manifest carries ``extra.compaction`` so :func:`snapshot_changes`
+    skips the commit and incremental consumers never see a phantom
+    full-table re-append. Old versions stay time-travelable until
+    :func:`expire_snapshots` reclaims the superseded dirs.
+
+    Concurrency: the compacted manifest publishes CONDITIONALLY at
+    exactly ``base_version + 1`` via the same O_EXCL link primitive —
+    if any commit (append or otherwise) wins that version, the
+    compaction ABORTS (returns None, staged files removed) instead of
+    publishing a snapshot that silently drops the racer's rows. The
+    caller just re-runs compaction later; aborting is always safe
+    because compaction adds no data.
+
+    Output sizing: ``coalesce(ceil(input_bytes / target_file_bytes))``
+    — a narrow, shuffle-free repack (compaction must not pay a shuffle
+    of the whole table).
+
+    Returns the new version, or None if there was nothing to compact
+    or the conditional publish lost a race.
+    """
+    import math
+
+    versions = list_versions(path)
+    if not versions:
+        return None
+    base = versions[-1]
+    m = _load_manifest(path, base)
+    if len(m["dirs"]) <= 1:
+        return None  # already compact
+    total_bytes = 0
+    for d in m["dirs"]:
+        for root, _dirs, files in os.walk(os.path.join(path, d)):
+            total_bytes += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = _read_dirs(spark, path, m["dirs"]).coalesce(n_out)
+
+    attempt = 0
+    while True:
+        commit_dir = f"commit-{os.getpid():05d}-{attempt:03d}"
+        full = os.path.join(path, commit_dir)
+        try:
+            os.mkdir(full)
+            break
+        except FileExistsError:
+            attempt += 1
+    w = df.write.mode("overwrite")
+    pcols = tuple(m.get("partition_cols", ()))
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(full)
+    n_files = sum(
+        1
+        for _root, _dirs, files in os.walk(full)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+    import threading
+
+    new_version = base + 1
+    manifest = {
+        "version": new_version,
+        "mode": "overwrite",
+        "dirs": [commit_dir],
+        "added_dir": commit_dir,
+        "n_files_added": n_files,
+        "partition_cols": list(pcols),
+        "extra": {"compaction": True, "compacted_from": base,
+                  "n_dirs_compacted": len(m["dirs"])},
+    }
+    tmp = (
+        _manifest_path(path, new_version)
+        + f".tmp.{os.getpid()}.{threading.get_ident()}"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, _manifest_path(path, new_version))
+        os.unlink(tmp)
+        return new_version
+    except FileExistsError:
+        # a concurrent commit claimed base+1: abort — publishing at a
+        # later version would drop that commit's rows from the view
+        os.unlink(tmp)
+        shutil.rmtree(full, ignore_errors=True)
+        return None
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:

@@ -652,3 +652,136 @@ def test_killed_mid_commit_leaves_no_visible_damage(spark, docs, tmp_path):
     v2 = snapshot_write(docs.limit(3), path, mode="append")
     assert v2 == 2
     assert snapshot_read(spark, path).count() == 13
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, docs, tmp_path):
+    """OPTIMIZE semantics: after N small appends, compaction publishes
+    one new version with identical rows in fewer files; every prior
+    version still time-travels; a second compaction is a no-op."""
+    from stock_prediction_data_engineering_spark.sources.snapshots import (
+        snapshot_compact,
+    )
+
+    path = str(tmp_path / "tbl")
+    for k in range(4):
+        snapshot_write(
+            docs.filter(F.col("doc_id") % 4 == k).repartition(3),
+            path,
+            mode="append",
+        )
+
+    def n_parquet(version):
+        import json
+
+        m = json.load(
+            open(os.path.join(path, "_snapshots", f"v{version:06d}.json"))
+        )
+        return sum(
+            1
+            for d in m["dirs"]
+            for _r, _d, fs in os.walk(os.path.join(path, d))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = snapshot_read(spark, path).toPandas()
+    v = snapshot_compact(spark, path)
+    assert v == 5
+    after = snapshot_read(spark, path).toPandas()
+    key = ["doc_id"]
+    assert (
+        before.sort_values(key).reset_index(drop=True).equals(
+            after[before.columns].sort_values(key).reset_index(drop=True)
+        )
+    )
+    assert n_parquet(5) < n_parquet(4)
+    # time travel intact
+    assert snapshot_read(spark, path, version=2).count() == docs.filter(
+        F.col("doc_id") % 4 <= 1
+    ).count()
+    # idempotent: single-dir snapshot has nothing to compact
+    assert snapshot_compact(spark, path) is None
+
+
+def test_changes_feed_skips_compaction_commits(spark, docs, tmp_path):
+    """dataChange=false: the incremental feed across a compaction
+    returns exactly the appended rows — no phantom full-table
+    re-append, no ValueError from the overwrite-mode guard."""
+    from stock_prediction_data_engineering_spark.sources.snapshots import (
+        snapshot_compact,
+    )
+
+    path = str(tmp_path / "tbl")
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+    snapshot_write(b1, path, mode="append")
+    snapshot_write(b2, path, mode="append")
+    assert snapshot_compact(spark, path) == 3
+    snapshot_write(b3, path, mode="append")
+    delta = snapshot_changes(spark, path, since_version=1)
+    # b2 (v2) + b3 (v4); the compaction at v3 contributes nothing
+    assert delta.count() == b2.count() + b3.count()
+    assert delta.exceptAll(b2.unionByName(b3)).count() == 0
+
+
+def test_compaction_aborts_when_losing_the_version_race(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Conditional publish: if an append claims base+1 AFTER the
+    compaction has chosen its base but before it publishes, the
+    compaction returns None, leaves no new manifest of its own, and
+    the racer's rows stay visible."""
+    from stock_prediction_data_engineering_spark.sources import snapshots
+
+    path = str(tmp_path / "tbl")
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+    snapshot_write(b1, path, mode="append")
+    snapshot_write(b2, path, mode="append")
+
+    # inject the racer between compact's version listing (base=2) and
+    # its publish: the first _read_dirs call inside compact triggers a
+    # concurrent append that claims v3
+    real_read_dirs = snapshots._read_dirs
+    fired = {"done": False}
+
+    def racing_read_dirs(sp, p, dirs):
+        if not fired["done"]:
+            fired["done"] = True
+            snapshot_write(b3, path, mode="append")  # claims v3
+        return real_read_dirs(sp, p, dirs)
+
+    monkeypatch.setattr(snapshots, "_read_dirs", racing_read_dirs)
+    assert snapshots.snapshot_compact(spark, path) is None
+    monkeypatch.undo()
+
+    assert list_versions(path) == [1, 2, 3]
+    # the racer's append is intact and visible
+    assert (
+        snapshot_read(spark, path).count()
+        == b1.count() + b2.count() + b3.count()
+    )
+
+
+def test_compact_then_expire_reclaims_small_dirs(spark, docs, tmp_path):
+    """The full hygiene loop: compact, then expire old versions — the
+    superseded per-append dirs are deleted, the compacted snapshot
+    still reads every row."""
+    from stock_prediction_data_engineering_spark.sources.snapshots import (
+        snapshot_compact,
+    )
+
+    path = str(tmp_path / "tbl")
+    for k in range(3):
+        snapshot_write(
+            docs.filter(F.col("doc_id") % 3 == k), path, mode="append"
+        )
+    total = snapshot_read(spark, path).count()
+    assert snapshot_compact(spark, path) == 4
+    expired = expire_snapshots(path, keep_last=1)
+    assert expired == [1, 2, 3]
+    dirs = [d for d in os.listdir(path) if d.startswith("commit-")]
+    assert len(dirs) == 1  # only the compacted dir survives
+    assert snapshot_read(spark, path).count() == total
