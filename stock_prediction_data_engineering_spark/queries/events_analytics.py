@@ -879,3 +879,78 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_c",
         F.sum("revenue_c").over(w).cast("bigint").alias("cum_revenue_c"),
     )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT (epoch_us(p.t_purchase) - epoch_us(v.t_view))
+             // 60000000 // 30 AS bucket_30m
+      FROM p JOIN v USING (user_id)
+    ),
+    agg AS (
+      SELECT bucket_30m, COUNT(*) AS n_users FROM lat GROUP BY bucket_30m
+    ),
+    tot AS (SELECT SUM(n_users) AS total FROM agg)
+    SELECT CAST(bucket_30m AS BIGINT) AS bucket_30m,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST((n_users * 10000) // tot.total AS BIGINT) AS share_bp
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency histogram: minutes from a user's FIRST view
+    to their first subsequent purchase, bucketed at 30-minute grain
+    with each bucket's share of converters in basis points — the
+    "how long does conversion take" distribution that q_funnel_conversion
+    (who converts) and q_inter_event_gaps (adjacent-event cadence)
+    don't answer.
+
+    Scale shape: two user-keyed conditional min-aggregates chained by
+    a user_id equi-join (one row per user after stage 1, shrinking),
+    then one bucket-keyed count whose key space is the latency range —
+    the share window runs over BUCKETS, not users. Latency arithmetic
+    is exact integer microseconds -> integer division, so buckets and
+    shares are bit-identical across engines."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.min("t_view").alias("t_view"))
+    )
+    lat = p.select(
+        F.expr(
+            "(unix_micros(t_purchase) - unix_micros(t_view))"
+            " div 60000000 div 30"
+        ).alias("bucket_30m")
+    )
+    agg = lat.groupBy("bucket_30m").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    # share of total via agg -> 1-row re-agg -> broadcast (the
+    # q_ratio_to_report pattern) — never a partition-total window;
+    # exact integer division keeps the hash engine-stable
+    tot = agg.agg(F.sum("n_users").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket_30m").cast("bigint").alias("bucket_30m"),
+        "n_users",
+        F.expr("(n_users * 10000) div total").cast("bigint").alias("share_bp"),
+    )
