@@ -558,14 +558,24 @@ def minhash_index_probe(
         .dropDuplicates(["id", "th"])
         .select(F.col("id").alias("corpus_id"), F.col("th").alias("th_c"))
     )
-    return (
+    result = (
         members.join(F.broadcast(verified), "th_c")
         .join(F.broadcast(new_members), "th_n")
         # a new doc may equal a doc in the batch AND the corpus; the
         # self-pair (same id on both sides) is meaningless — drop it
         .filter(F.col("corpus_id") != F.col("new_id"))
         .select("new_id", "corpus_id", "jaccard")
+        # materialize, then release this probe's caches: in the
+        # streaming _admit loop a probe runs every micro-batch, and
+        # without the unpersist the cached blocks accumulate for the
+        # stream's lifetime (reclaimed only under LRU pressure). The
+        # checkpoint blocks themselves are freed by the ContextCleaner
+        # when the returned DataFrame is garbage-collected.
+        .localCheckpoint(eager=True)
     )
+    for c in (new_base, new_banded, cands, verified):
+        c.unpersist()
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -246,6 +246,8 @@ def pq_search(
     the per-subspace k-means error, measured by the recall harness
     (tools/ann_recall.py)."""
     qrow = query_vec.select(vec_col).first()
+    if qrow is None:
+        raise ValueError("query_vec is empty: no row to search for")
     lut_df = _lut_row(index.table.sparkSession, index.codebooks, qrow[0])
     score = adc_score_expr(F.col("codes"), F.col("lut"), index.k)
     return (
@@ -405,7 +407,10 @@ def ivfpq_search(
     corpus at ~32× fewer bytes per scanned row than IVF-Flat."""
     import numpy as np
 
-    q = np.asarray(query_vec.select(vec_col).first()[0], dtype=np.float64)
+    qrow = query_vec.select(vec_col).first()
+    if qrow is None:
+        raise ValueError("query_vec is empty: no row to search for")
+    q = np.asarray(qrow[0], dtype=np.float64)
     qn = np.linalg.norm(q)
     if qn > 0:
         q = q / qn

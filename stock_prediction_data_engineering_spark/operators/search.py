@@ -67,6 +67,12 @@ def search_index_write(
     sources/snapshots.py). A crash mid-rebuild leaves the previous
     build live; a concurrent reader resolves CURRENT once and reads
     one self-consistent build — never new postings with stale meta.
+
+    Superseded builds are KEPT (Spark reads are lazy: a reader that
+    resolved CURRENT before this rebuild may execute its DataFrame
+    after it, against the old build's files). Reclaim them with
+    :func:`search_index_expire` — the expire_snapshots pattern from
+    sources/snapshots.py — once no reader can still hold them.
     """
     os.makedirs(path, exist_ok=True)
     # atomic mkdir claim: concurrent rebuilder threads share the pid,
@@ -115,6 +121,10 @@ def search_index_write(
                 # TypeError at query time
                 "total_len": stats["total_len"] or 0,
                 "n_buckets": n_buckets,
+                # the id type rides in meta so the empty-result fast
+                # path can mint a schema matching the non-empty path
+                # (string doc ids must not come back as bigint)
+                "id_type": docs.schema[id_col].dataType.simpleString(),
             },
             fh,
         )
@@ -131,10 +141,35 @@ def search_index_write(
     with open(tmp, "w") as fh:
         fh.write(os.path.basename(build))
     os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic publish
-    if prev and os.path.isdir(os.path.join(path, prev)):
-        import shutil
+    # the superseded build (prev) is intentionally NOT deleted here —
+    # a lazy reader holding it stays valid; search_index_expire reclaims
 
-        shutil.rmtree(os.path.join(path, prev), ignore_errors=True)
+
+def search_index_expire(path: str, keep_last: int = 2) -> list[str]:
+    """Reclaim superseded ``build-*`` directories, keeping the live
+    build plus the ``keep_last`` most recent others (a grace window
+    for lazy readers that resolved CURRENT before the last rebuild).
+    Returns the deleted build names. The expire_snapshots pattern from
+    sources/snapshots.py: retention is a separate, explicit step,
+    never part of publish."""
+    import shutil
+
+    live = _current_build(path)
+    builds = sorted(
+        (
+            d
+            for d in os.listdir(path)
+            if d.startswith("build-")
+            and d != live
+            and os.path.isdir(os.path.join(path, d))
+        ),
+        # build names encode pid+attempt, not time — age by mtime
+        key=lambda d: os.path.getmtime(os.path.join(path, d)),
+    )
+    doomed = builds[: max(0, len(builds) - keep_last)]
+    for d in doomed:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return doomed
 
 
 def _current_build(path: str) -> str | None:
@@ -178,8 +213,12 @@ def search_index_query(
         meta = json.load(fh)
     n_docs, n_buckets = meta["n_docs"], meta["n_buckets"]
     if n_docs == 0:
-        # empty corpus: a valid index with nothing to match
-        return spark.createDataFrame([], "id bigint, score double")
+        # empty corpus: a valid index with nothing to match. The id
+        # type was persisted at build time so this path's schema
+        # matches the non-empty path's (unionable for string ids);
+        # pre-id_type metas fall back to the historical bigint.
+        id_type = meta.get("id_type", "bigint")
+        return spark.createDataFrame([], f"id {id_type}, score double")
     avgdl = meta["total_len"] / max(n_docs, 1)
 
     terms_df = spark.createDataFrame(

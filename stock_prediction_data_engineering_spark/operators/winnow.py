@@ -340,10 +340,15 @@ def winnow_index_probe(
         "new_id", "th_c", "shared_fp"
     )
     members = spark.read.parquet(f"{path}/members")
-    return (
+    result = (
         members.select(
             F.col("th").alias("th_c"), F.col("id").alias("corpus_id")
         )
         .join(F.broadcast(hits_th), "th_c")
         .select("new_id", "corpus_id", "shared_fp")
+        # materialize, then release the fingerprint cache — same
+        # per-micro-batch cache-leak fix as minhash_index_probe
+        .localCheckpoint(eager=True)
     )
+    new_fps.unpersist()
+    return result

@@ -158,3 +158,13 @@ def test_pq_beats_random_baseline(emb, index):
     exact = {r.vec_id for r in similarity.brute_force_topk(emb, qvec, k=10).collect()}
     approx = {r.vec_id for r in pq.pq_search(index, qvec, k=10).collect()}
     assert len(exact & approx) >= 3
+
+
+def test_empty_query_raises_clear_error(emb, index, ivfpq_index):
+    """An empty query DataFrame must raise a diagnosable ValueError,
+    not an opaque TypeError from first() returning None."""
+    none_q = emb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="query_vec is empty"):
+        pq.pq_search(index, none_q, k=3)
+    with pytest.raises(ValueError, match="query_vec is empty"):
+        pq.ivfpq_search(ivfpq_index, none_q, k=3)

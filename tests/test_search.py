@@ -11,6 +11,7 @@ import re
 import pytest
 
 from stock_prediction_data_engineering_spark.operators.search import (
+    search_index_expire,
     search_index_query,
     search_index_write,
 )
@@ -97,12 +98,13 @@ def test_search_scan_prunes_to_query_buckets(spark, corpus, tmp_path):
     assert got == {1, 4}
 
 
-def test_search_rebuild_is_atomic_and_cleans_previous_build(
+def test_search_rebuild_is_atomic_and_keeps_superseded_build(
     spark, corpus, tmp_path
 ):
-    """Rebuilding publishes via one CURRENT-pointer swap: the query
-    path resolves exactly one self-consistent build, and the
-    superseded build directory is reclaimed."""
+    """Rebuilding publishes via one CURRENT-pointer swap; the
+    superseded build SURVIVES the rebuild (Spark reads are lazy — a
+    reader that resolved CURRENT before the rebuild executes after
+    it), and is reclaimed only by the explicit expire step."""
     import os
 
     path = str(tmp_path / "idx")
@@ -111,14 +113,43 @@ def test_search_rebuild_is_atomic_and_cleans_previous_build(
         d for d in os.listdir(path) if d.startswith("build-")
     }
     assert len(first_builds) == 1
+    # a lazy reader resolves CURRENT *before* the rebuild...
+    stale_reader = search_index_query(spark, path, ["fox"], top_k=10)
     search_index_write(corpus.limit(3), path, n_buckets=8)
     builds = {d for d in os.listdir(path) if d.startswith("build-")}
-    assert len(builds) == 1 and builds != first_builds
+    assert builds > first_builds and len(builds) == 2
     with open(os.path.join(path, "CURRENT")) as fh:
-        assert fh.read().strip() == next(iter(builds))
-    # query reflects the new build (doc 4 excluded by limit(3))
+        live = fh.read().strip()
+    assert live in builds and live not in first_builds
+    # ...and executes *after* it: still sees one self-consistent
+    # (old) build instead of crashing on deleted files
+    assert {r.id for r in stale_reader.collect()} == {0, 1, 4}
+    # a fresh query reflects the new build (doc 4 excluded by limit(3))
     got = {r.id for r in search_index_query(spark, path, ["fox"]).collect()}
     assert got == {0, 1}
+    # explicit retention reclaims the superseded build
+    doomed = search_index_expire(path, keep_last=0)
+    assert set(doomed) == first_builds
+    left = {d for d in os.listdir(path) if d.startswith("build-")}
+    assert left == {live}
+    # the live build is never expired, whatever keep_last says
+    assert search_index_expire(path, keep_last=0) == []
+
+
+def test_search_empty_result_schema_matches_corpus_id_type(
+    spark, tmp_path
+):
+    """The empty-index fast path must mint the id type persisted at
+    build time (string ids stay string — unionable with the non-empty
+    path), not a hardcoded bigint."""
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [], "doc_id string, text string"
+    )
+    search_index_write(docs, path)
+    out = search_index_query(spark, path, ["fox"], top_k=5)
+    assert dict(out.dtypes) == {"id": "string", "score": "double"}
+    assert out.count() == 0
 
 
 def test_search_empty_corpus_yields_valid_empty_index(spark, corpus, tmp_path):
