@@ -66,9 +66,14 @@ HEADLINE_QUERIES = [
     "q_bollinger_bands",
     "q_rsi",
     "q_feature_matrix",
-    # corpus curation (higher-order array exprs + n-gram audit join)
+    # corpus curation (higher-order array exprs + n-gram audit join).
+    # The contamination gate benches in its AGGREGATED form: the pair
+    # form (q_contamination_check, still registered and tested) is
+    # output-quadratic in exact-duplicate mass by its own semantics,
+    # so its runtime on the duplicated scale fixture measures answer
+    # size, not plan quality (SCALING_r4.md, 16x flag).
     "q_quality_rules",
-    "q_contamination_check",
+    "q_contamination_screen",
     # training-data assembly (packing window + skew profile)
     "q_sequence_pack",
     "q_heavy_keys",

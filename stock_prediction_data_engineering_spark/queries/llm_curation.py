@@ -229,6 +229,136 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(table(spark, sf_dir, "documents"))
 
 
+def contamination_screen(docs: DataFrame) -> DataFrame:
+    """Aggregated contamination gate: per TRAIN document, how many
+    benchmark documents it shares a word-3-gram with (``n_bench_hits``)
+    and its worst-case containment (``max_containment_bp`` = max shared
+    distinct grams over any one bench doc / the train doc's distinct
+    gram count, basis points, integer arithmetic).
+
+    Why this exists next to :func:`contamination_pairs`: the pair form
+    is output-QUADRATIC in exact-duplicate mass by its own semantics —
+    m train copies × m bench copies of one text are m² real answer
+    rows, so on a heavily duplicated corpus its runtime is dominated by
+    writing the answer (SCALING_r4.md measured 16× for 10× data on the
+    100%-duplicated fixture). A gate doesn't need the pairs: the
+    decision per train doc is "how contaminated is it", which this
+    aggregate answers in O(#train docs) output rows NO MATTER how
+    duplicated the corpus is. Pairs remain available behind
+    :func:`contamination_pairs` (q_contamination_check) for forensics.
+
+    Scale shape: grams are computed for ONE representative per distinct
+    text (the R107 collapse, unconditional here — the screen's whole
+    point is the duplicated regime, and on dup-free corpora reps ≡ docs
+    so the collapse is a no-op groupBy); the overlap join and BOTH
+    aggregations run at cluster grain; the bench side collapses to a
+    per-cluster member COUNT (never member rows); only the train side
+    expands, by one output-bound join. Every member of a train cluster
+    inherits its cluster's verdict — identical texts are identically
+    contaminated."""
+    words = docs.select(
+        F.col("doc_id"), F.split("text", " ").alias("words")
+    )
+    members = docs.select(
+        "doc_id", F.md5(F.col("text").cast("string")).alias("__th")
+    ).localCheckpoint(eager=False)
+    reps = members.groupBy("__th").agg(F.min("doc_id").alias("rid"))
+    rep_grams = (
+        words.join(reps, F.col("doc_id") == F.col("rid"), "inner")
+        .select(
+            "__th",
+            F.explode(F.array_distinct(F.expr(_TRIGRAMS))).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_g = rep_grams.groupBy("__th").agg(F.count("*").alias("n_g"))
+    train_m = members.filter(F.col("doc_id") % 97 != 0)
+    bench_sizes = (
+        members.filter(F.col("doc_id") % 97 == 0)
+        .groupBy("__th")
+        .agg(F.count("*").alias("bench_members"))
+    )
+    # prune each gram side to clusters that actually have members on
+    # that side before the overlap join (a cluster wholly on one side
+    # of the cut contributes nothing)
+    t_grams = rep_grams.join(
+        train_m.select("__th").distinct(), "__th", "left_semi"
+    )
+    b_grams = rep_grams.join(
+        bench_sizes.select("__th"), "__th", "left_semi"
+    )
+    overlap = (
+        t_grams.select(F.col("__th").alias("__th_t"), "g")
+        .join(b_grams.select(F.col("__th").alias("__th_b"), "g"), "g")
+        .groupBy("__th_t", "__th_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    # bench member counts fold in at cluster grain: a matched bench
+    # cluster of size s is s distinct bench-doc hits for every train
+    # member — the sum, never the expansion
+    per_cluster = (
+        overlap.join(
+            bench_sizes.select(
+                F.col("__th").alias("__th_b"), "bench_members"
+            ),
+            "__th_b",
+        )
+        .groupBy("__th_t")
+        .agg(
+            F.sum("bench_members").cast("bigint").alias("n_bench_hits"),
+            F.max("n_shared").alias("max_shared"),
+        )
+        .join(n_g.select(F.col("__th").alias("__th_t"), "n_g"), "__th_t")
+    )
+    return train_m.join(per_cluster, F.col("__th") == F.col("__th_t")).select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.col("n_bench_hits"),
+        # integer basis points ((a*10000) div b): exact on both engines,
+        # immune to float accumulation-order drift
+        F.expr("(max_shared * 10000) div n_g")
+        .cast("bigint")
+        .alias("max_containment_bp"),
+    )
+
+
+@query(
+    "q_contamination_screen",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS g
+      FROM documents
+    ),
+    pairs AS (
+      SELECT t.doc_id AS train_doc_id, b.doc_id AS bench_doc_id,
+             COUNT(*) AS n_shared
+      FROM grams t JOIN grams b USING (g)
+      WHERE b.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+      GROUP BY 1, 2
+    ),
+    tn AS (
+      SELECT doc_id, COUNT(*) AS n_g FROM grams
+      WHERE doc_id % 97 <> 0 GROUP BY doc_id
+    )
+    SELECT p.train_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+           CAST(MAX(p.n_shared) * 10000 // tn.n_g AS BIGINT)
+             AS max_containment_bp
+    FROM pairs p JOIN tn ON p.train_doc_id = tn.doc_id
+    GROUP BY p.train_doc_id, tn.n_g
+    """,
+)
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated benchmark-contamination gate (the O(#train docs)
+    output form of q_contamination_check): per train document, the
+    count of bench documents sharing ≥1 word-3-gram and the worst-case
+    containment in basis points. See :func:`contamination_screen` for
+    why the aggregate — not the pair list — is the scale-safe gate."""
+    return contamination_screen(table(spark, sf_dir, "documents"))
+
+
 @query(
     "q_domain_mixture",
     oracle="""

@@ -166,6 +166,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_rsi",                 # finance: 14-period relative strength index
     "q_quality_rules",       # curation: Gopher-style quality scorecard
     "q_contamination_check", # curation: benchmark n-gram contamination
+    "q_contamination_screen",  # curation: aggregated per-train-doc gate
     "q_domain_mixture",      # curation: weighted domain resampling audit
     "q_token_bigrams",       # curation: BPE-ish merge-candidate counts
     "q_market_beta",         # finance: per-key beta vs market composite

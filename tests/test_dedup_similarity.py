@@ -781,6 +781,76 @@ def test_audit_collapse_equivalence_under_heavy_duplication(spark):
     assert {split_of(t) for t in texts} >= {"train", "test"} and exp_leak
 
 
+def test_contamination_screen_equals_pair_aggregate(spark):
+    """contamination_screen (the O(#train docs) aggregated gate) must
+    equal the per-train-doc aggregation of contamination_pairs on the
+    heavy-duplication fixture — the regime the aggregate exists for.
+    Uses the same fixture as the audit equivalence test: 10 copies per
+    text, clusters straddling the %97 bench cut."""
+    import re
+
+    from stock_prediction_data_engineering_spark.queries.llm_curation import (
+        contamination_pairs,
+        contamination_screen,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    texts = [
+        base,
+        base + " omega8",
+        base.replace("delta", "spark"),
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen",
+        "zz",
+    ]
+    rows = [(t * 1000 + c, txt) for t, txt in enumerate(texts) for c in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams3(text):
+        ws = re.split(r" ", text)
+        return (
+            {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            if len(ws) >= 3
+            else set()
+        )
+
+    g3 = {i: grams3(t) for i, t in rows}
+    # brute-force aggregate of the pair answer
+    exp: dict[int, tuple[int, int]] = {}
+    for t_id, _ in rows:
+        if t_id % 97 == 0 or not g3[t_id]:
+            continue
+        shared = [
+            len(g3[t_id] & g3[b_id])
+            for b_id, _ in rows
+            if b_id % 97 == 0 and g3[t_id] & g3[b_id]
+        ]
+        if shared:
+            exp[t_id] = (
+                len(shared),
+                max(shared) * 10000 // len(g3[t_id]),
+            )
+    got = {
+        r.train_doc_id: (r.n_bench_hits, r.max_containment_bp)
+        for r in contamination_screen(docs).collect()
+    }
+    assert got == exp and exp
+    # consistency with the pair form on the same input: same train-doc
+    # set, same per-doc hit counts
+    pair_rows = contamination_pairs(docs).collect()
+    from collections import defaultdict
+
+    hits = defaultdict(set)
+    for r in pair_rows:
+        hits[r.train_doc_id].add(r.bench_doc_id)
+    assert {t: len(bs) for t, bs in hits.items()} == {
+        t: n for t, (n, _) in got.items()
+    }
+
+
 def test_boilerplate_collapse_equivalence_under_heavy_duplication(spark):
     """boilerplate_profile must return the brute-force per-doc profile
     when the collapse engages — including the df amplification from
