@@ -157,6 +157,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.7,
+    output: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH.
 
@@ -176,6 +177,19 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
 
+    ``output="clusters"`` returns the CLUSTER-level answer instead:
+    one row per verified DISTINCT-TEXT pair — (id_a, id_b, jaccard,
+    members_a, members_b, n_member_pairs), where ids are cluster
+    representatives and exact-dup clusters of size >= 2 appear as
+    self-rows (id_a == id_b, jaccard 1.0, n_member_pairs = C(m, 2)).
+    This is the scale-safe form for duplicated corpora: the member
+    expansion is quadratic in duplicate mass BY THE ANSWER'S OWN
+    SEMANTICS (m copies on each side of a dup pair are m^2 real rows),
+    so on a 100x-duplicated corpus the pair form's runtime measures
+    answer size. The cluster form carries the identical information
+    (every member pair is reconstructible from it) in output
+    cardinality independent of duplication.
+
     Exact-duplicate collapse (the production-corpus prefilter,
     engaged ADAPTIVELY — a 1-row duplication profile decides whether
     the collapse pays for itself, so dup-free corpora run the direct
@@ -194,6 +208,8 @@ def minhash_lsh_pairs(
     candidates by C(m,2) while data grows by m — measured 24.5x time
     for 10x data at sf0.1->sf1, restored to ~linear by this prefilter.
     """
+    if output not in ("pairs", "clusters"):
+        raise ValueError(f"output must be 'pairs' or 'clusters', got {output!r}")
     rows_per_band = num_hashes // bands
     n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = _spread(docs)
@@ -205,13 +221,17 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col).cast("string")).alias("__th"),
     ).localCheckpoint(eager=False)
-    prof = members.agg(
-        F.count("*").alias("n"), F.countDistinct("__th").alias("d")
-    ).first()
-    # collapse pays only when duplicate mass is material: the
-    # expansion adds ~4 keyed joins, worth it when clusters shrink
-    # the candidate stage, pure overhead for a handful of twins
-    collapse = prof.d * 100 <= prof.n * 95
+    if output == "clusters":
+        # cluster output NEEDS the cluster structure; no profile to run
+        collapse = True
+    else:
+        prof = members.agg(
+            F.count("*").alias("n"), F.countDistinct("__th").alias("d")
+        ).first()
+        # collapse pays only when duplicate mass is material: the
+        # expansion adds ~4 keyed joins, worth it when clusters shrink
+        # the candidate stage, pure overhead for a handful of twins
+        collapse = prof.d * 100 <= prof.n * 95
     if collapse:
         reps = members.groupBy("__th").agg(F.min("id").alias("id"))
         docs = docs.join(
@@ -292,6 +312,56 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if output == "clusters":
+        sizes = members.groupBy("__th").agg(F.count("*").alias("m"))
+        rep_sz = reps.select(F.col("id").alias("rid"), "__th").join(
+            sizes, "__th"
+        )
+        cross_cl = (
+            rep_pairs.join(
+                rep_sz.select(
+                    F.col("rid").alias("id_a"), F.col("m").alias("members_a")
+                ),
+                "id_a",
+            )
+            .join(
+                rep_sz.select(
+                    F.col("rid").alias("id_b"), F.col("m").alias("members_b")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "jaccard",
+                "members_a",
+                "members_b",
+                (F.col("members_a") * F.col("members_b"))
+                .cast("bigint")
+                .alias("n_member_pairs"),
+            )
+        )
+        # exact-dup clusters as self-rows — only shingleable texts,
+        # matching the pair form's exclusion of empty-shingle twins
+        intra_cl = (
+            rep_sz.join(
+                base.filter(F.size("sh_hashes") > 0).select("id"),
+                F.col("rid") == F.col("id"),
+                "left_semi",
+            )
+            .filter(F.col("m") >= 2)
+            .select(
+                F.col("rid").alias("id_a"),
+                F.col("rid").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+                F.col("m").alias("members_a"),
+                F.col("m").alias("members_b"),
+                (F.col("m") * (F.col("m") - 1) / 2)
+                .cast("bigint")
+                .alias("n_member_pairs"),
+            )
+        )
+        return cross_cl.unionByName(intra_cl)
     if not collapse:
         return rep_pairs
 

@@ -81,6 +81,21 @@ def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_minhash_clusters")
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup verdicts at CLUSTER grain (the scale-safe
+    output form of q_dedup_minhash): one row per verified distinct-text
+    pair carrying member counts and the implied member-pair count,
+    plus self-rows for exact-dup clusters. Output cardinality is
+    independent of exact-duplicate mass — the pair form's member
+    expansion is quadratic in it by the answer's own semantics (see
+    operators/dedup.py minhash_lsh_pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.2, output="clusters"
+    )
+
+
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (L2 variant) with chunk blocking; returns

@@ -279,6 +279,7 @@ ROWS_ONLY: tuple[str, ...] = (
     # Not ANSI-SQL-expressible (see each docstring); rows-only checks.
     "q_partitioned_write_readback",  # S3/S4 sink round-trip
     "q_dedup_minhash",               # L2 MinHash-LSH (xxhash64 sigs)
+    "q_dedup_minhash_clusters",      # L2 cluster-grain output form
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",

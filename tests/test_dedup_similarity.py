@@ -691,6 +691,64 @@ def test_collapse_expansion_equivalence_under_heavy_duplication(spark):
     assert len({pairs[p] for p in cross_01}) == 1  # identical jaccard
 
 
+def test_minhash_cluster_output_reconstructs_member_pairs(spark):
+    """output='clusters' must carry EXACTLY the pair-mode information:
+    expanding each cluster row (cross rows -> members_a x members_b
+    pairs at the row's jaccard; self rows -> C(m,2) intra pairs at 1.0)
+    reproduces the pair-mode answer, and the cluster output's
+    cardinality is independent of duplication (one row per distinct-
+    text pair, not per member pair)."""
+    from itertools import combinations
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill near the old stone wall"
+    )
+    texts = {
+        0: base,
+        1: base.replace("lazy", "sleepy"),
+        2: "entirely different content about distributed shuffle hash "
+           "joins and adaptive query execution in columnar engines",
+    }
+    rows = [(t * 100 + c, txt) for t, txt in texts.items() for c in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pair_rows = minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    cluster_rows = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, output="clusters"
+    ).collect()
+
+    # cluster cardinality: 3 self rows (one per exact-dup cluster) +
+    # 1 cross row (texts 0<->1) — NOT the 135+100 member pairs
+    assert len(cluster_rows) == 4
+    members = {t: [t * 100 + c for c in range(10)] for t in texts}
+    th_of = {t * 100 + c: t for t in texts for c in range(10)}
+
+    rebuilt = set()
+    for r in cluster_rows:
+        if r.id_a == r.id_b:  # exact-dup cluster self-row
+            ids = members[th_of[r.id_a]]
+            assert r.members_a == r.members_b == len(ids)
+            assert r.n_member_pairs == len(ids) * (len(ids) - 1) // 2
+            assert r.jaccard == 1.0
+            for a, b in combinations(sorted(ids), 2):
+                rebuilt.add((a, b, 1.0))
+        else:
+            ids_a, ids_b = members[th_of[r.id_a]], members[th_of[r.id_b]]
+            assert r.n_member_pairs == r.members_a * r.members_b
+            for a in ids_a:
+                for b in ids_b:
+                    rebuilt.add((min(a, b), max(a, b), r.jaccard))
+    got = {(r.id_a, r.id_b, r.jaccard) for r in pair_rows}
+    assert rebuilt == got
+    # total member-pair accounting matches the pair-mode row count
+    assert sum(r.n_member_pairs for r in cluster_rows) == len(pair_rows)
+
+
 def test_audit_collapse_equivalence_under_heavy_duplication(spark):
     """contamination_pairs and leakage_profile must return exactly the
     brute-force answers when the exact-dup collapse engages (10 copies
