@@ -120,6 +120,67 @@ HEADLINE_QUERIES = [
 ]
 
 
+def cpu_probe() -> dict:
+    """Fixed CPU-throughput probe recorded alongside every bench run,
+    so cross-time comparisons can be normalized for HOST drift (the
+    guest is not alone on the machine: identical isolated queries have
+    measured 0.79 s vs 1.5 s hours apart with this JVM fully idle).
+
+    Two numbers, both millions of elements/sec over a fixed
+    sqrt+sum kernel (pure numpy ufuncs — BLAS-free, so parallelism
+    is OURS, not OpenBLAS's):
+      - t1_meps:  one process (scalar/SIMD pipe throughput)
+      - t32_meps: 32 forked PROCESSES (threads measured only ~2x —
+        the per-pass Python segments serialize on the GIL; processes
+        measure the machine's actual deliverable 32-way throughput,
+        ~20x here, consistent with 16 physical cores + SMT)
+    A bench artifact with probes at both ends also shows whether the
+    host drifted DURING the run."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    # cache-resident working set (1.6 MB): the probe must measure CPU
+    # availability (host steal), not memory bandwidth — a RAM-streaming
+    # kernel barely scales across cores and hides compute drift
+    n = 200_000
+    x = np.arange(n, dtype=np.float64) * 1e-6
+
+    def passes(k: int) -> float:
+        acc = 0.0
+        for _ in range(k):
+            acc += float(np.sqrt(x).sum())
+        return acc
+
+    # warm (page-in + allocator) then measure
+    passes(30)
+    k1 = 400
+    t0 = time.perf_counter()
+    passes(k1)
+    t1 = time.perf_counter() - t0
+    kp = 2000
+    with mp.get_context("fork").Pool(32) as pool:
+        pool.map(_probe_passes, [50] * 32)  # warm the pool (fork cost)
+        t0 = time.perf_counter()
+        pool.map(_probe_passes, [kp] * 32)
+        t32 = time.perf_counter() - t0
+    return {
+        "t1_meps": round(n * k1 / t1 / 1e6, 1),
+        "t32_meps": round(n * kp * 32 / t32 / 1e6, 1),
+    }
+
+
+def _probe_passes(k: int) -> float:
+    """Per-process probe kernel (module-level so Pool can pickle it)."""
+    import numpy as np
+
+    x = np.arange(200_000, dtype=np.float64) * 1e-6
+    acc = 0.0
+    for _ in range(k):
+        acc += float(np.sqrt(x).sum())
+    return acc
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # derive the sf number from the directory name (".../sf0.1" -> 0.1)
@@ -132,6 +193,7 @@ def main() -> None:
     from stock_prediction_data_engineering_spark import registry
     from stock_prediction_data_engineering_spark.session import get_spark
 
+    probe_start = cpu_probe()
     registry.load_all()
     spark = get_spark(app_name="bench")
 
@@ -217,6 +279,9 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "timing": "warm (min of 2 back-to-back runs; pass 0 pays per-plan codegen)",
+        # host-drift witness: fixed numpy kernel throughput at run
+        # start and end; normalize cross-time diffs by t32_meps
+        "cpu_probe": {"start": probe_start, "end": cpu_probe()},
     }
     if failed:
         out["failed"] = failed

@@ -24,9 +24,30 @@ def _unwrap(d: dict) -> dict:
     return d
 
 
+def _probe_t32(d: dict) -> float | None:
+    """Mean 32-thread throughput of a run's start/end cpu probes, or
+    None for pre-probe artifacts."""
+    p = d.get("cpu_probe")
+    if not isinstance(p, dict):
+        return None
+    vals = [
+        s["t32_meps"]
+        for s in (p.get("start"), p.get("end"))
+        if isinstance(s, dict) and isinstance(s.get("t32_meps"), (int, float))
+    ]
+    return sum(vals) / len(vals) if vals else None
+
+
 def diff(old: dict, new: dict, pct: float) -> dict:
     old, new = _unwrap(old), _unwrap(new)
     qo, qn = old.get("queries") or {}, new.get("queries") or {}
+    # host-drift normalization: both runs carry a fixed-kernel CPU
+    # probe (bench.py cpu_probe). Query seconds scale ~inversely with
+    # deliverable throughput, so a NEW time measured on a host running
+    # at tp_new is rescaled to the OLD host's speed by tp_new/tp_old —
+    # what remains after normalization is attributable to code.
+    tp_old, tp_new = _probe_t32(old), _probe_t32(new)
+    norm = (tp_new / tp_old) if tp_old and tp_new else None
     common = sorted(set(qo) & set(qn))
     regressions = []
     improvements = []
@@ -39,11 +60,15 @@ def diff(old: dict, new: dict, pct: float) -> dict:
         delta = (b - a) / a * 100
         row = {"query": q, "old_sec": a, "new_sec": b,
                "delta_pct": round(delta, 1)}
-        if delta > pct:
+        if norm is not None:
+            row["norm_delta_pct"] = round((b * norm - a) / a * 100, 1)
+        # classification uses the normalized delta when probes exist
+        eff = row.get("norm_delta_pct", row["delta_pct"])
+        if eff > pct:
             regressions.append(row)
-        elif delta < -pct:
+        elif eff < -pct:
             improvements.append(row)
-    return {
+    out = {
         "n_common": len(common),
         "added": sorted(set(qn) - set(qo)),
         "removed": sorted(set(qo) - set(qn)),
@@ -52,9 +77,21 @@ def diff(old: dict, new: dict, pct: float) -> dict:
         "new_total_sec": round(sum(v for v in qn.values()
                                    if isinstance(v, (int, float))), 2),
         "threshold_pct": pct,
-        "regressions": sorted(regressions, key=lambda r: -r["delta_pct"]),
-        "improvements": sorted(improvements, key=lambda r: r["delta_pct"]),
+        "regressions": sorted(
+            regressions,
+            key=lambda r: -r.get("norm_delta_pct", r["delta_pct"])),
+        "improvements": sorted(
+            improvements,
+            key=lambda r: r.get("norm_delta_pct", r["delta_pct"])),
     }
+    if norm is not None:
+        out["cpu_probe_t32_meps"] = {
+            "old": round(tp_old, 1), "new": round(tp_new, 1),
+            "new_over_old": round(norm, 4),
+        }
+    else:
+        out["cpu_probe_t32_meps"] = None  # pre-probe artifact on >=1 side
+    return out
 
 
 def main() -> int:
