@@ -88,3 +88,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for ``spark.sql`` queries."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql_entry(
+    spark: SparkSession, text: str, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """Run a SQL-text query against the testdata tables: every table
+    is (re)registered as a temp view, then ``text`` goes through
+    ``spark.sql``. This is the whole SQL front-end — the engine's
+    operators are Catalyst plans, so any query expressible over the
+    DataFrame API here is equally expressible as SQL text, sharing
+    the same optimizer, the same pushdown, and the same physical
+    strategies (tests/test_sql_text.py pins DataFrame/SQL-text
+    equality on representative declared queries)."""
+    register_views(spark, sf_dir)
+    return spark.sql(text)

@@ -6,12 +6,15 @@ The Spark-side plumbing is real and tested: schemas, partition
 behavior, UDF signatures, batch shapes. Two codec kernels are ALSO
 real, implemented without external libraries: binary PGM (netpbm P5)
 image decode in pure numpy and PCM WAV audio decode via the stdlib
-``wave`` module. Only compressed formats (JPEG/PNG, mp3/ogg) would
-need PIL/OpenCV-class dependencies, which are not in this
-environment — ``decode_image`` raises NotImplementedError precisely
-there, and ``fake_decode_image`` remains as the deterministic
-fixture for the synthetic SGMM container. Swapping in a compressed
-codec changes one function body and nothing about the dataflow.
+``wave`` module. Compressed formats (JPEG/PNG, mp3/ogg) need
+PIL/OpenCV-class dependencies, which are not in this environment —
+they dispatch through the pluggable codec registry
+(``register_image_codec``; ``pil_image_codec`` is the ready-made
+Pillow adapter) and ``decode_image`` raises NotImplementedError only
+when no registered codec claims the payload. ``fake_decode_image``
+remains as the deterministic fixture for the synthetic SGMM
+container. Registered codecs are snapshotted by value into each
+stage's closure, so a driver-side registration reaches every worker.
 """
 
 from __future__ import annotations
@@ -62,20 +65,89 @@ def media_table(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_image(content: bytes) -> np.ndarray:
-    """Image decode. PGM (P5, the netpbm grayscale format) is decoded
-    for real with pure numpy — no codec libraries needed; the
-    synthetic SGMM header is handled for fixtures; compressed formats
-    (JPEG/PNG) would dispatch to PIL/OpenCV, which are not in this
-    environment."""
+# Pluggable codec registry: (sniff, decode) pairs consulted by
+# decode_image for payloads the native decoders don't recognize.
+# IMPORTANT pickling subtlety: module-level functions ship to Python
+# workers BY REFERENCE (the worker re-imports this module, whose
+# registry starts empty), so the mapInPandas stages must snapshot the
+# registry into their closure BY VALUE — _dispatching_decoder() does
+# exactly that, and is what the stages use as their default decoder.
+_IMAGE_CODECS: list[tuple] = []
+
+
+def register_image_codec(sniff, decode) -> None:
+    """Plug a compressed-format decoder into :func:`decode_image`.
+
+    ``sniff(content: bytes) -> bool`` claims a payload (typically a
+    magic-byte check); ``decode(content: bytes) -> np.ndarray`` returns
+    a 2-D grayscale array (the contract the feature/resize stages
+    assume). Registered codecs are tried in registration order after
+    the native PGM/SGMM decoders."""
+    _IMAGE_CODECS.append((sniff, decode))
+
+
+def pil_image_codec():
+    """(sniff, decode) pair backed by PIL, for use with
+    :func:`register_image_codec` — importable only where Pillow is
+    installed (it is not baked into this harness, hence the hook
+    rather than a hard dependency). Decodes JPEG/PNG/WebP/... to the
+    grayscale uint8 array the downstream stages expect."""
+    import io
+
+    from PIL import Image  # raises ImportError where Pillow is absent
+
+    magics = (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"RIFF", b"GIF8")
+
+    def sniff(content: bytes) -> bool:
+        return any(content[: len(m)] == m for m in magics)
+
+    def decode(content: bytes) -> np.ndarray:
+        with Image.open(io.BytesIO(content)) as img:
+            return np.asarray(img.convert("L"), dtype=np.uint8)
+
+    return sniff, decode
+
+
+def _decode_with(codecs: list, content: bytes) -> np.ndarray:
     if content[:2] == b"P5":
         return decode_pgm(content)
     if content[: len(_MAGIC)] == _MAGIC:
         return fake_decode_image(content)
+    for sniff, decode in codecs:
+        if sniff(bytes(content)):
+            return decode(bytes(content))
     raise NotImplementedError(
-        "compressed image codecs (JPEG/PNG) need PIL/OpenCV, which are "
-        "not installed in this environment; PGM and SGMM decode natively"
+        "no registered codec for this payload: compressed image formats "
+        "(JPEG/PNG) need a decoder plugged in via register_image_codec "
+        "(e.g. register_image_codec(*pil_image_codec()) where Pillow is "
+        "installed); PGM and SGMM decode natively"
     )
+
+
+def _dispatching_decoder():
+    """Decoder with the CURRENT registry snapshotted by value — the
+    form that survives the trip to a Python worker (a bare reference
+    to decode_image would re-import this module there and see an
+    empty registry). Lambda-free local closure => cloudpickled by
+    value, codec list included."""
+    codecs = list(_IMAGE_CODECS)
+
+    def dec(content: bytes) -> np.ndarray:
+        return _decode_with(codecs, content)
+
+    return dec
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Image decode. PGM (P5, the netpbm grayscale format) is decoded
+    for real with pure numpy — no codec libraries needed; the
+    synthetic SGMM header is handled for fixtures. Compressed formats
+    (JPEG/PNG) dispatch through the pluggable codec registry
+    (:func:`register_image_codec`; :func:`pil_image_codec` is the
+    ready-made Pillow adapter) and raise NotImplementedError when no
+    registered codec claims the payload — honest failure where the
+    codec library genuinely isn't installed."""
+    return _decode_with(_IMAGE_CODECS, content)
 
 
 def decode_pgm(content: bytes) -> np.ndarray:
@@ -229,9 +301,11 @@ FEATURE_SCHEMA = (
 def extract_features(media: DataFrame, decode=None) -> DataFrame:
     """Decode + feature-extract as a mapInPandas stage: one Arrow batch
     in, one feature frame out. Linear, partition-parallel; the binary
-    column never leaves the executor. Default decoder is the
-    format-dispatching decode_image (real PGM + synthetic SGMM)."""
-    decode = decode or decode_image
+    column never leaves the executor. Default decoder dispatches
+    native PGM/SGMM plus whatever codecs are registered at plan time
+    (snapshotted by value into the closure — see _dispatching_decoder
+    for the worker-side pickling subtlety)."""
+    decode = decode or _dispatching_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -276,7 +350,7 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage (nearest-neighbor): binary-in/binary-out
     mapInPandas shape; output re-encoded as SGMM."""
-    decode = decode or decode_image
+    decode = decode or _dispatching_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ys = np.arange(out_h)

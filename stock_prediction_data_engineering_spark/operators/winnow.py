@@ -56,6 +56,7 @@ def winnow_pairs(
     k: int = 24,
     w: int = 8,
     df_cap: int = 50,
+    with_spans: bool = False,
 ) -> DataFrame:
     """Pairs of DISTINCT texts sharing >= 1 winnowing fingerprint.
 
@@ -66,6 +67,17 @@ def winnow_pairs(
     shared_fp counts distinct shared fingerprints, and dup_a/dup_b
     are the exact-duplicate cluster sizes — total member-pair counts
     are derivable as dup_a * dup_b without quadratic output.
+
+    ``with_spans=True`` adds ``max_span_len``: the length in chars of
+    the longest shared verbatim run per pair (the Lee et al. ACL'22
+    match-length semantics), computed EXACTLY for the surfaced pairs
+    by joining their k-gram hash tables and taking the longest
+    constant-offset run of consecutive matching positions (a shared
+    run of length L matches L - k + 1 consecutive k-grams on one
+    diagonal, so max_span_len = max run + k - 1). The refinement is
+    pair-bounded: the k-gram join runs only over documents that
+    already winnowed into a pair, keyed on (doc, hash) — never a
+    corpus-wide product.
 
     Hashes are md5-derived 60-bit ints (first 15 hex digits), the
     engine-portable idiom shared with q_feature_hashing, so an ANSI
@@ -166,7 +178,7 @@ def winnow_pairs(
     # read sizes off the checkpointed table so the text groupBy does
     # not re-execute for a third consumer
     sizes = mh.select("rep", "dup")
-    return (
+    out = (
         pairs.join(
             sizes.select(
                 F.col("rep").alias("doc_a"), F.col("dup").alias("dup_a")
@@ -180,6 +192,53 @@ def winnow_pairs(
             "doc_b",
         )
         .select("doc_a", "doc_b", "shared_fp", "dup_a", "dup_b")
+    )
+    if not with_spans:
+        return out
+    # --- exact match-length refinement (pair-bounded) ---
+    # k-gram table of PAIRED docs only: positions are 1-based to match
+    # the fingerprint expressions and the ANSI oracle
+    from pyspark.sql.window import Window
+
+    pair_keys = out.select("doc_a", "doc_b")
+    kg = mh.select(
+        "rep", F.posexplode("hs").alias("pos0", "h")
+    ).select("rep", (F.col("pos0") + 1).alias("pos"), "h")
+    a_side = pair_keys.join(
+        kg.select(F.col("rep").alias("doc_a"), F.col("pos").alias("pa"), "h"),
+        "doc_a",
+    )
+    matches = (
+        a_side.join(
+            kg.select(
+                F.col("rep").alias("doc_b"), F.col("pos").alias("pb"), "h"
+            ),
+            ["doc_b", "h"],
+        )
+        .select("doc_a", "doc_b", "pa", "pb")
+        .dropDuplicates(["doc_a", "doc_b", "pa", "pb"])
+    )
+    # gaps-and-islands per diagonal: a verbatim run of length L is
+    # L - k + 1 consecutive (pa, pb) matches with constant pa - pb
+    diag = matches.withColumn("diag", F.col("pa") - F.col("pb"))
+    isl = diag.withColumn(
+        "isl",
+        F.col("pa")
+        - F.row_number().over(
+            Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+        ),
+    )
+    spans = (
+        isl.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(F.count("*").alias("run"))
+        .groupBy("doc_a", "doc_b")
+        .agg((F.max("run") + (k - 1)).cast("bigint").alias("max_span_len"))
+    )
+    # inner join is total: a shared fingerprint IS a matching k-gram
+    # (the window minimum both sides agreed on), so every surfaced
+    # pair has at least one match row and a span >= k
+    return out.join(spans, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "shared_fp", "dup_a", "dup_b", "max_span_len"
     )
 
 

@@ -49,11 +49,32 @@ _K, _W, _CAP = 24, 8, 50
              CAST(COUNT(*) AS BIGINT) AS shared_fp
       FROM fps2 a JOIN fps2 b ON a.fp = b.fp AND a.rep < b.rep
       GROUP BY a.rep, b.rep
+    ),
+    mg AS (
+      SELECT DISTINCT p.doc_a, p.doc_b, ka.pos AS pa, kb.pos AS pb
+      FROM pairs p
+      JOIN kg ka ON ka.rep = p.doc_a
+      JOIN kg kb ON kb.rep = p.doc_b AND kb.h = ka.h
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS isl
+      FROM mg
+    ),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(MAX(cnt) + {_K - 1} AS BIGINT) AS max_span_len
+      FROM (SELECT doc_a, doc_b, diag, isl, COUNT(*) AS cnt
+            FROM runs GROUP BY doc_a, doc_b, diag, isl)
+      GROUP BY doc_a, doc_b
     )
-    SELECT doc_a, doc_b, shared_fp, da.dup AS dup_a, db.dup AS dup_b
-    FROM pairs
-    JOIN m da ON da.rep = doc_a
-    JOIN m db ON db.rep = doc_b
+    SELECT p.doc_a, p.doc_b, p.shared_fp, da.dup AS dup_a,
+           db.dup AS dup_b, s.max_span_len
+    FROM pairs p
+    JOIN m da ON da.rep = p.doc_a
+    JOIN m db ON db.rep = p.doc_b
+    JOIN spans s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
     """,
 )
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +91,12 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting list — and therefore the self-join — is bounded at any
     corpus size. Defined over DISTINCT texts with cluster sizes in
     the output, so the result stays pair-linear even on fully
-    duplicated corpora."""
+    duplicated corpora.
+
+    ``max_span_len`` reports each pair's longest shared verbatim run
+    in characters (Lee et al. ACL'22 match-length semantics) — exact,
+    computed pair-bounded from constant-offset runs of matching
+    k-gram hashes (operators/winnow.py)."""
     from ..operators.winnow import winnow_pairs
 
     return winnow_pairs(
@@ -80,6 +106,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         w=_W,
         df_cap=_CAP,
+        with_spans=True,
     )
 
 

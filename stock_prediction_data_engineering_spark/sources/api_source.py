@@ -37,6 +37,56 @@ BAR_SCHEMA = (
 )
 
 
+class TokenBucket:
+    """Token-bucket rate limiter for the fetch stage (the reference's
+    one real operational constraint — its README warns about yfinance
+    rate limits, README.md:58-59).
+
+    ``rate`` tokens/sec refill up to ``burst`` capacity; ``acquire()``
+    blocks (via the injected ``sleep``) until a token is available and
+    consumes it. ``clock``/``sleep`` are injectable so tests drive the
+    bucket with a counting clock instead of wall time.
+
+    Distribution model: tasks cannot coordinate cheaply, so the GLOBAL
+    budget is sliced per task — each of P fetch tasks gets rate N/P,
+    bounding aggregate issue rate to N/sec (+ at most P*burst of
+    startup burst) in every window regardless of parallelism. This is
+    the standard Spark shape for politeness limits: no shared state,
+    no driver round-trips on the hot path."""
+
+    def __init__(
+        self,
+        rate: float,
+        burst: float = 1.0,
+        clock: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> None:
+        if rate <= 0:
+            raise ValueError(f"rate must be positive, got {rate}")
+        self.rate = float(rate)
+        self.burst = max(1.0, float(burst))
+        self._clock = clock
+        self._sleep = sleep
+        self.tokens = self.burst
+        self.last = clock()
+
+    def _refill(self) -> None:
+        now = self._clock()
+        self.tokens = min(
+            self.burst, self.tokens + (now - self.last) * self.rate
+        )
+        self.last = now
+
+    def acquire(self) -> None:
+        self._refill()
+        if self.tokens < 1.0:
+            self._sleep((1.0 - self.tokens) / self.rate)
+            self._refill()
+        # consume unconditionally: a sleep() whose clock advanced less
+        # than requested leaves a token debt rather than over-issuing
+        self.tokens -= 1.0
+
+
 def synthetic_fetch(symbol: str, start: str, end: str) -> pd.DataFrame:
     """Deterministic fake of yf.download(symbol): a small daily-bar
     frame seeded by the symbol text, matching the yfinance 0.2.x
@@ -67,21 +117,36 @@ def fetch_bars(
     fetch_fn: Callable[[str, str, str], pd.DataFrame] = synthetic_fetch,
     num_tasks: int | None = None,
     min_interval_sec: float = 0.0,
+    requests_per_sec: float | None = None,
+    burst: float = 1.0,
+    bucket_factory: Callable[[float, float], "TokenBucket"] | None = None,
 ) -> DataFrame:
     """The fetch stage: symbols DataFrame -> bar DataFrame.
 
     ``num_tasks`` bounds concurrent upstream connections (the
     reference's batch_size=100 analog); ``min_interval_sec`` is the
-    per-task rate limit.
-    """
+    legacy per-task spacing knob. ``requests_per_sec`` is the GLOBAL
+    rate budget, enforced by a per-task :class:`TokenBucket` running
+    at requests_per_sec / P (P = the stage's task count), so aggregate
+    issue rate stays <= the budget under any parallelism.
+    ``bucket_factory(rate, burst)`` is a test seam for injecting a
+    counting clock."""
     src = symbols.select(F.col(symbol_col).alias("symbol"))
     if num_tasks:
         src = src.repartition(num_tasks)
+    per_task_rate = None
+    if requests_per_sec:
+        n_parts = num_tasks or src.rdd.getNumPartitions()
+        per_task_rate = requests_per_sec / max(1, n_parts)
+    make_bucket = bucket_factory or TokenBucket
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last = 0.0
+        bucket = make_bucket(per_task_rate, burst) if per_task_rate else None
         for pdf in batches:
             for sym in pdf["symbol"]:
+                if bucket is not None:
+                    bucket.acquire()
                 if min_interval_sec:
                     wait = last + min_interval_sec - time.monotonic()
                     if wait > 0:

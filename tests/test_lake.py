@@ -7,6 +7,8 @@ import os
 import re
 import shutil
 
+import pytest
+
 from conftest import SF_SMOKE
 
 
@@ -432,3 +434,98 @@ def test_validation_rules_catch_planted_violations(spark):
     assert all(
         r.n_violations == 0 for r in violations(clean, rules).collect()
     )
+
+
+def test_token_bucket_math_with_counting_clock():
+    """Deterministic bucket accounting under an injected clock: no
+    wall time, exact sleep requests."""
+    from stock_prediction_data_engineering_spark.sources.api_source import (
+        TokenBucket,
+    )
+
+    now = [0.0]
+    slept = []
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        slept.append(round(s, 9))
+        now[0] += s  # sleeping advances the fake clock
+
+    b = TokenBucket(rate=2.0, burst=3.0, clock=clock, sleep=sleep)
+    for _ in range(3):  # burst: first 3 acquire instantly
+        b.acquire()
+    assert slept == []
+    b.acquire()  # empty: must wait a full token (0.5 s at 2/s)
+    assert slept == [0.5]
+    now[0] += 10.0  # long idle refills to burst, never beyond
+    for _ in range(3):
+        b.acquire()
+    assert slept == [0.5]
+    b.acquire()
+    assert slept == [0.5, 0.5]
+    # steady state: issue times space out at exactly 1/rate
+    t0 = now[0]
+    for _ in range(4):
+        b.acquire()
+    assert now[0] - t0 == pytest.approx(4 * 0.5)
+
+    with pytest.raises(ValueError):
+        TokenBucket(rate=0.0)
+
+
+def test_fetch_rate_limited_under_32_way_parallelism(spark):
+    """The global requests_per_sec budget holds under 32 concurrent
+    fetch tasks: each task's bucket runs at N/32, so per-task issue
+    timestamps are spaced >= 32/N apart, which bounds the aggregate to
+    <= N requests in any 1-second window (+ the one-token startup
+    burst per task). Timestamps are recorded by the fetch_fn itself
+    and carried through the stage as rows."""
+    import time as _time
+
+    import pandas as pd
+
+    from stock_prediction_data_engineering_spark.sources.api_source import (
+        fetch_bars,
+    )
+
+    n_tasks, global_rate = 32, 64.0  # -> per-task 2/s, spacing 0.5 s
+    symbols = spark.createDataFrame(
+        [(f"S{i:03d}",) for i in range(96)], "symbol string"
+    )
+
+    def stamping(sym, start, end):
+        # one bar row carrying the ISSUE time (monotonic) in `open`
+        return pd.DataFrame(
+            {
+                "company": [sym],
+                "bar_date": [None],
+                "open": [_time.monotonic()],
+                "high": [None],
+                "low": [None],
+                "close": [None],
+                "adj_close": [None],
+                "volume": [None],
+                "fetch_error": [None],
+            }
+        )
+
+    bars = fetch_bars(
+        symbols,
+        fetch_fn=stamping,
+        num_tasks=n_tasks,
+        requests_per_sec=global_rate,
+    ).toPandas()
+    assert len(bars) == 96
+    stamps = sorted(bars["open"])
+    # aggregate witness: any 1-second window holds at most
+    # global_rate + n_tasks (startup burst) issues
+    import bisect
+
+    for i, t in enumerate(stamps):
+        j = bisect.bisect_right(stamps, t + 1.0)
+        assert j - i <= global_rate + n_tasks
+    # and the whole 96-request run cannot finish faster than the
+    # budget allows: 3 requests/task at 2/s each => >= ~1 s span
+    assert stamps[-1] - stamps[0] >= 0.9

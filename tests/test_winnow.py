@@ -252,3 +252,36 @@ def test_index_probe_matches_standalone_pairs(spark, duck, tmp_path):
         if (r.doc_a % 5 == 0) != (r.doc_b % 5 == 0)
     }
     assert got == expected
+
+
+def test_max_span_len_exact_on_planted_overlaps(spark):
+    """with_spans=True reports the longest shared verbatim run EXACTLY
+    (Lee et al. ACL'22 match-length semantics) on planted overlaps:
+    a single shared quote reports its own length, two shared runs
+    report the longer one, exact duplicates report the full text
+    length, and span extension across the plant boundary is ruled out
+    by distinct fillers."""
+    quote2 = "pack my box with five dozen liquor jugs right now"  # 50
+    rows = [
+        (1, _FILLER_A + _QUOTE + _FILLER_A),               # quote only
+        (2, _FILLER_B + _QUOTE + _FILLER_B),               # quote only
+        (3, _FILLER_C + _QUOTE + _FILLER_C + quote2 + "x"),  # both
+        (4, "y" + quote2 + _FILLER_A * 2),                 # quote2 only
+        (5, _FILLER_B + _QUOTE + _FILLER_B),               # dup of 2
+    ]
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in winnow_pairs(_docs(spark, rows), with_spans=True).collect()
+    }
+    assert out[(1, 2)].max_span_len == len(_QUOTE)
+    assert out[(1, 3)].max_span_len == len(_QUOTE)
+    assert out[(2, 3)].max_span_len == len(_QUOTE)
+    # doc 3 shares _QUOTE (51) with 1/2 but only quote2 (50) with 4
+    assert out[(3, 4)].max_span_len == len(quote2)
+    # exact duplicates (2, 5) collapse into one row with dup=2 — the
+    # self-evident full-length span never materializes as a pair; the
+    # cluster is visible through dup_b on (1, 2)
+    assert out[(1, 2)].dup_b == 2
+    assert (2, 5) not in out
+    # no pair is reported below the winnowing guarantee floor
+    assert all(r.max_span_len >= 24 for r in out.values())
