@@ -9,10 +9,12 @@ from stock_prediction_data_engineering_spark.operators.winnow import winnow_pair
 
 # distinct filler prefixes long enough that docs share nothing except
 # what the test plants (k=24: any 24-gram from different fillers
-# differs)
-_FILLER_A = "alpha bravo charlie delta echo foxtrot golf hotel india "
-_FILLER_B = "juliet kilo lima mike november oscar papa quebec romeo "
-_FILLER_C = "sierra tango uniform victor whiskey xray yankee zulu one "
+# differs). No trailing space: the char immediately adjacent to a
+# planted quote must differ across docs, or the shared verbatim run is
+# quote+separator (52) rather than the quote itself (51).
+_FILLER_A = "alpha bravo charlie delta echo foxtrot golf hotel india"
+_FILLER_B = "juliet kilo lima mike november oscar papa quebec romeo"
+_FILLER_C = "sierra tango uniform victor whiskey xray yankee zulu one"
 _QUOTE = "the quick brown fox jumps over the lazy dog tonight"  # 51 chars
 
 
