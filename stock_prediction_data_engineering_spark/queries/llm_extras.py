@@ -194,6 +194,22 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_topk(emb, qv, k=10, n_cells=8, nprobe=4, m=8, nbits=8)
 
 
+@query("q_ann_pq_rerank")
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized search (L7, round-6): ADC over the code
+    table picks a 10·k shortlist, then an exact-cosine pass re-scores
+    ONLY those rows (pushed-down id predicate on the float table —
+    row-group pruned, never a second corpus scan). Recall@10 ≥0.9 at
+    <10% byte-equivalent scan on sf0.1 (tools/ann_recall.py); the
+    full-shortlist limit provably equals brute force
+    (tests/test_pq.py::test_rerank_full_shortlist_equals_brute_force).
+    Rows-only — shortlist membership is model-dependent."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    index = pq.pq_build(emb, m=8, nbits=8)
+    return pq.pq_search(index, qv, k=10, rerank_from=emb)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 

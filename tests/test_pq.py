@@ -168,3 +168,55 @@ def test_empty_query_raises_clear_error(emb, index, ivfpq_index):
         pq.pq_search(index, none_q, k=3)
     with pytest.raises(ValueError, match="query_vec is empty"):
         pq.ivfpq_search(ivfpq_index, none_q, k=3)
+
+
+def test_rerank_full_shortlist_equals_brute_force(emb, index):
+    """With the shortlist covering the whole corpus, the exact re-rank
+    stage must reproduce brute-force cosine top-k EXACTLY (ids and
+    scores): ADC then only selects membership, and the second stage's
+    true-cosine scoring is the same expression brute_force_topk uses."""
+    n = emb.count()
+    qvec = emb.filter(F.col("vec_id") == 21).select("embedding")
+    exact = similarity.brute_force_topk(emb, qvec, k=10).collect()
+    rr = pq.pq_search(index, qvec, k=10, rerank_from=emb, shortlist=n).collect()
+    assert [(r.vec_id, r.cosine) for r in rr] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
+
+
+def test_rerank_recall_at_least_adc(emb, index):
+    """The re-ranked top-k (default 10·k shortlist) never recalls
+    fewer true neighbors than plain ADC top-k — re-scoring a superset
+    of ADC's answer with exact distances can only fix orderings."""
+    for qid in (21, 42):
+        qvec = emb.filter(F.col("vec_id") == qid).select("embedding")
+        exact = {
+            r.vec_id
+            for r in similarity.brute_force_topk(emb, qvec, k=10).collect()
+        }
+        adc = {r.vec_id for r in pq.pq_search(index, qvec, k=10).collect()}
+        rr = {
+            r.vec_id
+            for r in pq.pq_search(index, qvec, k=10, rerank_from=emb).collect()
+        }
+        assert len(exact & rr) >= len(exact & adc)
+
+
+def test_ivfpq_rerank_all_cells_full_shortlist_is_exact(emb, ivfpq_index):
+    """IVF-PQ with every cell probed and a corpus-wide shortlist must
+    also collapse to brute-force exactly — cell pruning off, code
+    distortion corrected by the exact stage."""
+    n = emb.count()
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding")
+    exact = similarity.brute_force_topk(emb, qvec, k=5).collect()
+    rr = pq.ivfpq_search(
+        ivfpq_index,
+        qvec,
+        k=5,
+        nprobe=len(ivfpq_index.centroids),
+        rerank_from=emb,
+        shortlist=n,
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in rr] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]

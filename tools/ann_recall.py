@@ -73,6 +73,13 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
     )
     dim = len(emb.select("embedding").first()[0])
     hits_pq = hits_ivfpq = scanned_ivfpq = 0
+    # exact re-rank stage (round-6): ADC shortlist → true-cosine
+    # re-score of shortlist rows only. Work accounting is
+    # byte-equivalent: (code scan rows)·m bytes + |shortlist| full
+    # vectors, as fractions of the full-float corpus read.
+    params["rerank_shortlist"] = 10 * k
+    params["nprobe_rerank"] = 8
+    hits_pq_rr = hits_ivfpq_rr = scanned_ivfpq_rr = 0
 
     def _probe(idx, qvec, qid, nprobe):
         """Search corpus-minus-query and count actually-scanned rows."""
@@ -121,6 +128,19 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
             r.vec_id for r in pqm.pq_search(pq_q, qvec, k=k).collect()
         }
         hits_pq += len(exact & pq_found)
+        hits_pq_rr += len(
+            exact
+            & {
+                r.vec_id
+                for r in pqm.pq_search(
+                    pq_q,
+                    qvec,
+                    k=k,
+                    rerank_from=corpus,
+                    shortlist=params["rerank_shortlist"],
+                ).collect()
+            }
+        )
         ivfpq_q = pqm.IvfPqIndex(
             ivfpq_idx.table.filter(F.col("vec_id") != qid),
             ivfpq_idx.centroids,
@@ -136,15 +156,31 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
                 ).collect()
             }
         )
+        hits_ivfpq_rr += len(
+            exact
+            & {
+                r.vec_id
+                for r in pqm.ivfpq_search(
+                    ivfpq_q,
+                    qvec,
+                    k=k,
+                    nprobe=params["nprobe_rerank"],
+                    rerank_from=corpus,
+                    shortlist=params["rerank_shortlist"],
+                ).collect()
+            }
+        )
         qarr2 = np.array(qvec.first()[0], dtype=float)
         qn2 = np.linalg.norm(qarr2)
         if qn2 > 0:
             qarr2 = qarr2 / qn2
-        probed2 = np.argsort(((ivfpq_idx.centroids - qarr2) ** 2).sum(axis=1))[
-            : params["nprobe"]
-        ].tolist()
+        cell_order = np.argsort(((ivfpq_idx.centroids - qarr2) ** 2).sum(axis=1))
+        probed2 = cell_order[: params["nprobe"]].tolist()
         scanned_ivfpq += ivfpq_q.table.filter(
             F.col("ivf_cell").isin(probed2)
+        ).count()
+        scanned_ivfpq_rr += ivfpq_q.table.filter(
+            F.col("ivf_cell").isin(cell_order[: params["nprobe_rerank"]].tolist())
         ).count()
         ivf, s_ivf = _probe(coarse_idx, qvec, qid, params["nprobe"])
         fine, s_fine = _probe(fine_idx, qvec, qid, params["nprobe_fine"])
@@ -189,6 +225,23 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
         "recall_ivfpq": round(hits_ivfpq / total, 4),
         "scan_frac_ivfpq": round(
             scanned_ivfpq / (len(query_ids) * n_corpus), 4
+        ),
+        # re-ranked paths: ADC shortlist → exact cosine on shortlist
+        # rows only. byte_frac = bytes actually read / full-float
+        # corpus bytes = (code rows · m)/(N · dim · 4) + shortlist/N.
+        "recall_pq_rerank": round(hits_pq_rr / total, 4),
+        "byte_frac_pq_rerank": round(
+            params["pq_m"] / (dim * 4)
+            + min(params["rerank_shortlist"], n_corpus) / n_corpus,
+            4,
+        ),
+        "recall_ivfpq_rerank": round(hits_ivfpq_rr / total, 4),
+        "byte_frac_ivfpq_rerank": round(
+            (scanned_ivfpq_rr / (len(query_ids) * n_corpus))
+            * params["pq_m"]
+            / (dim * 4)
+            + min(params["rerank_shortlist"], n_corpus) / n_corpus,
+            4,
         ),
         "params": params,
     }
