@@ -40,6 +40,12 @@ FLOORS = {
     # composed IVF-PQ (measured 0.52 at scan_frac 0.29): cell-pruned
     # AND compressed — recall floor with margin
     "recall_ivfpq": 0.4,
+    # round-6 exact re-rank stage: ADC shortlist → true-cosine
+    # re-score of shortlist rows only. Measured 1.0 (PQ) / 0.94
+    # (IVF-PQ) here; 0.965 @ 0.081 byte-equivalent scan at sf0.1
+    # (committed ANN_RECALL_r6.json — the ≥0.9 @ ≤10% scale bar).
+    "recall_pq_rerank": 0.9,
+    "recall_ivfpq_rerank": 0.8,
 }
 
 

@@ -46,13 +46,14 @@ def _get(url: str):
 
 
 def audit_query(spark, api: str, fn, sf_dir: str) -> dict:
+    # warmup pass first, THEN snapshot stage ids: the attributed
+    # metrics must describe the same single execution `sec` times,
+    # not warmup+measured summed (double-counted spill otherwise)
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     before = {s["stageId"] for s in _get(f"{api}/stages")}
-    runs = []
-    for measured in (False, True):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        if measured:
-            runs.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    runs = [time.perf_counter() - t0]
     stages = [
         s
         for s in _get(f"{api}/stages?status=complete")
