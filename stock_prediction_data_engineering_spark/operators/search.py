@@ -50,6 +50,7 @@ def search_index_write(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    expire_keep_last: int | None = None,
 ) -> None:
     """Build the index under ``path``:
 
@@ -68,11 +69,15 @@ def search_index_write(
     build live; a concurrent reader resolves CURRENT once and reads
     one self-consistent build — never new postings with stale meta.
 
-    Superseded builds are KEPT (Spark reads are lazy: a reader that
-    resolved CURRENT before this rebuild may execute its DataFrame
-    after it, against the old build's files). Reclaim them with
-    :func:`search_index_expire` — the expire_snapshots pattern from
-    sources/snapshots.py — once no reader can still hold them.
+    Superseded builds are KEPT by default (Spark reads are lazy: a
+    reader that resolved CURRENT before this rebuild may execute its
+    DataFrame after it, against the old build's files) — a long-lived
+    rebuild loop that never reclaims accumulates one ``build-*`` dir
+    per rebuild. Either call :func:`search_index_expire` as a separate
+    step once no reader can still hold old builds, or pass
+    ``expire_keep_last=N`` to run that same expire inline after
+    publish (opt-in: only safe when the caller KNOWS reader lifetimes
+    are shorter than N rebuild intervals).
     """
     os.makedirs(path, exist_ok=True)
     # atomic mkdir claim: concurrent rebuilder threads share the pid,
@@ -129,7 +134,6 @@ def search_index_write(
             fh,
         )
 
-    prev = _current_build(path)
     import threading
 
     # unique per thread, not just per process — two same-pid rebuilders
@@ -141,8 +145,10 @@ def search_index_write(
     with open(tmp, "w") as fh:
         fh.write(os.path.basename(build))
     os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic publish
-    # the superseded build (prev) is intentionally NOT deleted here —
-    # a lazy reader holding it stays valid; search_index_expire reclaims
+    # superseded builds are intentionally NOT deleted here by default —
+    # a lazy reader holding one stays valid; search_index_expire reclaims
+    if expire_keep_last is not None:
+        search_index_expire(path, keep_last=expire_keep_last)
 
 
 def search_index_expire(path: str, keep_last: int = 2) -> list[str]:

@@ -130,7 +130,18 @@ def fetch_bars(
     at requests_per_sec / P (P = the stage's task count), so aggregate
     issue rate stays <= the budget under any parallelism.
     ``bucket_factory(rate, burst)`` is a test seam for injecting a
-    counting clock."""
+    counting clock.
+
+    Rate-slicing assumption: the per-task rate is requests_per_sec / P
+    with P fixed at plan time. With ``num_tasks`` set (the intended
+    shape for a rate-limited fetch), the explicit ``repartition(N)``
+    pins P = N exactly — AQE neither coalesces nor skew-splits a
+    user-specified round-robin repartition, and PySpark's TaskContext
+    exposes no runtime partition count to re-derive it worker-side.
+    Without ``num_tasks`` the driver-side estimate can undercount if
+    a downstream re-plan adds tasks, letting the aggregate rate exceed
+    the budget by the extra tasks' slices plus their startup burst —
+    pass ``num_tasks`` whenever ``requests_per_sec`` matters."""
     src = symbols.select(F.col(symbol_col).alias("symbol"))
     if num_tasks:
         src = src.repartition(num_tasks)

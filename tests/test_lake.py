@@ -491,8 +491,11 @@ def test_fetch_rate_limited_under_32_way_parallelism(spark):
     )
 
     n_tasks, global_rate = 32, 64.0  # -> per-task 2/s, spacing 0.5 s
+    # 5 requests/task (160 total): the 1-second-window bound below is
+    # global_rate + n_tasks = 96 < 160, so an unlimited issue burst
+    # actually trips it (at 96 requests the bound was vacuous)
     symbols = spark.createDataFrame(
-        [(f"S{i:03d}",) for i in range(96)], "symbol string"
+        [(f"S{i:03d}",) for i in range(160)], "symbol string"
     )
 
     def stamping(sym, start, end):
@@ -517,7 +520,7 @@ def test_fetch_rate_limited_under_32_way_parallelism(spark):
         num_tasks=n_tasks,
         requests_per_sec=global_rate,
     ).toPandas()
-    assert len(bars) == 96
+    assert len(bars) == 160
     stamps = sorted(bars["open"])
     # aggregate witness: any 1-second window holds at most
     # global_rate + n_tasks (startup burst) issues
@@ -526,6 +529,6 @@ def test_fetch_rate_limited_under_32_way_parallelism(spark):
     for i, t in enumerate(stamps):
         j = bisect.bisect_right(stamps, t + 1.0)
         assert j - i <= global_rate + n_tasks
-    # and the whole 96-request run cannot finish faster than the
-    # budget allows: 3 requests/task at 2/s each => >= ~1 s span
-    assert stamps[-1] - stamps[0] >= 0.9
+    # and the whole 160-request run cannot finish faster than the
+    # budget allows: 5 requests/task at 2/s each => >= ~2 s span
+    assert stamps[-1] - stamps[0] >= 1.9

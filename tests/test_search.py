@@ -159,3 +159,23 @@ def test_search_empty_corpus_yields_valid_empty_index(spark, corpus, tmp_path):
     path = str(tmp_path / "idx")
     search_index_write(corpus.limit(0), path)
     assert search_index_query(spark, path, ["fox"], top_k=5).count() == 0
+
+
+def test_search_write_opt_in_auto_expire_bounds_builds(corpus, tmp_path):
+    """With expire_keep_last=N, a rebuild loop never accumulates more
+    than live + N superseded build-* dirs; the default (None) keeps
+    every superseded build for explicit reclaim."""
+    import os
+
+    path = str(tmp_path / "idx")
+    for _ in range(4):
+        search_index_write(corpus, path)
+    assert (
+        len([d for d in os.listdir(path) if d.startswith("build-")]) == 4
+    )
+    for _ in range(3):
+        search_index_write(corpus, path, expire_keep_last=1)
+    builds = [d for d in os.listdir(path) if d.startswith("build-")]
+    assert len(builds) == 2  # live + 1 grace build
+    with open(os.path.join(path, "CURRENT")) as fh:
+        assert fh.read().strip() in builds
