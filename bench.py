@@ -117,6 +117,12 @@ HEADLINE_QUERIES = [
     "q_semantic_dedup",
     "q_dsir_select",
     "q_als_recommend",
+    # driver-round-6 surface: duplication-independent minhash output
+    # (pair mode above stays for continuity; its member-pair output is
+    # m-squared in duplication by its own semantics), ADC-shortlist
+    # exact re-rank
+    "q_dedup_minhash_clusters",
+    "q_ann_pq_rerank",
 ]
 
 

@@ -432,3 +432,20 @@ def test_round9_curation_plan_shapes(spark):
     assert gs.count("Scan parquet") == 1
     assert "Join" not in gs
     assert "SinglePartition" not in gs
+
+
+def test_ann_rerank_pushes_shortlist_ids_into_scan(spark):
+    """The re-rank stage's exact pass must read the float table
+    through a pushed-down id predicate (In filter reaching the parquet
+    scan — row-group pruning on vec_id), never a second full-corpus
+    pass; the shortlist side joins as a broadcast of bounded rows."""
+    from stock_prediction_data_engineering_spark.operators import pq
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    index = pq.pq_build(emb, m=8, nbits=6)
+    qv = emb.filter(emb.vec_id == 0).select("embedding")
+    df = pq.pq_search(index, qv, k=5, rerank_from=emb, shortlist=20)
+    plan = _plan(df)
+    scan_tail = plan.split("PushedFilters: [In(vec_id")
+    assert len(scan_tail) >= 2, plan
+    assert "BroadcastExchange" in plan

@@ -19,18 +19,110 @@ from conftest import SF_ORACLE
 from stock_prediction_data_engineering_spark import registry
 from stock_prediction_data_engineering_spark.catalog import sql_entry
 
-# Declared queries whose oracle text is dialect-neutral Spark SQL
-# (no DuckDB list_* / lambda constructs): one per operator family —
-# aggregate, keyed aggregate, multi-agg scan, distinct, star join,
-# window top-k, set op.
+# Declared queries whose oracle text is dialect-neutral ANSI SQL that
+# Spark parses and evaluates identically to the DataFrame API (no
+# DuckDB list_*/lambda/dialect constructs). This list is DISCOVERED,
+# not curated: tools/sql_text_sweep.py runs every registered oracle
+# text through spark.sql at sf0.01 and keeps the ones whose rows match
+# the DataFrame plan exactly — 95 of 188 oracles qualify (artifact:
+# SQLTEXT_r6.json). One text, three engines agreeing: DataFrame API,
+# spark.sql, DuckDB.
 SQL_TEXT_QUERIES = [
-    "q_groupby_year_count",
-    "q_history_count",
-    "q_multi_agg",
+    "q_anomaly_gate",
+    "q_batch_assign",
+    "q_bollinger_bands",
+    "q_case_when",
+    "q_cdc_merge",
+    "q_concurrent_events",
+    "q_conditional_agg",
+    "q_count_distinct",
+    "q_cumulative_sum",
+    "q_cusum",
+    "q_data_validation",
+    "q_dedup_exact",
+    "q_dedup_resolve",
+    "q_derive_year",
     "q_distinct",
+    "q_domain_mixture",
+    "q_domain_resample",
+    "q_drawdown",
+    "q_dup_cluster_stats",
+    "q_event_paths",
+    "q_except",
+    "q_exists_subquery",
+    "q_feature_matrix",
+    "q_filter_limit",
+    "q_filter_predicate",
+    "q_fuzzy_match",
+    "q_groupby_year_count",
+    "q_hash_sample",
+    "q_histogram",
+    "q_history_count",
+    "q_intersect",
+    "q_interval_overlap",
+    "q_join_anti",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
     "q_join_multiway",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_skew_split",
+    "q_market_beta",
+    "q_math_functions",
+    "q_mode_per_group",
+    "q_moving_avg",
+    "q_multi_agg",
+    "q_nation_market_share",
+    "q_ntile",
+    "q_null_handling",
+    "q_ohlc_candles",
+    "q_quantile_bins",
+    "q_rank_functions",
     "q_rank_topk_per_group",
+    "q_ratio_to_report",
+    "q_rename_select",
+    "q_rfm",
+    "q_robust_zscore",
+    "q_rsi",
+    "q_running_distinct",
+    "q_scalar_udf",
+    "q_scan_project",
+    "q_shuffle_order",
+    "q_skyline",
+    "q_sort",
+    "q_stratified_sample",
+    "q_subquery_correlated",
+    "q_symbol_preprocess",
+    "q_top_revenue_orders",
+    "q_tpch_disjunctive_revenue",
+    "q_tpch_excess_shippers",
+    "q_tpch_large_orders",
+    "q_tpch_min_cost_supplier",
+    "q_tpch_nation_volume",
+    "q_tpch_order_count_histogram",
+    "q_tpch_part_value_share",
+    "q_tpch_priority_late_orders",
+    "q_tpch_product_profit",
+    "q_tpch_promo_effect",
+    "q_tpch_quiet_rich_customers",
+    "q_tpch_returned_items",
+    "q_tpch_revenue_delta",
+    "q_tpch_shipmode_priority",
+    "q_tpch_small_qty_revenue",
+    "q_tpch_sole_late_shipper",
+    "q_tpch_supplier_parts",
+    "q_tpch_top_supplier",
+    "q_train_split_exact",
+    "q_triangle_count",
+    "q_udaf_range_cents",
     "q_union",
+    "q_unpivot",
+    "q_vwap",
+    "q_weighted_median",
+    "q_window_lag_return",
+    "q_window_range_frame",
+    "q_yoy_growth",
 ]
 
 
