@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import cosine_expr, l2_normalize_expr
+from .similarity import cosine_expr
 
 
 def _fit_codebooks_matrix(X, m: int, nbits: int, seed: int, n_iter: int = 10):
@@ -73,10 +73,19 @@ def _fit_codebooks_matrix(X, m: int, nbits: int, seed: int, n_iter: int = 10):
             # ||x-c||² argmin via -2x·c + ||c||² (||x||² constant per row)
             d2 = -2.0 * data @ centers.T + (centers**2).sum(axis=1)
             assign = d2.argmin(axis=1)
-            for j in range(k):
-                mask = assign == j
-                if mask.any():
-                    centers[j] = data[mask].mean(axis=0)
+            # vectorized Lloyd update: per-dimension bincount replaces
+            # the k boolean-mask passes (256 masks × 16k rows × 10
+            # iters × 8 subspaces measured ~4 s; this is ~0.3 s)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=data[:, d], minlength=k)
+                    for d in range(dsub)
+                ],
+                axis=1,
+            )
+            nz = counts > 0
+            centers[nz] = sums[nz] / counts[nz, None]
         codebooks[sub] = centers
     return codebooks
 
@@ -89,17 +98,27 @@ def _sample_matrix(
     stable across runs and executors, executed as per-partition top-k
     (TakeOrderedAndProject), never a global sort. The collect is
     bounded metadata (≤ sample_limit × dim floats, ~4 MB at the
-    defaults) — O(1) in corpus size."""
+    defaults) — O(1) in corpus size.
+
+    The top-k orders by the hash of the RAW vector column and
+    normalizes the collected sample driver-side: hashing the
+    l2_normalize_expr output instead re-evaluates the normalize
+    lambda (an O(d²)-interpreted aggregate-in-lambda after
+    CollapseProject — the operators/winnow.py trap) on EVERY corpus
+    row inside the TakeOrdered scan; measured 10.7 s vs ~1 s for a
+    20k-row corpus at sf1, and it grows with the corpus while the
+    numpy normalize stays O(sample)."""
     import numpy as np
 
-    cols = [l2_normalize_expr(F.col(vec_col)).alias("v"), *extra_cols]
     rows = (
-        corpus.select(*cols)
+        corpus.select(F.col(vec_col).alias("v"), *extra_cols)
         .orderBy(F.xxhash64(F.col("v")))
         .limit(sample_limit)
         .collect()
     )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    np.divide(X, norms, out=X, where=norms > 0)
     return X, rows
 
 
@@ -362,6 +381,41 @@ class IvfPqIndex:
         return len(self.centroids)
 
 
+def _ivfpq_encode(
+    assigned: DataFrame, centroids, codebooks, vec_col: str, id_col: str
+) -> DataFrame:
+    """The residual-PQ encode pass: (vector, cell) → m one-byte codes,
+    Arrow-batched, map-only. Shared by the initial build and the
+    append-ingest path so appended batches are encoded bit-identically
+    against the frozen quantizers."""
+    import numpy as np
+
+    cb = np.asarray(codebooks)
+    cents = np.asarray(centroids)
+    m_, _, dsub = cb.shape
+    cb_norms = (cb**2).sum(axis=2)
+
+    @F.pandas_udf("array<smallint>")
+    def _encode(vs: pd.Series, cell_s: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        norms = np.sqrt((V**2).sum(axis=1, keepdims=True))
+        np.divide(V, norms, out=V, where=norms > 0)
+        R = V - cents[cell_s.to_numpy(dtype=int)]
+        B = R.shape[0]
+        Rs = R.reshape(B, m_, dsub)
+        codes = np.empty((B, m_), dtype=np.int16)
+        for sub in range(m_):
+            d2 = -2.0 * Rs[:, sub, :] @ cb[sub].T + cb_norms[sub]
+            codes[:, sub] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return assigned.select(
+        id_col, "ivf_cell", _encode(F.col(vec_col), F.col("ivf_cell")).alias("codes")
+    )
+
+
 def ivfpq_build(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -407,30 +461,7 @@ def ivfpq_build(
     residuals = X - centroids[cells]
     codebooks = _fit_codebooks_matrix(residuals, m, nbits, seed)
 
-    cb = codebooks
-    cents = centroids
-    m_, _, dsub = cb.shape
-    cb_norms = (cb**2).sum(axis=2)
-
-    @F.pandas_udf("array<smallint>")
-    def _encode(vs: pd.Series, cell_s: pd.Series) -> pd.Series:
-        import numpy as np  # noqa: PLC0415 — worker-side import
-
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        norms = np.sqrt((V**2).sum(axis=1, keepdims=True))
-        np.divide(V, norms, out=V, where=norms > 0)
-        R = V - cents[cell_s.to_numpy(dtype=int)]
-        B = R.shape[0]
-        Rs = R.reshape(B, m_, dsub)
-        codes = np.empty((B, m_), dtype=np.int16)
-        for sub in range(m_):
-            d2 = -2.0 * Rs[:, sub, :] @ cb[sub].T + cb_norms[sub]
-            codes[:, sub] = d2.argmin(axis=1)
-        return pd.Series(list(codes))
-
-    encoded = assigned.select(
-        id_col, "ivf_cell", _encode(F.col(vec_col), F.col("ivf_cell")).alias("codes")
-    )
+    encoded = _ivfpq_encode(assigned, centroids, codebooks, vec_col, id_col)
     if path is not None:
         (
             encoded.repartition("ivf_cell")
@@ -519,3 +550,99 @@ def ivfpq_topk(
         corpus, vec_col, id_col, n_cells=n_cells, m=m, nbits=nbits, seed=seed
     )
     return ivfpq_search(index, query_vec, k, nprobe, vec_col)
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    sample_limit: int = 16384,
+    sample_fraction: float | None = None,
+) -> IvfPqIndex:
+    """Persist a reloadable, APPENDABLE IVF-PQ index: the
+    cell-partitioned code lake plus a ``_ivfpq_meta.json`` sidecar
+    carrying the coarse centroids and residual codebooks (both tiny —
+    KBs). Same ingest contract as :func:`ivf_index_write`: append
+    batches encode against the FROZEN quantizers in O(batch); rebuild
+    when distribution drift matters."""
+    import json
+    import os
+
+    index = ivfpq_build(
+        corpus,
+        vec_col,
+        id_col,
+        n_cells=n_cells,
+        m=m,
+        nbits=nbits,
+        seed=seed,
+        sample_limit=sample_limit,
+        sample_fraction=sample_fraction,
+        path=path,
+    )
+    import numpy as np
+
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "format": "ivf-pq",
+                "vec_col": vec_col,
+                "id_col": id_col,
+                "centroids": np.asarray(index.centroids).tolist(),
+                "codebooks": np.asarray(index.codebooks).tolist(),
+            },
+            fh,
+        )
+    return index
+
+
+def ivfpq_index_load(spark: SparkSession, path: str) -> IvfPqIndex:
+    """Reload a persisted IVF-PQ index: code lake + frozen coarse
+    centroids and residual codebooks. The returned index records the
+    sidecar's ``vec_col`` name so searches and appends keep using the
+    build-time column."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as fh:
+        meta = json.load(fh)
+    table = spark.read.parquet(path)
+    idx = IvfPqIndex(
+        table,
+        np.asarray(meta["centroids"], dtype=float),
+        np.asarray(meta["codebooks"], dtype=float),
+        meta["id_col"],
+    )
+    idx.vec_col = meta["vec_col"]
+    return idx
+
+
+def ivfpq_index_append(
+    spark: SparkSession, path: str, batch: DataFrame
+) -> None:
+    """Ingest a new vector batch into a persisted IVF-PQ index:
+    assign cells against the frozen coarse centroids, encode residuals
+    against the frozen codebooks (both one Arrow-batched map —
+    O(batch)), append into the existing ``ivf_cell=`` directories.
+    Searches see the new codes immediately with unchanged pruning."""
+    from .similarity import ivf_assign
+
+    index = ivfpq_index_load(spark, path)
+    vec_col = getattr(index, "vec_col", "embedding")
+    assigned = ivf_assign(batch, index.centroids, vec_col)
+    encoded = _ivfpq_encode(
+        assigned, index.centroids, index.codebooks, vec_col, index.id_col
+    )
+    (
+        encoded.repartition("ivf_cell")
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )

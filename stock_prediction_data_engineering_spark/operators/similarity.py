@@ -17,7 +17,7 @@ state) so signatures are reproducible across runs and engines.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -340,6 +340,90 @@ def ivf_topk(
     searches should build the index once and reuse it."""
     index = ivf_build(corpus, vec_col, id_col, n_cells, seed)
     return ivf_search(index, query_vec, k, nprobe)
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int | str = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    fit_limit: int | None = 16384,
+) -> IvfIndex:
+    """Persist a reloadable, APPENDABLE IVF index: :func:`ivf_build`'s
+    cell-partitioned assignment lake plus a ``_ivf_meta.json`` sidecar
+    carrying the centroid matrix and column names (underscore-prefixed
+    so Spark's parquet reader ignores it). This closes the same
+    ingest loop the MinHash/winnow indexes have: build once, then
+    :func:`ivf_index_append` new batches in O(batch) — assignment
+    against the FROZEN quantizer, appended into the existing cell
+    directories, so searches keep pruning to probed cells with no
+    refit and no corpus rewrite (the standard FAISS ``add()``
+    contract: centroids drift only when you rebuild)."""
+    import json
+    import os
+
+    index = ivf_build(
+        corpus,
+        vec_col,
+        id_col,
+        n_cells,
+        seed,
+        sample_fraction,
+        fit_limit,
+        path=path,
+    )
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "format": "ivf-flat",
+                "vec_col": vec_col,
+                "id_col": id_col,
+                "centroids": index.centroids.tolist(),
+            },
+            fh,
+        )
+    return index
+
+
+def ivf_index_load(spark: SparkSession, path: str) -> IvfIndex:
+    """Reload a persisted IVF index: the cell-partitioned lake plus
+    the frozen centroid matrix from the sidecar."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    table = spark.read.parquet(path)
+    return IvfIndex(
+        table,
+        np.asarray(meta["centroids"], dtype=float),
+        meta["vec_col"],
+        meta["id_col"],
+    )
+
+
+def ivf_index_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
+    """Ingest a new vector batch into a persisted IVF index: assign
+    against the index's FROZEN centroids (one Arrow-batched map —
+    O(batch), no quantizer refit, no existing-row rewrite) and append
+    into the cell-partitioned lake. Appended rows land in existing
+    ``ivf_cell=`` directories, so partition-pruned searches see them
+    immediately; a batch whose distribution has drifted far from the
+    frozen quantizer degrades recall, not correctness — rebuild with
+    :func:`ivf_index_write` when drift matters."""
+    index = ivf_index_load(spark, path)
+    assigned = ivf_assign(batch, index.centroids, index.vec_col)
+    (
+        assigned.repartition("ivf_cell")
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
 
 
 class LshIndex:

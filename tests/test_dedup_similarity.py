@@ -1053,3 +1053,68 @@ def test_containment_collapse_equivalence_under_duplication(spark):
     assert got == exp
     # sanity: the fixture really exercises the collapse branch
     assert len(rows) == 50 and len({t for _, t in rows}) == 5
+
+
+def test_ivf_index_write_load_append_ingest_loop(spark, tmp_path):
+    """The appendable persisted IVF index (FAISS add() contract):
+    write → load reproduces the in-memory search exactly; append
+    assigns new batches against the FROZEN centroids in O(batch),
+    lands them in the existing cell directories, and searches see
+    them immediately."""
+    import os
+
+    import numpy as np
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index_append,
+        ivf_index_load,
+        ivf_index_write,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    path = str(tmp_path / "ivf_idx")
+
+    built = ivf_index_write(corpus, path, n_cells=8)
+    loaded = ivf_index_load(spark, path)
+    assert np.allclose(loaded.centroids, built.centroids)
+    qv = emb.filter(F.col("vec_id") == 1).select("embedding")
+    assert [tuple(r) for r in ivf_search(loaded, qv, k=5).collect()] == [
+        tuple(r) for r in ivf_search(built, qv, k=5).collect()
+    ]
+
+    n_cells_before = {
+        d for d in os.listdir(path) if d.startswith("ivf_cell=")
+    }
+    ivf_index_append(spark, path, batch)
+    # no new cells: appended rows land in existing directories
+    assert {
+        d for d in os.listdir(path) if d.startswith("ivf_cell=")
+    } == n_cells_before
+
+    after = ivf_index_load(spark, path)
+    assert after.table.count() == emb.count()
+    # appended assignments match a fresh assignment against the same
+    # frozen centroids (no quantizer drift on append)
+    got = {
+        (r.vec_id, r.ivf_cell)
+        for r in after.table.join(
+            batch.select("vec_id"), "vec_id", "semi"
+        ).select("vec_id", "ivf_cell").collect()
+    }
+    want = {
+        (r.vec_id, r.ivf_cell)
+        for r in ivf_assign(batch, built.centroids)
+        .select("vec_id", "ivf_cell")
+        .collect()
+    }
+    assert got == want
+    # a query vector that lives in the appended batch is now found
+    qv7 = emb.filter(F.col("vec_id") == 7).select("embedding")
+    found = [r.vec_id for r in ivf_search(after, qv7, k=3, nprobe=8).collect()]
+    assert found[0] == 7

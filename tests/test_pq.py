@@ -220,3 +220,58 @@ def test_ivfpq_rerank_all_cells_full_shortlist_is_exact(emb, ivfpq_index):
     assert [(r.vec_id, r.cosine) for r in rr] == [
         (r.vec_id, r.cosine) for r in exact
     ]
+
+
+def test_ivfpq_index_write_load_append(emb, tmp_path, spark):
+    """Persisted appendable IVF-PQ: the sidecar round-trips centroids
+    and codebooks exactly; appended batches are encoded bit-identically
+    to the build-time encoder against the frozen quantizers."""
+    import os
+
+    from stock_prediction_data_engineering_spark.operators.pq import (
+        _ivfpq_encode,
+        ivfpq_index_append,
+        ivfpq_index_load,
+        ivfpq_index_write,
+        ivfpq_search,
+    )
+    from stock_prediction_data_engineering_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivfpq_idx")
+
+    built = ivfpq_index_write(corpus, path, n_cells=4, m=8, nbits=6)
+    loaded = ivfpq_index_load(spark, path)
+    assert np.allclose(loaded.centroids, built.centroids)
+    assert np.allclose(loaded.codebooks, built.codebooks)
+
+    qv = emb.filter(F.col("vec_id") == 1).select("embedding")
+    assert [tuple(r) for r in ivfpq_search(loaded, qv, k=5).collect()] == [
+        tuple(r) for r in ivfpq_search(built, qv, k=5).collect()
+    ]
+
+    ivfpq_index_append(spark, path, batch)
+    after = ivfpq_index_load(spark, path)
+    assert after.table.count() == emb.count()
+    # appended codes == a fresh encode of the batch with the frozen
+    # quantizers (bit-identical ingest)
+    fresh = {
+        (r.vec_id, r.ivf_cell, tuple(r.codes))
+        for r in _ivfpq_encode(
+            ivf_assign(batch, built.centroids),
+            built.centroids,
+            built.codebooks,
+            "embedding",
+            "vec_id",
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.ivf_cell, tuple(r.codes))
+        for r in after.table.join(
+            batch.select("vec_id"), "vec_id", "semi"
+        ).collect()
+    }
+    assert got == fresh
