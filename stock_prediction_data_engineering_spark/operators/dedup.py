@@ -1081,3 +1081,86 @@ def embedding_index_probe(
         .filter(F.col("cosine") >= cosine_threshold)
         .dropDuplicates(["new_id", "corpus_id"])
     )
+
+
+def segment_dedup_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """C4-style intra-corpus segment dedup as a TRANSFORM: split every
+    document into consecutive ``seg_words``-word segments, keep exactly
+    ONE canonical copy (lowest (doc id, position)) of any segment that
+    occurs more than once anywhere in the corpus, and reconstruct each
+    document's cleaned text from its surviving segments in order —
+    the "removed all but one of any three-sentence span occurring more
+    than once" cleaning step of C4 (Raffel et al., JMLR 2020 §2.2),
+    re-grained to word windows because the synthetic corpus has no
+    sentence boundaries.
+
+    Returns (id, clean_text, n_segments, n_dropped). Documents whose
+    every segment was dropped come back with clean_text = ''.
+
+    Scale shape: segments are counted and canonicalized by ONE
+    map-side-combinable aggregate keyed on md5(segment) — never a
+    rank window partitioned by segment text, which would serialize
+    each hot boilerplate segment's millions of occurrences through a
+    single reducer at 100 TB. The keep decision joins the tiny
+    (hash, first-occurrence, count) aggregate back onto the exploded
+    segments (AQE picks broadcast vs shuffle by measured size), and
+    reconstruction is one doc-keyed aggregate over surviving segments
+    with an in-array sort — no global order anywhere.
+    """
+    sid = F.col(id_col)
+    ws = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), n_seg),
+        lambda i: F.array_join(
+            F.slice(ws, (i - F.lit(1)) * seg_words + F.lit(1), seg_words), " "
+        ),
+    )
+    seg_tbl = docs.select(
+        sid.alias("__id"), F.posexplode(segs).alias("__pos0", "__seg")
+    ).select(
+        "__id",
+        (F.col("__pos0") + 1).alias("__idx"),
+        "__seg",
+        F.md5(F.col("__seg")).alias("__h"),
+    )
+    firsts = seg_tbl.groupBy("__h").agg(
+        F.count("*").alias("__cnt"),
+        F.min(F.struct("__id", "__idx")).alias("__first"),
+    )
+    kept = seg_tbl.join(firsts, "__h").filter(
+        (F.col("__cnt") == 1)
+        | (
+            (F.col("__id") == F.col("__first.__id"))
+            & (F.col("__idx") == F.col("__first.__idx"))
+        )
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("__kept"),
+    )
+    totals = seg_tbl.groupBy("__id").agg(
+        F.count("*").cast("bigint").alias("n_segments")
+    )
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_segments",
+            (
+                F.col("n_segments") - F.coalesce(F.col("__kept"), F.lit(0))
+            ).cast("bigint").alias("n_dropped"),
+        )
+    )

@@ -1435,3 +1435,42 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("s_micro div n_chars")
         ).alias("entropy_micro_nats"),
     )
+
+
+@query(
+    "q_segment_dedup_clean",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    seg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(list_slice(ws, (i-1)*10+1, i*10), ' ') AS seg
+      FROM w, UNNEST(range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)) AS t(i)
+    ),
+    f AS (SELECT seg, COUNT(*) AS cnt,
+                 MIN(doc_id * 100000 + seg_idx) AS first_key
+          FROM seg GROUP BY seg),
+    k AS (SELECT s.doc_id, s.seg_idx, s.seg,
+                 (f.cnt = 1 OR s.doc_id * 100000 + s.seg_idx = f.first_key)
+                   AS keep
+          FROM seg s JOIN f USING (seg))
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+                               ORDER BY seg_idx), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM k GROUP BY doc_id
+    """,
+)
+def q_segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment dedup as a cleaned-corpus TRANSFORM (not an
+    audit): every 10-word segment occurring more than once corpus-wide
+    survives only at its first (doc, position) occurrence; documents
+    are reconstructed from their surviving segments. The one
+    curation op the audit family (q_boilerplate_ngrams flags,
+    q_repetition_stats scores) didn't have — the output IS the
+    cleaned training corpus. Plan notes on the skew-safe
+    aggregate-then-join shape in operators/dedup.py
+    segment_dedup_clean."""
+    from ..operators.dedup import segment_dedup_clean
+
+    return segment_dedup_clean(table(spark, sf_dir, "documents"))

@@ -246,6 +246,7 @@ ORACLE_EXTRAS: tuple[str, ...] = (
     "q_containment_screen",  # curation: asymmetric eval-containment gate
     "q_dsir_select",         # curation: DSIR importance-resampling top-k
     "q_char_entropy",        # curation: per-doc character-entropy screen
+    "q_segment_dedup_clean", # curation: C4-style cleaned-corpus transform
     "q_group_split",         # training prep: entity-keyed leakage-safe split
     "q_time_to_convert",     # events: conversion-latency histogram
     "q_substring_dedup",     # curation: winnowing exact-substring pairs

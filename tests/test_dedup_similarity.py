@@ -1118,3 +1118,33 @@ def test_ivf_index_write_load_append_ingest_loop(spark, tmp_path):
     qv7 = emb.filter(F.col("vec_id") == 7).select("embedding")
     found = [r.vec_id for r in ivf_search(after, qv7, k=3, nprobe=8).collect()]
     assert found[0] == 7
+
+
+def test_segment_dedup_clean_keeps_first_occurrence_only(spark):
+    """C4-style transform semantics on planted duplicates: a segment
+    occurring in several (doc, position) slots survives only at the
+    lowest one; documents rebuild in order from surviving segments;
+    a fully-duplicated document comes back empty, not missing."""
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        segment_dedup_clean,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),    # "a b c" (first), "d e f"
+            (2, "a b c x y z"),    # "a b c" dup -> drop; "x y z" first
+            (3, "x y z"),          # dup of doc 2's segment -> all gone
+            (4, "p q r s"),        # unique, incl. the partial tail "s"
+        ],
+        "doc_id: bigint, text: string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_segments, r.n_dropped)
+        for r in segment_dedup_clean(docs, seg_words=3).collect()
+    }
+    assert got == {
+        1: ("a b c d e f", 2, 0),
+        2: ("x y z", 2, 1),
+        3: ("", 1, 1),
+        4: ("p q r s", 2, 0),
+    }
