@@ -463,6 +463,67 @@ def lsh_build(
     return LshIndex(bucketed, num_planes, vec_col, id_col)
 
 
+def lsh_index_write(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+) -> LshIndex:
+    """Persist a reloadable, APPENDABLE LSH index: the
+    bucket-partitioned lake plus a ``_lsh_meta.json`` sidecar pinning
+    ``num_planes`` and column names. LSH has no fitted state (planes
+    are hash-synthesized from their indices), so append-ingest is
+    exact, not drift-prone: any batch bucketed with the same plane
+    count lands in the right directories forever."""
+    import json
+    import os
+
+    index = lsh_build(corpus, vec_col, id_col, num_planes, path=path)
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "format": "hyperplane-lsh",
+                "vec_col": vec_col,
+                "id_col": id_col,
+                "num_planes": num_planes,
+            },
+            fh,
+        )
+    return index
+
+
+def lsh_index_load(spark: SparkSession, path: str) -> LshIndex:
+    """Reload a persisted LSH index (lake + plane count)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_meta.json")) as fh:
+        meta = json.load(fh)
+    return LshIndex(
+        spark.read.parquet(path),
+        meta["num_planes"],
+        meta["vec_col"],
+        meta["id_col"],
+    )
+
+
+def lsh_index_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
+    """Ingest a new vector batch into a persisted LSH index: bucket
+    with the index's pinned plane count (map-only, O(batch)) and
+    append into the existing ``bucket=`` directories."""
+    index = lsh_index_load(spark, path)
+    bucketed = batch.withColumn(
+        "bucket", lsh_bucket(F.col(index.vec_col), index.num_planes)
+    )
+    (
+        bucketed.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def lsh_search(
     index: LshIndex,
     query_vec: DataFrame,

@@ -1148,3 +1148,55 @@ def test_segment_dedup_clean_keeps_first_occurrence_only(spark):
         3: ("", 1, 1),
         4: ("p q r s", 2, 0),
     }
+
+
+def test_lsh_index_write_load_append(spark, tmp_path):
+    """Appendable persisted LSH: load reproduces the build's searches;
+    appended batches bucket with the pinned plane count (exact — LSH
+    has no fitted state) and are immediately searchable."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_index_append,
+        lsh_index_load,
+        lsh_index_write,
+        lsh_search,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 9 != 0)
+    batch = emb.filter(F.col("vec_id") % 9 == 0)
+    path = str(tmp_path / "lsh_idx")
+
+    built = lsh_index_write(corpus, path, num_planes=6)
+    loaded = lsh_index_load(spark, path)
+    qv = emb.filter(F.col("vec_id") == 1).select("embedding")
+    assert [tuple(r) for r in lsh_search(loaded, qv, k=5).collect()] == [
+        tuple(r) for r in lsh_search(built, qv, k=5).collect()
+    ]
+
+    lsh_index_append(spark, path, batch)
+    after = lsh_index_load(spark, path)
+    assert after.table.count() == emb.count()
+    # appended buckets match a fresh bucketing at the pinned planes
+    got = {
+        (r.vec_id, r.bucket)
+        for r in after.table.join(batch.select("vec_id"), "vec_id", "semi")
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    want = {
+        (r.vec_id, r.b)
+        for r in batch.select(
+            "vec_id", lsh_bucket(F.col("embedding"), 6).alias("b")
+        ).collect()
+    }
+    assert got == want
+    # an appended vector is found by a probe of its own bucket
+    qv9 = emb.filter(F.col("vec_id") == 9).select("embedding")
+    found = [
+        r.vec_id for r in lsh_search(after, qv9, k=3, multi_probe=1).collect()
+    ]
+    assert found[0] == 9

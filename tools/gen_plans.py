@@ -113,6 +113,18 @@ PICKS = {
         "cumulative window to the price DOMAIN, not the corpus; integer "
         "half-total test"
     ),
+    "q_ann_pq_rerank": (
+        "ADC shortlist -> exact re-rank: the second stage reads the float "
+        "table through a pushed-down In(vec_id) predicate (row-group "
+        "pruning) with the 1-row query broadcast — never a second corpus "
+        "scan"
+    ),
+    "q_segment_dedup_clean": (
+        "C4-style cleaned-corpus transform: segment canonicalization is a "
+        "map-side-combined min/count aggregate joined back (AQE picks the "
+        "join), doc rebuild one keyed aggregate with in-array sort — no "
+        "rank window over segment keys, no global sort"
+    ),
 }
 
 
