@@ -120,9 +120,10 @@ HEADLINE_QUERIES = [
     # driver-round-6 surface: duplication-independent minhash output
     # (pair mode above stays for continuity; its member-pair output is
     # m-squared in duplication by its own semantics), ADC-shortlist
-    # exact re-rank
+    # exact re-rank, C4-style cleaned-corpus transform
     "q_dedup_minhash_clusters",
     "q_ann_pq_rerank",
+    "q_segment_dedup_clean",
 ]
 
 

@@ -1200,3 +1200,25 @@ def test_lsh_index_write_load_append(spark, tmp_path):
         r.vec_id for r in lsh_search(after, qv9, k=3, multi_probe=1).collect()
     ]
     assert found[0] == 9
+
+
+def test_segment_dedup_clean_is_identity_without_duplicates(spark):
+    """On a corpus whose segments are globally unique, the transform
+    is the identity: clean_text == text and nothing is dropped (the
+    reconstruction path — split, canonicalize, reassemble — must be
+    lossless, including partial tail segments)."""
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        segment_dedup_clean,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 11)))
+        for i in range(1, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_dropped)
+        for r in segment_dedup_clean(docs, seg_words=4).collect()
+    }
+    for i, text in rows:
+        assert out[i] == (text, 0)
