@@ -1112,8 +1112,17 @@ def segment_dedup_clean(
     reconstruction is one doc-keyed aggregate over surviving segments
     with an in-array sort — no global order anywhere.
     """
-    sid = F.col(id_col)
-    ws = F.split(F.col(text_col), " ")
+    # materialization barrier between the split and the segment
+    # lambda: without it CollapseProject inlines split(text) INTO the
+    # per-element slice — O(words²/seg_words) re-split per document
+    # (the operators/winnow.py trap; verified in the optimized plan).
+    # Behind the barrier __ws is a concrete column, so each slice is
+    # O(seg_words) over the materialized array.
+    with_ws = docs.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    ).localCheckpoint(eager=False)
+    ws = F.col("__ws")
     n_seg = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(1), n_seg),
@@ -1121,8 +1130,8 @@ def segment_dedup_clean(
             F.slice(ws, (i - F.lit(1)) * seg_words + F.lit(1), seg_words), " "
         ),
     )
-    seg_tbl = docs.select(
-        sid.alias("__id"), F.posexplode(segs).alias("__pos0", "__seg")
+    seg_tbl = with_ws.select(
+        F.col("__id"), F.posexplode(segs).alias("__pos0", "__seg")
     ).select(
         "__id",
         (F.col("__pos0") + 1).alias("__idx"),

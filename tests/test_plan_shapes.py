@@ -449,3 +449,18 @@ def test_ann_rerank_pushes_shortlist_ids_into_scan(spark):
     scan_tail = plan.split("PushedFilters: [In(vec_id")
     assert len(scan_tail) >= 2, plan
     assert "BroadcastExchange" in plan
+
+
+def test_segment_dedup_split_not_inlined_into_lambda(spark):
+    """The segment transform's word-split must stay BEHIND the
+    checkpoint barrier: CollapseProject inlining split(text) into the
+    per-segment slice lambda re-splits the document once per segment
+    (O(words²/seg_words) per doc — the winnow.py trap, measured
+    36.7 s → 21.1 s at sf10 when fixed)."""
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        segment_dedup_clean,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _optimized(segment_dedup_clean(docs))
+    assert "slice(split(" not in plan
