@@ -789,15 +789,21 @@ def ngram_jaccard_pairs(
     shared gram is hot — pairs whose similarity is carried by
     stopword boilerplate.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split↔gram-lambda barrier: an inline split re-evaluates per gram
+    # under CollapseProject (plan-lint 'slice(split(' finding)
+    words_df = _spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws"),
+    ).localCheckpoint(eager=False)
+    ws = F.col("__ws")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
         )
     )
-    base = _spread(docs).select(
-        F.col(id_col).alias("id"), grams.alias("grams")
+    base = words_df.select(
+        "id", grams.alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     inv = base.select("id", "n_grams", F.explode("grams").alias("gram"))
 

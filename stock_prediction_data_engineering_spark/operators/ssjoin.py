@@ -29,23 +29,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text as an array.
-
-    Empty tokens from the regex split are removed BEFORE windowing so
-    the gram stream matches a 1-based SQL reconstruction exactly.
-
-    Construction note (measured, sf0.1): the gram lambda references
-    the word array ONCE via slice+array_join. The obvious alternative
-    — n element_at() calls per gram — embeds n copies of the whole
-    split/filter subtree per gram after projection collapse, which
-    codegen does not CSE under a transform lambda: 14 s vs 1.4 s for
-    the same 260 k grams.
-    """
+def split_words(text: Column | str) -> Column:
+    """Lowercased word array of a text column (empty regex-split
+    tokens removed, so the stream matches a 1-based SQL
+    reconstruction exactly). Project this into its OWN column behind
+    a materialization barrier before feeding :func:`word_ngrams_over`
+    on a hot path — see the construction note there."""
     c = F.col(text) if isinstance(text, str) else text
-    ws = F.filter(
+    return F.filter(
         F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != F.lit("")
     )
+
+
+def word_ngrams_over(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over an existing word-array
+    column. Each gram slices the array column — O(n) per gram when
+    ``ws`` is a materialized column; if ``ws`` is an unmaterialized
+    split expression the whole subtree re-evaluates per gram
+    (CollapseProject; O(words²/n) per doc — tools/plan_lint.py flags
+    the 'slice(split(' signature)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - (n - 1)),
         lambda i: F.array_join(F.slice(ws, i, n), " "),
@@ -54,6 +56,21 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text as an array.
+
+    Construction note (measured, sf0.1): the gram lambda references
+    the word array ONCE via slice+array_join. The obvious alternative
+    — n element_at() calls per gram — embeds n copies of the whole
+    split/filter subtree per gram after projection collapse, which
+    codegen does not CSE under a transform lambda: 14 s vs 1.4 s for
+    the same 260 k grams. Even the single reference re-evaluates the
+    split per gram on the interpreted lambda path, so HOT paths should
+    project :func:`split_words` behind a checkpoint barrier and use
+    :func:`word_ngrams_over` instead (the round-6 plan-lint finding)."""
+    return word_ngrams_over(split_words(text), n)
 
 
 def jaccard_similarity_join(

@@ -841,9 +841,19 @@ def boilerplate_profile(docs: DataFrame) -> DataFrame:
         "sum(CASE WHEN docs >= 10 THEN 1 ELSE 0 END) * 10000 div count(*)"
     )
     if prof.d * 100 > prof.n * 95:  # dup mass immaterial: direct path
-        g = docs.select(
-            "doc_id", F.explode(word_ngrams("text", 5)).alias("gram")
-        ).repartition(n_parts, "gram")
+        from ..operators.ssjoin import split_words, word_ngrams_over
+
+        # barrier between split and the gram lambda: an inline split
+        # re-evaluates per gram (plan-lint 'slice(split(' finding)
+        g = (
+            docs.select("doc_id", split_words("text").alias("__ws"))
+            .localCheckpoint(eager=False)
+            .select(
+                "doc_id",
+                F.explode(word_ngrams_over(F.col("__ws"), 5)).alias("gram"),
+            )
+            .repartition(n_parts, "gram")
+        )
         df = g.groupBy("gram").agg(F.count("*").cast("bigint").alias("docs"))
         return (
             g.join(df, "gram")
@@ -856,9 +866,15 @@ def boilerplate_profile(docs: DataFrame) -> DataFrame:
         )
     sizes = members.groupBy("__th").agg(F.count("*").alias("m"))
     reps = members.groupBy("__th").agg(F.min("doc_id").alias("rid"))
+    from ..operators.ssjoin import split_words, word_ngrams_over
+
     rep_grams = (
         docs.join(reps, F.col("doc_id") == F.col("rid"), "inner")
-        .select("__th", F.explode(word_ngrams("text", 5)).alias("gram"))
+        .select("__th", split_words("text").alias("__ws"))
+        .localCheckpoint(eager=False)  # split↔gram-lambda barrier
+        .select(
+            "__th", F.explode(word_ngrams_over(F.col("__ws"), 5)).alias("gram")
+        )
         .repartition(n_parts, "gram")
         .localCheckpoint(eager=False)
     )

@@ -1,0 +1,102 @@
+"""Plan lint: sweep EVERY registered query's optimized plan for the
+expression-level anti-patterns this repo has been bitten by, so the
+next instance is caught by a sweep instead of a slow bench.
+
+Checks per plan (rendered optimized plan text):
+- heavy-expr-in-lambda: split/md5/sha2/sha1/regexp over a raw column
+  INSIDE a lambdafunction — the CollapseProject inline trap
+  (operators/winnow.py, dedup.py segment_dedup_clean): the subtree
+  re-evaluates once per array element, turning O(n) into O(n·m).
+  Detected as 'slice(split(' / 'md5(' etc. appearing after the first
+  'lambdafunction(' marker of a Generate/Project node line.
+- cartesian: CartesianProduct (an unbroadcast cross join).
+- python-udf-scan: BatchEvalPython (row-at-a-time Python UDF).
+
+Single-partition windows are already pinned per-query in
+tests/test_plan_shapes.py; this tool focuses on line-level expression
+smells that plan-shape pins don't cover.
+
+Usage: python tools/plan_lint.py [--sf-dir DIR] [--out PLAN_LINT.json]
+Exit code 1 if any NEW finding appears (allowlist below).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = ("split(", "md5(", "sha2(", "sha1(", "regexp_replace(", "from_json(")
+
+# findings reviewed and accepted: (query, check) pairs.
+# - cosine_expr's zip_with/aggregate lambdas legitimately nest the
+#   other operand column; they are O(d) per row by construction.
+# - q_udtf_chunk_text IS the D4 Python-UDTF demonstration row; its
+#   BatchEvalPython scan is the point, not an accident.
+ALLOWLIST: set[tuple[str, str]] = {
+    ("q_udtf_chunk_text", "python-udf-scan"),
+}
+
+
+def lint_plan(plan: str) -> list[str]:
+    finds: list[str] = []
+    for line in plan.splitlines():
+        lam = line.find("lambdafunction(")
+        if lam >= 0:
+            tail = line[lam:]
+            for h in HEAVY:
+                if h in tail:
+                    finds.append(f"heavy-expr-in-lambda:{h.rstrip('(')}")
+    if "CartesianProduct" in plan:
+        finds.append("cartesian")
+    if "BatchEvalPython" in plan:
+        finds.append("python-udf-scan")
+    return sorted(set(finds))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from stock_prediction_data_engineering_spark import registry
+    from stock_prediction_data_engineering_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="plan-lint")
+    results: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name, fn in sorted(registry.QUERIES.items()):
+        try:
+            df = fn(spark, args.sf_dir)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            finds = [
+                f for f in lint_plan(plan) if (name, f) not in ALLOWLIST
+            ]
+            if finds:
+                results[name] = finds
+                print(f"FLAG {name}: {finds}", flush=True)
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+    summary = {
+        "n_queries": len(registry.QUERIES),
+        "n_flagged": len(results),
+        "flagged": results,
+        "n_errors": len(errors),
+        "errors": errors,
+    }
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+    spark.stop()
+    sys.exit(1 if results else 0)
+
+
+if __name__ == "__main__":
+    main()
