@@ -250,6 +250,16 @@ def adc_score_expr(codes, lut, k: int):
     )
 
 
+ISIN_PUSHDOWN_MAX = 8192
+"""Shortlist-size bound for the collect+``isin`` rerank path. Up to
+this many ids, a driver-collected In-list pushed into the parquet scan
+(row-group min/max pruning) beats a join; past it, the In-literal
+bloats the plan and collection is no longer 'bounded metadata', so the
+rerank switches to a lazy broadcast semi-join on the shortlist
+DataFrame instead (the brute-force-equivalence tests pass corpus-sized
+shortlists through exactly that path)."""
+
+
 def _exact_rerank(
     shortlist_df: DataFrame,
     rerank_from: DataFrame,
@@ -257,6 +267,7 @@ def _exact_rerank(
     k: int,
     vec_col: str,
     id_col: str,
+    isin_pushdown: bool = True,
 ) -> DataFrame:
     """Exact-cosine re-rank of an ADC shortlist — the standard second
     stage of quantized search (Jégou et al. 2011 §V.C: ADC orders
@@ -265,20 +276,36 @@ def _exact_rerank(
     them, so recall@k is limited only by shortlist membership, not by
     code precision).
 
-    Scale shape: the shortlist is O(k·factor) rows — bounded metadata,
-    so collecting its ids to the driver is the same driver-bounded
-    pattern as the ranker offset maps. The ids go back as an ``isin``
-    predicate on the ORIGINAL vector table, which Spark pushes into
-    the parquet scan (row-group min/max pruning on the id column); the
-    re-rank therefore reads full float vectors for only the shortlist
-    rows, never a second corpus pass. At 100 TB the total read is
-    (codes of scanned cells)/compression + |shortlist| vectors."""
-    ids = [r[0] for r in shortlist_df.select(id_col).collect()]
+    Scale shape, small shortlists (``isin_pushdown=True``): the
+    shortlist is O(k·factor) rows — bounded metadata, so collecting
+    its ids to the driver is the same driver-bounded pattern as the
+    ranker offset maps. The ids go back as an ``isin`` predicate on
+    the ORIGINAL vector table, which Spark pushes into the parquet
+    scan (row-group min/max pruning on the id column); the re-rank
+    therefore reads full float vectors for only the shortlist rows,
+    never a second corpus pass. At 100 TB the total read is (codes of
+    scanned cells)/compression + |shortlist| vectors. NOTE this path
+    is EAGER: the collect runs two Spark jobs (ADC TakeOrdered +
+    fetch) at DataFrame-CONSTRUCTION time, before any action on the
+    returned frame — callers building plans without executing them
+    (plan sweeps, lints) pay that cost up front.
+
+    Large shortlists (``isin_pushdown=False``): no collect, no
+    In-literal — a lazy broadcast semi-join of the vector table
+    against the shortlist ids. Loses scan-level pruning (the
+    shortlist is no longer 'a few row groups' anyway) but keeps the
+    plan size and driver memory O(1) in shortlist length."""
     qrow = query_vec.select(F.col(vec_col).alias("qvec")).limit(1)
     cos = F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 4)
+    if isin_pushdown:
+        ids = [r[0] for r in shortlist_df.select(id_col).collect()]
+        cand = rerank_from.filter(F.col(id_col).isin(ids))
+    else:
+        cand = rerank_from.join(
+            F.broadcast(shortlist_df.select(id_col)), id_col, "semi"
+        )
     return (
-        rerank_from.filter(F.col(id_col).isin(ids))
-        .crossJoin(F.broadcast(qrow))
+        cand.crossJoin(F.broadcast(qrow))
         .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -309,7 +336,13 @@ def pq_search(
     only on the shortlist containing the true neighbors, not on code
     precision (measured on sf0.1: 0.62 → ≥0.9 recall@10 at <10%
     byte-equivalent scan). Output column is ``cosine`` (exact) instead
-    of ``adc_score`` (approximate)."""
+    of ``adc_score`` (approximate).
+
+    Execution semantics with ``rerank_from``: shortlists up to
+    ``ISIN_PUSHDOWN_MAX`` collect EAGERLY at construction time (Spark
+    jobs run before any action on the returned frame) to build a
+    scan-pushed In predicate; larger shortlists stay fully lazy via a
+    broadcast semi-join — see :func:`_exact_rerank`."""
     qrow = query_vec.select(vec_col).first()
     if qrow is None:
         raise ValueError("query_vec is empty: no row to search for")
@@ -327,7 +360,15 @@ def pq_search(
     )
     if rerank_from is None:
         return adc_top
-    return _exact_rerank(adc_top, rerank_from, query_vec, k, vec_col, index.id_col)
+    return _exact_rerank(
+        adc_top,
+        rerank_from,
+        query_vec,
+        k,
+        vec_col,
+        index.id_col,
+        isin_pushdown=n_take <= ISIN_PUSHDOWN_MAX,
+    )
 
 
 def pq_topk(
@@ -494,7 +535,12 @@ def ivfpq_search(
     true cosine — see :func:`_exact_rerank`; the pruned+compressed
     scan picks candidates, the exact pass reads |shortlist| full
     vectors via a pushed-down id predicate. Output column is then
-    ``cosine`` instead of ``adc_score``."""
+    ``cosine`` instead of ``adc_score``.
+
+    Execution semantics with ``rerank_from``: same as
+    :func:`pq_search` — shortlists ≤ ``ISIN_PUSHDOWN_MAX`` collect
+    eagerly at construction time for the In-pushdown; larger ones use
+    the lazy broadcast semi-join path."""
     import numpy as np
 
     qrow = query_vec.select(vec_col).first()
@@ -528,7 +574,15 @@ def ivfpq_search(
     )
     if rerank_from is None:
         return adc_top
-    return _exact_rerank(adc_top, rerank_from, query_vec, k, vec_col, index.id_col)
+    return _exact_rerank(
+        adc_top,
+        rerank_from,
+        query_vec,
+        k,
+        vec_col,
+        index.id_col,
+        isin_pushdown=n_take <= ISIN_PUSHDOWN_MAX,
+    )
 
 
 def ivfpq_topk(
@@ -630,9 +684,12 @@ def ivfpq_index_append(
     """Ingest a new vector batch into a persisted IVF-PQ index:
     assign cells against the frozen coarse centroids, encode residuals
     against the frozen codebooks (both one Arrow-batched map —
-    O(batch)), append into the existing ``ivf_cell=`` directories.
-    Searches see the new codes immediately with unchanged pruning."""
-    from .similarity import ivf_assign
+    O(batch)), append into the existing ``ivf_cell=`` directories via
+    :func:`~..operators.similarity.staged_append`: the batch stages
+    under a hidden prefix and renames in, so a failed append is never
+    reader-visible and completed codes become searchable with
+    unchanged pruning."""
+    from .similarity import ivf_assign, staged_append
 
     index = ivfpq_index_load(spark, path)
     vec_col = getattr(index, "vec_col", "embedding")
@@ -640,9 +697,4 @@ def ivfpq_index_append(
     encoded = _ivfpq_encode(
         assigned, index.centroids, index.codebooks, vec_col, index.id_col
     )
-    (
-        encoded.repartition("ivf_cell")
-        .write.mode("append")
-        .partitionBy("ivf_cell")
-        .parquet(path)
-    )
+    staged_append(encoded, path, "ivf_cell")

@@ -157,7 +157,16 @@ def search_index_expire(path: str, keep_last: int = 2) -> list[str]:
     for lazy readers that resolved CURRENT before the last rebuild).
     Returns the deleted build names. The expire_snapshots pattern from
     sources/snapshots.py: retention is a separate, explicit step,
-    never part of publish."""
+    never part of publish.
+
+    Concurrent-writer safety: a build dir WITHOUT ``meta.json`` is a
+    rebuilder's in-flight work (meta.json is the last file a build
+    writes before publishing CURRENT), not a superseded snapshot —
+    expiring by mtime alone could rmtree it out from under the other
+    writer, so such dirs are always skipped here and reclaimed only by
+    a later expire once their meta.json exists (or never, if the
+    build crashed — crashed builds are inert: CURRENT never pointed at
+    them)."""
     import shutil
 
     live = _current_build(path)
@@ -168,6 +177,7 @@ def search_index_expire(path: str, keep_last: int = 2) -> list[str]:
             if d.startswith("build-")
             and d != live
             and os.path.isdir(os.path.join(path, d))
+            and os.path.exists(os.path.join(path, d, "meta.json"))
         ),
         # build names encode pid+attempt, not time — age by mtime
         key=lambda d: os.path.getmtime(os.path.join(path, d)),

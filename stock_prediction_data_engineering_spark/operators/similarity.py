@@ -21,6 +21,66 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def staged_append(df: DataFrame, path: str, partition_col: str) -> None:
+    """Two-phase batch append into a partitioned parquet index lake.
+
+    Plain ``.write.mode("append")`` makes each batch file
+    reader-visible the moment its task commits: a concurrent reader
+    planning a scan mid-append observes a partial batch, and a FAILED
+    append job leaves its already-committed files permanently visible.
+    This helper stages the whole batch under a hidden
+    ``_staging/batch-*`` prefix first (underscore-prefixed paths are
+    filtered by Hadoop's hidden-file listing rule, so Spark parquet
+    readers never see them — the same rule the ``_*_meta.json``
+    sidecars rely on), then moves the completed files into their final
+    ``<partition>=...`` directories with ``os.rename``.
+
+    Guarantees: a failed or killed Spark write leaves ONLY hidden
+    staging garbage, never reader-visible rows; the reader-visibility
+    window shrinks from the whole write job to the final rename loop
+    (pure same-filesystem metadata moves, no data copy). NOT a full
+    ACID commit: a reader that lists files exactly during the rename
+    loop can still observe a prefix of the batch's files — a pipeline
+    needing all-or-nothing batch visibility should publish through the
+    snapshot lake (sources/snapshots.py), which readers resolve via an
+    atomically-replaced manifest. Orphaned staging dirs from crashed
+    appends stay hidden and harmless; they are NOT swept here because
+    existence alone cannot distinguish a crash from another in-flight
+    appender (the same concurrent-writer trap search_index_expire
+    guards against) — reclaim them manually or on rebuild."""
+    import os
+    import shutil
+    import uuid
+
+    batch_id = f"batch-{os.getpid()}-{uuid.uuid4().hex[:12]}"
+    stage_dir = os.path.join(path, "_staging", batch_id)
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(stage_dir)
+    )
+    prefix = f"{partition_col}="
+    try:
+        for part in os.listdir(stage_dir):
+            if not part.startswith(prefix):
+                continue  # _SUCCESS and friends stay behind
+            final_part = os.path.join(path, part)
+            os.makedirs(final_part, exist_ok=True)
+            src_part = os.path.join(stage_dir, part)
+            for fname in os.listdir(src_part):
+                if fname.startswith(("_", ".")):
+                    continue
+                # batch id in the final name: collision-proof against
+                # the original build's part files and other batches
+                os.rename(
+                    os.path.join(src_part, fname),
+                    os.path.join(final_part, f"{batch_id}-{fname}"),
+                )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """JVM-side dot product of two float-array columns (double acc)."""
     return F.aggregate(
@@ -415,15 +475,13 @@ def ivf_index_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
     ``ivf_cell=`` directories, so partition-pruned searches see them
     immediately; a batch whose distribution has drifted far from the
     frozen quantizer degrades recall, not correctness — rebuild with
-    :func:`ivf_index_write` when drift matters."""
+    :func:`ivf_index_write` when drift matters. The batch lands via
+    :func:`staged_append` (hidden staging prefix + rename-in), so a
+    failed append is never reader-visible; see that docstring for the
+    exact visibility contract."""
     index = ivf_index_load(spark, path)
     assigned = ivf_assign(batch, index.centroids, index.vec_col)
-    (
-        assigned.repartition("ivf_cell")
-        .write.mode("append")
-        .partitionBy("ivf_cell")
-        .parquet(path)
-    )
+    staged_append(assigned, path, "ivf_cell")
 
 
 class LshIndex:
@@ -511,17 +569,13 @@ def lsh_index_load(spark: SparkSession, path: str) -> LshIndex:
 def lsh_index_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
     """Ingest a new vector batch into a persisted LSH index: bucket
     with the index's pinned plane count (map-only, O(batch)) and
-    append into the existing ``bucket=`` directories."""
+    append into the existing ``bucket=`` directories via
+    :func:`staged_append` (failed appends never reader-visible)."""
     index = lsh_index_load(spark, path)
     bucketed = batch.withColumn(
         "bucket", lsh_bucket(F.col(index.vec_col), index.num_planes)
     )
-    (
-        bucketed.repartition("bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
+    staged_append(bucketed, path, "bucket")
 
 
 def lsh_search(

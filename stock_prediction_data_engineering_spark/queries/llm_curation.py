@@ -1463,10 +1463,14 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w, UNNEST(range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)) AS t(i)
     ),
     f AS (SELECT seg, COUNT(*) AS cnt,
-                 MIN(doc_id * 100000 + seg_idx) AS first_key
+                 -- struct MIN = lexicographic (doc_id, seg_idx) min:
+                 -- exactly the engine's F.min(F.struct(...)), with no
+                 -- encoding bound (the earlier doc_id*100000+seg_idx
+                 -- key collided for docs with >=100000 segments)
+                 MIN({'d': doc_id, 's': seg_idx}) AS fk
           FROM seg GROUP BY seg),
     k AS (SELECT s.doc_id, s.seg_idx, s.seg,
-                 (f.cnt = 1 OR s.doc_id * 100000 + s.seg_idx = f.first_key)
+                 (f.cnt = 1 OR (s.doc_id = f.fk.d AND s.seg_idx = f.fk.s))
                    AS keep
           FROM seg s JOIN f USING (seg))
     SELECT doc_id,

@@ -42,14 +42,36 @@ ALLOWLIST: set[tuple[str, str]] = {
 }
 
 
+def _lambda_bodies(line: str) -> list[str]:
+    """Extract the parenthesis-balanced body of EVERY lambdafunction(
+    occurrence on a rendered plan line. Optimized plans print whole
+    Project nodes on one line, so a naive 'anything after the first
+    lambdafunction(' scan both false-flags heavy expressions that sit
+    AFTER the lambda's closing paren and (via the allowlist that then
+    grows) masks real regressions — scope to the body instead."""
+    bodies: list[str] = []
+    marker = "lambdafunction("
+    start = line.find(marker)
+    while start >= 0:
+        i = start + len(marker)
+        depth = 1
+        while i < len(line) and depth:
+            if line[i] == "(":
+                depth += 1
+            elif line[i] == ")":
+                depth -= 1
+            i += 1
+        bodies.append(line[start + len(marker) : i - 1])
+        start = line.find(marker, start + len(marker))
+    return bodies
+
+
 def lint_plan(plan: str) -> list[str]:
     finds: list[str] = []
     for line in plan.splitlines():
-        lam = line.find("lambdafunction(")
-        if lam >= 0:
-            tail = line[lam:]
+        for body in _lambda_bodies(line):
             for h in HEAVY:
-                if h in tail:
+                if h in body:
                     finds.append(f"heavy-expr-in-lambda:{h.rstrip('(')}")
     if "CartesianProduct" in plan:
         finds.append("cartesian")
