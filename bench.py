@@ -242,6 +242,7 @@ def main() -> None:
             pass  # diagnostics-only; never fail the bench over cleanup
 
     times: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
     for name in HEADLINE_QUERIES:
         fn = registry.QUERIES.get(name)
@@ -268,6 +269,10 @@ def main() -> None:
                 if measured:
                     runs.append(time.perf_counter() - t0)
             times[name] = round(min(runs), 3)
+            # every timed pass, not just the min: per-query dispersion
+            # rides in the artifact so a diff can tell code effects
+            # from host band without re-running (round-7 protocol)
+            all_runs[name] = [round(r, 3) for r in runs]
             print(f"[bench] {name} = {times[name]} s", file=sys.stderr, flush=True)
             clear_rdd_storage()
         except Exception as exc:  # noqa: BLE001 — isolate per query
@@ -286,6 +291,9 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "timing": "warm (min of 2 back-to-back runs; pass 0 pays per-plan codegen)",
+        # both timed passes per query (min is the headline number):
+        # |r1-r2|/min is the within-window host band per query
+        "runs": all_runs,
         # host-drift witness: fixed numpy kernel throughput at run
         # start and end; normalize cross-time diffs by t32_meps
         "cpu_probe": {"start": probe_start, "end": cpu_probe()},

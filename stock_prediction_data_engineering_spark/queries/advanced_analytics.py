@@ -158,8 +158,10 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT c_mktsegment,
-             MAX(CASE WHEN rn = (5*n + 99) // 100 THEN bal_c END) AS lo_c,
-             MAX(CASE WHEN rn = (95*n + 99) // 100 THEN bal_c END) AS hi_c
+             MAX(CASE WHEN rn = ((5*n + 99) - (5*n + 99) % 100) / 100
+                      THEN bal_c END) AS lo_c,
+             MAX(CASE WHEN rn = ((95*n + 99) - (95*n + 99) % 100) / 100
+                      THEN bal_c END) AS hi_c
       FROM r GROUP BY c_mktsegment
     )
     SELECT r.c_mktsegment, b.lo_c, b.hi_c,

@@ -245,11 +245,11 @@ PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     "q_pivot",
     oracle="""
     SELECT o_orderstatus,
-           COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS n_urgent,
-           COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS n_high,
-           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS n_medium,
-           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
-           COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS n_low
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS n_urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS n_high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS n_medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS n_low
     FROM orders
     GROUP BY o_orderstatus
     """,

@@ -254,7 +254,9 @@ def q_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY prev_type, next_type
     )
     SELECT prev_type, next_type, n,
-           CAST((n * 10000) // SUM(n) OVER (PARTITION BY prev_type)
+           CAST(((n * 10000) - (n * 10000)
+                              % SUM(n) OVER (PARTITION BY prev_type))
+                / SUM(n) OVER (PARTITION BY prev_type)
                 AS BIGINT) AS prob_bp
     FROM t
     """,
@@ -720,7 +722,8 @@ def q_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
     ),
     credit AS (
-      SELECT event_type AS channel, v_c * 1000000 // n AS cu FROM j
+      SELECT event_type AS channel,
+             (v_c * 1000000 - (v_c * 1000000) % n) / n AS cu FROM j
     ),
     direct AS (
       SELECT 'direct' AS channel, v_c * 1000000 AS cu FROM p

@@ -616,7 +616,9 @@ def _daily_bars_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY day)
     )
     SELECT user_id, day,
-           CAST(SUM(tr_c) OVER w14 // COUNT(*) OVER w14 AS BIGINT) AS atr_c
+           CAST((SUM(tr_c) OVER w14 - (SUM(tr_c) OVER w14
+                                      % COUNT(*) OVER w14))
+                / COUNT(*) OVER w14 AS BIGINT) AS atr_c
     FROM tr
     WINDOW w14 AS (PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
@@ -664,8 +666,10 @@ def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     k AS (
       SELECT user_id, day,
              CASE WHEN MAX(high_c) OVER w14 = MIN(low_c) OVER w14 THEN NULL
-                  ELSE (close_c - MIN(low_c) OVER w14) * 10000
-                       // (MAX(high_c) OVER w14 - MIN(low_c) OVER w14)
+                  ELSE ((close_c - MIN(low_c) OVER w14) * 10000
+                         - ((close_c - MIN(low_c) OVER w14) * 10000)
+                           % (MAX(high_c) OVER w14 - MIN(low_c) OVER w14))
+                       / (MAX(high_c) OVER w14 - MIN(low_c) OVER w14)
              END AS k_bp
       FROM bars
       WINDOW w14 AS (PARTITION BY user_id ORDER BY day
@@ -673,7 +677,9 @@ def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, day, CAST(k_bp AS BIGINT) AS k_bp,
            CAST(CASE WHEN COUNT(k_bp) OVER w3 = 0 THEN NULL
-                     ELSE SUM(k_bp) OVER w3 // COUNT(k_bp) OVER w3
+                     ELSE (SUM(k_bp) OVER w3 - (SUM(k_bp) OVER w3
+                                                % COUNT(k_bp) OVER w3))
+                          / COUNT(k_bp) OVER w3
                 END AS BIGINT) AS d_bp
     FROM k
     WINDOW w3 AS (PARTITION BY user_id ORDER BY day

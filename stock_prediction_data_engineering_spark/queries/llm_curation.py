@@ -75,7 +75,14 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repetition), stopword density, mean word length — plus the
     combined keep/drop flag. One projection pass, no shuffle; ratios
     are quotients of exact integers emitted via floor (tie-safe)."""
-    d = table(spark, sf_dir, "documents").select(
+    return quality_scorecard(table(spark, sf_dir, "documents"))
+
+
+def quality_scorecard(docs: DataFrame) -> DataFrame:
+    """df-level body of q_quality_rules (factored out so the corpus
+    admission pipeline can gate arbitrary batches on the same rules —
+    tools/pipeline_accounting.py). One projection pass, no shuffle."""
+    d = docs.select(
         "doc_id",
         F.length("text").alias("n_len"),
         F.split("text", " ").alias("words"),

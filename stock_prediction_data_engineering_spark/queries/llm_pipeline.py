@@ -65,7 +65,8 @@ def pack_assignment(
     oracle=f"""
     WITH t AS (
       SELECT doc_id, source,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS n_tokens
       FROM documents
     ),
     c AS (
@@ -77,7 +78,8 @@ def pack_assignment(
       FROM t
     )
     SELECT doc_id, source, n_tokens,
-           CAST(cum_before // {CONTEXT_TOKENS} AS BIGINT) AS pack_id,
+           CAST((cum_before - cum_before % {CONTEXT_TOKENS})
+                / {CONTEXT_TOKENS} AS BIGINT) AS pack_id,
            CAST(cum_before % {CONTEXT_TOKENS} AS BIGINT) AS pack_offset
     FROM c
     """,
@@ -110,7 +112,8 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
                   WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
                   ELSE 'test' END AS split,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS n_tokens
       FROM documents
     )
     SELECT source, split,
@@ -353,8 +356,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM k
     )
     SELECT user_id, cnt,
-           (cnt * 10000) // total AS share_bp,
-           (cnt * n_keys * 100) // total AS skew_x100
+           CAST(((cnt * 10000) - (cnt * 10000) % total) / total
+                AS BIGINT) AS share_bp,
+           CAST(((cnt * n_keys * 100) - (cnt * n_keys * 100) % total)
+                / total AS BIGINT) AS skew_x100
     FROM k, t
     ORDER BY cnt DESC, user_id
     LIMIT 20
@@ -610,13 +615,17 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_seqlen_histogram",
     oracle="""
     WITH t AS (
-      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+      -- split-count == separator-count + 1 exactly (single-char sep),
+      -- expressible in the Spark/DuckDB common subset
+      SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS wc
       FROM documents
     ),
     b AS (
+      -- 2^floor(log2(wc)) == 1 << (bit_length - 1); bin() renders
+      -- unpadded binary in both engines, no float log near powers of 2
       SELECT wc,
-             (1 << (len(list_filter(range(0, 21), x -> (1 << x) <= wc)) - 1))
-               AS bucket_lo
+             (1 << (length(bin(wc)) - 1)) AS bucket_lo
       FROM t
     )
     SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
@@ -694,9 +703,9 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type,
              user_id,
-             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'cc'
+             CASE WHEN substr(md5(CAST(user_id AS STRING)), 1, 2) < 'cc'
                     THEN 'train'
-                  WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'e6'
+                  WHEN substr(md5(CAST(user_id AS STRING)), 1, 2) < 'e6'
                     THEN 'val'
                   ELSE 'test' END AS split
       FROM events

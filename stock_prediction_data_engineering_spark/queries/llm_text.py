@@ -82,7 +82,8 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
-           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words,
+           CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                AS DOUBLE) / COUNT(*) AS avg_words,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars
     FROM documents
@@ -110,7 +111,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH canon AS (
         SELECT doc_id, lang, n_chars, text,
                min(doc_id) OVER (PARTITION BY text) AS keeper,
-               len(string_split(text, ' ')) AS word_cnt
+               length(text) - length(replace(text, ' ', '')) + 1
+                 AS word_cnt
         FROM documents
     )
     SELECT doc_id, lang,
@@ -120,7 +122,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id = keeper
       AND n_chars BETWEEN 50 AND 20000
       AND word_cnt >= 10
-      AND CAST(len(replace(text, ' ', '')) AS DOUBLE) / word_cnt
+      AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / word_cnt
           BETWEEN 2.0 AND 12.0
     ORDER BY doc_id
     """,

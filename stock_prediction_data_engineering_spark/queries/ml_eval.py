@@ -51,8 +51,9 @@ DEC = "decimal(18,4)"
       FROM r GROUP BY lang
     )
     SELECT lang, n_pos, n_neg,
-           CAST((s2 - n_pos*(n_pos+1)) * 10000 // (2*n_pos*n_neg)
-                AS BIGINT) AS auc_bp
+           CAST(((s2 - n_pos*(n_pos+1)) * 10000
+                 - ((s2 - n_pos*(n_pos+1)) * 10000) % (2*n_pos*n_neg))
+                / (2*n_pos*n_neg) AS BIGINT) AS auc_bp
     FROM s
     """,
 )
@@ -120,7 +121,9 @@ def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM g)
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           CAST(MAX(abs(ca*nb - cb*na)) * 10000 // (na*nb) AS BIGINT)
+           CAST((MAX(abs(ca*nb - cb*na)) * 10000
+                 - (MAX(abs(ca*nb - cb*na)) * 10000) % (na*nb))
+                / (na*nb) AS BIGINT)
              AS ks_bp
     FROM c, t GROUP BY na, nb
     """,
@@ -271,8 +274,10 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, doc_id, CAST(wt AS BIGINT) AS wt
     FROM c
-    WHERE (cum_after - wt) // GREATEST(total // 5, 1)
-          < cum_after // GREATEST(total // 5, 1)
+    WHERE FLOOR((cum_after - wt)
+                / GREATEST((total - total % 5) / 5, 1))
+          < FLOOR(cum_after
+                / GREATEST((total - total % 5) / 5, 1))
     """,
 )
 def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,7 +395,8 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT decile, n_customers, monet_c,
-           CAST(cum_c * 10000 // total_c AS BIGINT) AS cum_share_bp
+           CAST((cum_c * 10000 - (cum_c * 10000) % total_c)
+                / total_c AS BIGINT) AS cum_share_bp
     FROM c
     """,
 )
@@ -449,7 +455,9 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d GROUP BY event_type
     )
     SELECT d.event_type, dow, n,
-           CAST(sum_c * n_all * 10000 // (n * sum_all) AS BIGINT)
+           CAST((sum_c * n_all * 10000
+                 - (sum_c * n_all * 10000) % (n * sum_all))
+                / (n * sum_all) AS BIGINT)
              AS index_bp
     FROM d JOIN t USING (event_type)
     """,
@@ -500,14 +508,18 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ),
     p AS (
-      SELECT (n_views * 10000) // (n_views + 5) AS pred_bp, converted
+      SELECT ((n_views * 10000) - (n_views * 10000) % (n_views + 5))
+             / (n_views + 5) AS pred_bp, converted
       FROM u
     )
-    SELECT CAST(pred_bp // 1000 AS BIGINT) AS bin,
+    SELECT CAST((pred_bp - pred_bp % 1000) / 1000 AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(converted) AS BIGINT) AS n_conv,
-           CAST(SUM(pred_bp) // COUNT(*) AS BIGINT) AS mean_pred_bp,
-           CAST((SUM(converted) * 10000) // COUNT(*) AS BIGINT)
+           CAST((SUM(pred_bp) - SUM(pred_bp) % COUNT(*)) / COUNT(*)
+                AS BIGINT) AS mean_pred_bp,
+           CAST(((SUM(converted) * 10000)
+                 - (SUM(converted) * 10000) % COUNT(*)) / COUNT(*)
+                AS BIGINT)
              AS actual_bp
     FROM p GROUP BY bin
     """,

@@ -98,7 +98,7 @@ def q_rename_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_string_clean_cast",
     oracle="""
     SELECT c_custkey,
-           CAST(regexp_replace(concat('$', CAST(c_acctbal AS VARCHAR)), '[$,]', '', 'g')
+           CAST(regexp_replace(concat('$', CAST(c_acctbal AS STRING)), '[$,]', '')
                 AS DOUBLE) AS acctbal_clean
     FROM customer
     """,

@@ -629,12 +629,13 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4))*100
-                              AS BIGINT) AS VARCHAR), 1, 1) AS digit
+                              AS BIGINT) AS STRING), 1, 1) AS digit
       FROM orders
     ),
     t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
     SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values,
-           CAST(COUNT(*) * 10000 // n AS BIGINT) AS share_bp
+           CAST((COUNT(*) * 10000 - (COUNT(*) * 10000) % n) / n
+                AS BIGINT) AS share_bp
     FROM d, t GROUP BY digit, n
     """,
 )

@@ -44,8 +44,8 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_first_last_value",
     oracle="""
     SELECT user_id,
-           ROUND(arg_min(value, ts), 4) AS first_value,
-           ROUND(arg_max(value, ts), 4) AS last_value
+           ROUND(min_by(value, ts), 4) AS first_value,
+           ROUND(max_by(value, ts), 4) AS last_value
     FROM events
     GROUP BY user_id
     """,
@@ -68,8 +68,10 @@ def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentile",
     oracle="""
     SELECT c_mktsegment,
-           ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
-           ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4)
+             AS median_bal,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal), 4)
+             AS p90_bal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -173,43 +175,43 @@ def q_data_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
-           CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
-           CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+           CAST(MIN(o_orderkey) AS STRING) AS min_v,
+           CAST(MAX(o_orderkey) AS STRING) AS max_v
     FROM orders
     UNION ALL
     SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
-           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+           CAST(MIN(o_custkey) AS STRING), CAST(MAX(o_custkey) AS STRING)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
            CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
-           CAST(MIN(o_orderstatus) AS VARCHAR),
-           CAST(MAX(o_orderstatus) AS VARCHAR)
+           CAST(MIN(o_orderstatus) AS STRING),
+           CAST(MAX(o_orderstatus) AS STRING)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
            CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
            CAST(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT)
-                AS VARCHAR),
+                AS STRING),
            CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT)
-                AS VARCHAR)
+                AS STRING)
     FROM orders
     UNION ALL
     SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
            CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
-           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+           CAST(MIN(o_orderdate) AS STRING), CAST(MAX(o_orderdate) AS STRING)
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
-           CAST(MIN(o_orderpriority) AS VARCHAR),
-           CAST(MAX(o_orderpriority) AS VARCHAR)
+           CAST(MIN(o_orderpriority) AS STRING),
+           CAST(MAX(o_orderpriority) AS STRING)
     FROM orders
     """,
 )

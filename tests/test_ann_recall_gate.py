@@ -43,7 +43,7 @@ FLOORS = {
     # round-6 exact re-rank stage: ADC shortlist → true-cosine
     # re-score of shortlist rows only. Measured 1.0 (PQ) / 0.95
     # (IVF-PQ at nprobe_rerank=12) here; at sf0.1 the committed
-    # artifact shows PQ 0.965 @ 0.081 and IVF-PQ 0.935 @ 0.076
+    # artifact shows PQ 0.95 @ 0.081 and IVF-PQ 0.935 @ 0.076
     # byte-equivalent scan (ANN_RECALL_r7.json) — both rerank paths
     # clear the ≥0.9 @ ≤10%-bytes scale bar, gated here.
     "recall_pq_rerank": 0.9,

@@ -24,6 +24,123 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Per-query reason for every oracle that is NOT dual-dialect (round-7
+# classification). Each remaining gap is a genuine dialect/engine
+# difference with no common-subset expression — the round-7 conversion
+# pass already moved everything expressible (integer division via
+# (a - a%b)/b, VARCHAR->STRING, FILTER(WHERE), percentile_cont WITHIN
+# GROUP, min_by/max_by, split()/filter()-lambda common subset,
+# separator-count word counts, bin()-based log2 buckets). The sweep
+# fails if a query fails WITHOUT a reason here, or if a reason goes
+# stale (query now passes) — same exact-allowlist discipline as
+# tools/plan_lint.py.
+R_LIST = (
+    "array dialect: DuckDB string_split/unnest/list_*/[] vs Spark "
+    "split/explode/LATERAL VIEW — no common flatten or list-length"
+)
+R_TIME = (
+    "time dialect: DuckDB epoch_us()/epoch()/strftime()/quoted "
+    "date_diff units vs Spark unix_micros()/date_format()/bare units"
+)
+R_128 = (
+    "needs 128-bit integer intermediates (DuckDB HUGEINT); Spark's "
+    "widest integer is BIGINT and DECIMAL(38) changes division "
+    "semantics"
+)
+R_REGEX_G = (
+    "regex-flag dialect: DuckDB regexp_replace needs 'g' for global, "
+    "Spark is global-by-default and rejects the flag argument"
+)
+R_JSON = "json dialect: DuckDB json_extract_string/json_keys vs Spark get_json_object/json_object_keys"
+GAP_REASONS: dict[str, str] = {
+    # array/lateral family
+    "q_array_explode": R_LIST,
+    "q_array_hof": R_LIST + " (and list_sum/list_transform)",
+    "q_assoc_rules": R_LIST,
+    "q_bigram_surprisal": R_LIST,
+    "q_boilerplate_ngrams": R_LIST,
+    "q_char_entropy": R_LIST,
+    "q_chunk_windows": R_LIST,
+    "q_containment_screen": R_LIST,
+    "q_contamination_check": R_LIST,
+    "q_contamination_screen": R_LIST,
+    "q_dsir_select": R_LIST,
+    "q_feature_hashing": R_LIST,
+    "q_label_centroids": R_LIST + " (struct_pack)",
+    "q_quality_filter": R_LIST,
+    "q_quality_rules": R_LIST,
+    "q_quantile_sketch": R_LIST + " (UNNEST of a literal list)",
+    "q_repetition_stats": R_LIST,
+    "q_rolling_active_users": R_LIST,
+    "q_segment_dedup_clean": R_LIST + " (list_slice + struct literal)",
+    "q_similarity_join": R_LIST,
+    "q_split_leakage": R_LIST,
+    "q_string_functions": R_LIST,
+    "q_substring_dedup": R_LIST + " (generate_series)",
+    "q_tfidf": R_LIST,
+    "q_token_bigrams": R_LIST,
+    "q_token_explode": R_LIST,
+    "q_token_rarity": R_LIST,
+    "q_udtf_chunk_text": R_LIST + " (array_to_string; D4 Python-UDTF row)",
+    "q_vocab_topk": R_LIST,
+    "q_domain_divergence": R_LIST,
+    # vector ops
+    "q_vector_dot": "DuckDB list_dot_product + DOUBLE[] cast vs Spark aggregate/zip_with lambdas",
+    "q_topk_similar": "DuckDB list_dot_product + DOUBLE[] cast vs Spark aggregate/zip_with lambdas",
+    # time family
+    "q_cohort_ltv": R_TIME,
+    "q_date_functions": R_TIME,
+    "q_dedup_consecutive": R_TIME,
+    "q_funnel_conversion": R_TIME,
+    "q_inter_event_gaps": R_TIME,
+    "q_retention_cohorts": R_TIME,
+    "q_scd2_intervals": R_TIME,
+    "q_session_window": R_TIME,
+    "q_sessionize": R_TIME,
+    "q_sliding_window": R_TIME,
+    "q_supplier_ship_delay_rank": R_TIME,
+    "q_time_to_convert": R_TIME,
+    "q_tumbling_window": R_TIME,
+    "q_twap": R_TIME,
+    "q_user_lifetime": R_TIME,
+    "q_weekday_seasonality": (
+        "dow numbering: Spark extract/dayofweek is Sunday=1..7, "
+        "DuckDB dayofweek is Sunday=0..6 — no shared field"
+    ),
+    # 128-bit family
+    "q_domain_similarity": R_128,
+    "q_event_corr": R_128,
+    "q_feature_covariance": R_128,
+    "q_gini": R_128,
+    "q_moment_stats": R_128,
+    "q_rolling_corr": R_128,
+    "q_value_autocorr": R_128,
+    # regex flags
+    "q_doc_fingerprint": R_REGEX_G,
+    "q_pii_redact": R_REGEX_G,
+    "q_quality_score": R_REGEX_G + " (and no regexp_count in DuckDB)",
+    "q_token_count": "no common token-count: DuckDB lacks regexp_count, Spark lacks len() on arrays",
+    # json
+    "q_json_extract": R_JSON,
+    "q_map_functions": R_JSON,
+    # one-offs
+    "q_ab_lift": "hex-literal cast: DuckDB '0x..'::BIGINT; Spark CAST of hex strings yields NULL (conv() not in DuckDB)",
+    "q_join_asof": "DuckDB ASOF JOIN syntax; Spark SQL has no ASOF join (engine uses a window-based plan)",
+    "q_join_asof_forward": "DuckDB ASOF JOIN syntax; Spark SQL has no ASOF join (engine uses a window-based plan)",
+    "q_moving_median": "Spark cannot evaluate median/percentile as a framed window function",
+    "q_string_agg": "ordered string_agg: DuckDB wants ORDER BY inside the call, Spark wants listagg WITHIN GROUP — no shared form",
+    "q_gapfill_daily": "IGNORE NULLS placement: Spark postfix `lag(x) IGNORE NULLS`, DuckDB in-paren `lag(x IGNORE NULLS)`",
+    "q_gapfill_interp": "IGNORE NULLS placement: Spark postfix `lag(x) IGNORE NULLS`, DuckDB in-paren `lag(x IGNORE NULLS)`",
+}
+
+
+def canon_key(row: tuple):
+    """None-safe, type-stable sort key: plain sorted() raises TypeError
+    on rows mixing NULL and non-NULL in a column (rollup/cube totals),
+    which mis-classified those queries as value mismatches."""
+    return tuple((v is None, str(type(v)), str(v)) for v in row)
+
+
 def main() -> None:
     from stock_prediction_data_engineering_spark import registry
     from stock_prediction_data_engineering_spark.catalog import sql_entry
@@ -42,8 +159,8 @@ def main() -> None:
             ]:
                 fail[name] = "schema-names"
                 continue
-            ra = sorted(map(tuple, df_api.collect()))
-            rs = sorted(map(tuple, df_sql.collect()))
+            ra = sorted(map(tuple, df_api.collect()), key=canon_key)
+            rs = sorted(map(tuple, df_sql.collect()), key=canon_key)
             if len(ra) != len(rs) or not ra:
                 fail[name] = f"rowcount {len(ra)} vs {len(rs)}"
                 continue
@@ -66,8 +183,27 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — classify, keep sweeping
             fail[name] = type(exc).__name__
         print(f"{name}: {'OK' if name in ok else fail.get(name)}", flush=True)
-    print(json.dumps({"ok": ok, "n_ok": len(ok), "n_fail": len(fail)}))
+    unexplained = sorted(set(fail) - set(GAP_REASONS))
+    stale = sorted(set(GAP_REASONS) & set(ok))
+    print(
+        json.dumps(
+            {
+                "ok": ok,
+                "n_ok": len(ok),
+                "n_fail": len(fail),
+                "fail": fail,
+                "gap_reasons": {
+                    k: GAP_REASONS[k] for k in sorted(fail) if k in GAP_REASONS
+                },
+                # exact-classification discipline: every gap carries a
+                # reason; a reason whose query now passes must be removed
+                "unexplained_failures": unexplained,
+                "stale_reasons": stale,
+            }
+        )
+    )
     spark.stop()
+    sys.exit(1 if (unexplained or stale) else 0)
 
 
 if __name__ == "__main__":
