@@ -1202,6 +1202,62 @@ def test_lsh_index_write_load_append(spark, tmp_path):
     assert found[0] == 9
 
 
+def test_staged_append_visibility_contract(spark, tmp_path):
+    """The two-phase index append (staged_append): staged batches live
+    under a hidden ``_staging`` prefix that parquet readers never see —
+    so a FAILED append (simulated here as a staging dir that never got
+    its rename pass) leaves reader-visible contents unchanged — and a
+    completed append leaves no staging residue behind."""
+    import os
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.similarity import (
+        lsh_bucket,
+        staged_append,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), 6))
+    corpus = bucketed.filter(F.col("vec_id") % 9 != 0)
+    batch = bucketed.filter(F.col("vec_id") % 9 == 0)
+    path = str(tmp_path / "lake")
+    (
+        corpus.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    n0 = spark.read.parquet(path).count()
+
+    # crashed append: the batch reached staging but no rename ran —
+    # readers must see exactly the pre-append contents
+    (
+        batch.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "_staging", "batch-dead"))
+    )
+    assert spark.read.parquet(path).count() == n0
+
+    # completed append: rows visible, staging gone (incl. the orphan's
+    # parent dir staying hidden), file names carry the batch id
+    staged_append(batch, path, "bucket")
+    assert spark.read.parquet(path).count() == n0 + batch.count()
+    live = {
+        d for d in os.listdir(path) if not d.startswith(("_", "."))
+    }
+    assert all(d.startswith("bucket=") for d in live)
+    batch_files = [
+        f
+        for d in live
+        for f in os.listdir(os.path.join(path, d))
+        if f.startswith("batch-")
+    ]
+    assert batch_files, "appended files should carry the batch-id prefix"
+
+
 def test_segment_dedup_clean_is_identity_without_duplicates(spark):
     """On a corpus whose segments are globally unique, the transform
     is the identity: clean_text == text and nothing is dropped (the
