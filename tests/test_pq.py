@@ -184,6 +184,25 @@ def test_rerank_full_shortlist_equals_brute_force(emb, index):
     ]
 
 
+def test_rerank_semi_join_path_equals_isin_path(emb, index, monkeypatch):
+    """Shortlists past ISIN_PUSHDOWN_MAX switch from the eager
+    collect+isin pushdown to a lazy broadcast semi-join; both paths
+    must return identical rows. The threshold is patched down so the
+    small fixture actually exercises the semi-join branch, and the
+    lazy path's plan must embed no In-literal over shortlist ids."""
+    qvec = emb.filter(F.col("vec_id") == 21).select("embedding")
+    isin_rows = pq.pq_search(
+        index, qvec, k=10, rerank_from=emb, shortlist=50
+    ).collect()
+    monkeypatch.setattr(pq, "ISIN_PUSHDOWN_MAX", 10)
+    lazy_df = pq.pq_search(index, qvec, k=10, rerank_from=emb, shortlist=50)
+    plan = lazy_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "vec_id IN" not in plan and " INSET " not in plan
+    assert [tuple(r) for r in lazy_df.collect()] == [
+        tuple(r) for r in isin_rows
+    ]
+
+
 def test_rerank_recall_at_least_adc(emb, index):
     """The re-ranked top-k (default 10·k shortlist) never recalls
     fewer true neighbors than plain ADC top-k — re-scoring a superset
