@@ -136,6 +136,28 @@ def test_search_rebuild_is_atomic_and_keeps_superseded_build(
     assert search_index_expire(path, keep_last=0) == []
 
 
+def test_search_expire_skips_in_flight_builds(corpus, tmp_path):
+    """Expire never rmtrees a concurrent rebuilder's in-flight work: a
+    build dir WITHOUT meta.json (the last file a build writes before
+    publishing) is skipped however old its mtime is — only superseded
+    COMPLETE builds age out."""
+    import os
+
+    path = str(tmp_path / "idx")
+    search_index_write(corpus, path)
+    search_index_write(corpus.limit(3), path)
+    # a concurrent rebuilder mid-build: postings on disk, no meta yet,
+    # mtime OLDER than every complete build (worst case for mtime aging)
+    inflight = os.path.join(path, "build-99999-0")
+    os.makedirs(os.path.join(inflight, "postings"))
+    os.utime(inflight, times=(0, 0))
+    doomed = search_index_expire(path, keep_last=0)
+    assert os.path.isdir(inflight), "in-flight build must survive expire"
+    assert "build-99999-0" not in doomed
+    # the superseded complete build DID age out
+    assert len(doomed) == 1
+
+
 def test_search_empty_result_schema_matches_corpus_id_type(
     spark, tmp_path
 ):
