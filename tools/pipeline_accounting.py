@@ -130,8 +130,15 @@ def main() -> None:
     for b in range(args.batches):
         batch = docs.filter(F.pmod("doc_id", F.lit(args.batches)) == b)
         # materialize the batch once so stage timings measure the
-        # stage, not a re-scan of the input
-        batch = batch.localCheckpoint(eager=True)
+        # stage, not a re-scan of the input. Row-honest repartition
+        # first: duplicated text compresses ~100:1 in parquet, so the
+        # byte-based scan split reads a 125k-row batch as 2-3
+        # partitions and every downstream map stage would run 3-way
+        # on 32 cores (the q_dsir_select trap, memory:
+        # spark-expression-traps #3)
+        batch = batch.repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)
         rows_in = batch.count()
         acct: dict = {"batch": b, "rows_in": rows_in, "stages": {}}
 
