@@ -11,6 +11,79 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
+# Adaptive exact-duplicate collapse for text-pure scorers
+
+
+def collapse_text_scores(
+    docs: DataFrame,
+    scorer,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run a TEXT-PURE per-document scorer with the adaptive
+    exact-duplicate collapse (the operators/dedup.py R107 move,
+    extended from dedup candidate generation to audit projections):
+    identical texts have identical scores, so when a 1-row duplication
+    profile shows material duplicate mass the scorer runs on ONE
+    representative per distinct text and the scores join back to every
+    member id by content hash — compute scales with DISTINCT text, not
+    corpus rows. A dup-free corpus runs the scorer directly with zero
+    added shuffle.
+
+    Contract: ``scorer(df[id_col, text_col]) -> df[id_col, *scores]``,
+    one output row per input row, every score column a function of the
+    text alone. Output: ``(id_col, *scores)`` for every input doc.
+
+    Scale shape when collapsed: one row-honest repartition (the
+    compressed-duplicate scan-split trap — a 100:1-compressible corpus
+    arrives in 2-3 byte-sized partitions), one hash exchange keyed by
+    content hash to pick representatives, the scorer over the distinct
+    texts, and a join of the (tiny) rep-score table back onto the
+    (id, hash) membership — AQE broadcasts it.
+
+    When it pays: measured at sf10 (500 k rows, 100× duplicated) the
+    JVM lambda scorers (quality scorecard, repetition explode) are
+    PARALLELISM-bound, not dup-bound — once the repartition fixes the
+    split sizing, direct ≈ 1.9 s vs collapsed ≈ 2.2 s (the md5 +
+    full-text exchange costs what the 100× compute saving buys back).
+    Those queries therefore run direct; this wrapper is for scorers
+    whose per-text compute dominates one md5-keyed text exchange —
+    Arrow/pandas UDF featurizers, heavy regex stacks, per-text model
+    scoring — where compute-per-distinct-text is the real budget."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    hashed = (
+        docs.select(id_col, text_col)
+        .repartition(par, id_col)
+        .withColumn("__th", F.md5(F.col(text_col).cast("string")))
+        .localCheckpoint(eager=False)
+    )
+    prof = hashed.agg(
+        F.count("*").alias("n"), F.countDistinct("__th").alias("d")
+    ).first()
+    # same engagement threshold as the ssjoin/dedup collapse: the
+    # join-back pays only when clusters materially shrink the compute
+    if prof.d * 100 > prof.n * 95:
+        return scorer(docs.select(id_col, text_col))
+    reps = hashed.groupBy("__th").agg(
+        F.min(id_col).alias("__rep_id"),
+        # within a hash group every text is identical — any member's
+        # text IS the cluster's text
+        F.first(text_col).alias(text_col),
+    )
+    rep_scores = scorer(
+        reps.select(F.col("__rep_id").alias(id_col), text_col)
+    ).withColumnRenamed(id_col, "__rep_id")
+    score_cols = [c for c in rep_scores.columns if c != "__rep_id"]
+    return (
+        hashed.select(id_col, "__th")
+        .join(reps.select("__th", "__rep_id"), "__th")
+        .join(rep_scores, "__rep_id")
+        .select(id_col, *score_cols)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token counting
 
 # BPE-ish pretokenizer: word pieces, numbers, or single non-space

@@ -73,9 +73,19 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scorecard (Gopher/C4-style rule family):
     word count bounds, type-token ratio, duplicate-bigram fraction
     (repetition), stopword density, mean word length — plus the
-    combined keep/drop flag. One projection pass, no shuffle; ratios
-    are quotients of exact integers emitted via floor (tie-safe)."""
-    return quality_scorecard(table(spark, sf_dir, "documents"))
+    combined keep/drop flag. Ratios are quotients of exact integers
+    emitted via floor (tie-safe). One projection pass, no shuffle —
+    behind a row-honest repartition: duplicated text compresses
+    ~100:1 in parquet, so byte-based scan splits hand a 500k-row
+    corpus to 2-3 cores and the bigram lambdas serialize (measured at
+    sf10: 12.9 s → 1.9 s from the repartition alone; the text-pure
+    dup collapse, operators/text.py collapse_text_scores, measured a
+    WASH here once parallelism was fixed — this lambda family is
+    parallelism-bound, not dup-bound)."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return quality_scorecard(docs)
 
 
 def quality_scorecard(docs: DataFrame) -> DataFrame:
@@ -463,9 +473,14 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials; no per-doc quadratic array work (the
     alternative — a higher-order lambda counting each distinct word
     inside the array — is O(n²) per document and runs on one core).
+    The explode runs behind a row-honest repartition (the
+    compressed-duplicate scan-split trap: byte-sized splits hand the
+    whole map side to 2-3 cores; measured at sf10 13.7 s → 1.7 s).
     """
-    words = table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    words = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     )
     wcnt = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
     return wcnt.groupBy("doc_id").agg(
@@ -722,14 +737,24 @@ def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     again. At 100 TB the bigint numerator c*n_all needs DECIMAL(38,0)
     once corpus tokens exceed ~3e9 x source tokens; swap documented
     here, shape unchanged."""
-    toks = table(spark, sf_dir, "documents").select(
-        "source",
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), r"[^a-z0-9]+"),
-                lambda w: w != F.lit(""),
-            )
-        ).alias("tok"),
+    # Row-honest repartition (compressed-duplicate scan-split trap:
+    # byte-sized splits serialize the tokenize on 2-3 cores), and ONE
+    # shared tokenize for the four keyed consumers below — without the
+    # barrier the explode re-executes per consumer. Measured at sf10:
+    # 11.9 s → 3.8 s (repartition) → 2.6 s (+ lazy checkpoint).
+    toks = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"[^a-z0-9]+"),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("tok"),
+        )
+        .localCheckpoint(eager=False)
     )
     corpus = toks.groupBy("tok").agg(F.count("*").alias("c_all"))
     tot = toks.agg(F.count("*").alias("n_all"))

@@ -53,6 +53,42 @@ def test_token_counts_and_quality(spark):
     assert 0.0 <= r[2].q <= r[1].q <= 1.0
 
 
+def test_collapse_text_scores_equals_direct_on_duplicated_corpus(spark):
+    """collapse_text_scores: on a heavily duplicated corpus the
+    collapsed plan (score one representative per distinct text, join
+    back by content hash) returns EXACTLY the direct per-row scoring —
+    same (doc_id, scores) set — and on a dup-free corpus the wrapper
+    short-circuits to the direct plan (no rep join in the optimized
+    plan)."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.text import (
+        collapse_text_scores,
+    )
+
+    def scorer(d):
+        return d.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.size(F.split("text", " ")).alias("wc"),
+        )
+
+    base = [(i, f"text body {i % 7} with words") for i in range(140)]
+    dup = spark.createDataFrame(base, "doc_id long, text string")
+    got = sorted(map(tuple, collapse_text_scores(dup, scorer).collect()))
+    want = sorted(map(tuple, scorer(dup).collect()))
+    assert got == want and len(got) == 140
+
+    uniq = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    direct = collapse_text_scores(uniq, scorer)
+    plan = direct._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, "dup-free corpus must skip the rep join"
+    assert direct.count() == 50
+
+
 def test_fingerprint_canonicalization(spark):
     from stock_prediction_data_engineering_spark.operators.text import md5_fingerprint
 
