@@ -957,6 +957,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     cosine_threshold: float = 0.95,
     num_planes: int = 16,
+    output: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate vectors: random-hyperplane LSH buckets as
     candidates, exact cosine as verifier. See similarity.lsh_bucket
@@ -972,16 +973,35 @@ def embedding_near_dup_pairs(
     collision risk) and pairs expand back through vector-keyed joins
     whose cost is the output cardinality. Intra-cluster pairs compute
     the SAME cosine_expr(v, v) as the direct path would, so the
-    zero-vector NaN edge case filters identically."""
+    zero-vector NaN edge case filters identically.
+
+    ``output="clusters"`` returns the CLUSTER-level answer (the
+    embedding twin of minhash_lsh_pairs' R140 form): one row per
+    verified distinct-VECTOR pair — (id_a, id_b, cosine, members_a,
+    members_b, n_member_pairs) with cluster-representative ids — plus
+    self-rows for exact-dup vector clusters of size >= 2 (id_a ==
+    id_b, cosine = cos(v, v), n_member_pairs = C(m, 2); zero-vector
+    clusters filter out on the NaN cosine exactly like the pair
+    path). Output cardinality is independent of exact-duplicate mass,
+    while the pair form's member expansion is quadratic in it by the
+    answer's own semantics."""
     from .similarity import cosine_expr, lsh_bucket
 
+    if output not in ("pairs", "clusters"):
+        raise ValueError(
+            f"output must be 'pairs' or 'clusters', got {output!r}"
+        )
     src = _spread(embeddings).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    prof = src.agg(
-        F.count("*").alias("n"), F.countDistinct("vec").alias("d")
-    ).first()
-    collapse = prof.d * 100 <= prof.n * 95
+    if output == "clusters":
+        # cluster output NEEDS the cluster structure; no profile to run
+        collapse = True
+    else:
+        prof = src.agg(
+            F.count("*").alias("n"), F.countDistinct("vec").alias("d")
+        ).first()
+        collapse = prof.d * 100 <= prof.n * 95
     if collapse:
         reps = src.groupBy("vec").agg(F.min("id").alias("id"))
         base = reps.select("id", "vec").localCheckpoint(eager=False)
@@ -1003,6 +1023,53 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= cosine_threshold)
     )
+    if output == "clusters":
+        sizes = src.groupBy("vec").agg(F.count("*").alias("m"))
+        rep_sz = base.join(sizes, "vec").select(
+            F.col("id").alias("rid"), F.col("m")
+        )
+        cross_cl = (
+            rep_pairs.join(
+                rep_sz.select(
+                    F.col("rid").alias("id_a"), F.col("m").alias("members_a")
+                ),
+                "id_a",
+            )
+            .join(
+                rep_sz.select(
+                    F.col("rid").alias("id_b"), F.col("m").alias("members_b")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "cosine",
+                "members_a",
+                "members_b",
+                (F.col("members_a") * F.col("members_b"))
+                .cast("bigint")
+                .alias("n_member_pairs"),
+            )
+        )
+        self_cl = (
+            base.join(sizes, "vec")
+            .filter(F.col("m") >= 2)
+            .select(
+                F.col("id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.round(cosine_expr(F.col("vec"), F.col("vec")), 4).alias(
+                    "cosine"
+                ),
+                F.col("m").alias("members_a"),
+                F.col("m").alias("members_b"),
+                (F.col("m") * (F.col("m") - 1) / 2)
+                .cast("bigint")
+                .alias("n_member_pairs"),
+            )
+            .filter(F.col("cosine") >= cosine_threshold)
+        )
+        return cross_cl.unionByName(self_cl)
     if not collapse:
         return rep_pairs
     # expand representative pairs to member pairs (disjoint clusters:

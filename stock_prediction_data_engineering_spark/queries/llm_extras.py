@@ -135,6 +135,22 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(emb, cosine_threshold=0.2, num_planes=8)
 
 
+@query("q_dedup_embedding_clusters")
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup verdicts at CLUSTER grain (the scale-safe
+    output form of q_dedup_embedding, mirroring
+    q_dedup_minhash_clusters): one row per verified distinct-VECTOR
+    pair with member counts and the implied member-pair count, plus
+    self-rows for exact-dup vector clusters. Output cardinality is
+    independent of exact-duplicate mass — the pair form's member
+    expansion is quadratic in it by the answer's own semantics (see
+    operators/dedup.py embedding_near_dup_pairs)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(
+        emb, cosine_threshold=0.2, num_planes=8, output="clusters"
+    )
+
+
 @query("q_semantic_dedup")
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-scoped semantic dedup (SemDeDup, Abbas et al. 2023):

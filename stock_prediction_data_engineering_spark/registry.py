@@ -284,6 +284,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
+    "q_dedup_embedding_clusters",    # R144 cluster-grain output form
     "q_ann_lsh",                     # L7 hyperplane-LSH buckets
     "q_ann_ivf",                     # L7 IVF-Flat (KMeans cells)
     "q_ann_pq",                      # L7 product quantization (ADC)

@@ -749,6 +749,62 @@ def test_minhash_cluster_output_reconstructs_member_pairs(spark):
     assert sum(r.n_member_pairs for r in cluster_rows) == len(pair_rows)
 
 
+def test_embedding_cluster_output_reconstructs_member_pairs(spark):
+    """The embedding twin of the minhash cluster test: expanding each
+    cluster row of embedding_near_dup_pairs(output='clusters') (cross
+    rows -> members_a x members_b pairs at the row's cosine; self rows
+    -> C(m,2) intra pairs) reproduces the pair-mode answer exactly,
+    and cluster cardinality is duplication-independent."""
+    from itertools import combinations
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.2, 0.1],
+        1: [0.98, 0.02, 0.21, 0.1],  # near-dup of 0
+        2: [-1.0, 0.5, -0.3, 0.9],  # far from both
+    }
+    rows = [
+        (t * 100 + c, [float(x) for x in v])
+        for t, v in vecs.items()
+        for c in range(8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pair_rows = embedding_near_dup_pairs(
+        emb, cosine_threshold=0.9, num_planes=2
+    ).collect()
+    cluster_rows = embedding_near_dup_pairs(
+        emb, cosine_threshold=0.9, num_planes=2, output="clusters"
+    ).collect()
+
+    members = {t: [t * 100 + c for c in range(8)] for t in vecs}
+    th_of = {t * 100 + c: t for t in vecs for c in range(8)}
+    # duplication-independent cardinality: one self row per exact-dup
+    # cluster (3) plus at most one cross row per distinct-vector pair
+    assert len(cluster_rows) <= 3 + 3
+
+    rebuilt = set()
+    for r in cluster_rows:
+        if r.id_a == r.id_b:
+            ids = members[th_of[r.id_a]]
+            assert r.members_a == r.members_b == len(ids)
+            assert r.n_member_pairs == len(ids) * (len(ids) - 1) // 2
+            for a, b in combinations(sorted(ids), 2):
+                rebuilt.add((a, b, r.cosine))
+        else:
+            ids_a, ids_b = members[th_of[r.id_a]], members[th_of[r.id_b]]
+            assert r.n_member_pairs == r.members_a * r.members_b
+            for a in ids_a:
+                for b in ids_b:
+                    rebuilt.add((min(a, b), max(a, b), r.cosine))
+    got = {(r.id_a, r.id_b, r.cosine) for r in pair_rows}
+    assert rebuilt == got
+    assert sum(r.n_member_pairs for r in cluster_rows) == len(pair_rows)
+
+
 def test_audit_collapse_equivalence_under_heavy_duplication(spark):
     """contamination_pairs and leakage_profile must return exactly the
     brute-force answers when the exact-dup collapse engages (10 copies
