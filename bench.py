@@ -50,8 +50,13 @@ HEADLINE_QUERIES = [
     "q_top_revenue_orders",
     # LLM curation composite
     "q_corpus_curation",
-    # LLM-data ops
-    "q_dedup_minhash",
+    # LLM-data ops. The minhash headline is the CLUSTER form (listed
+    # with the round-6 surface below): the pair form (q_dedup_minhash,
+    # still registered, oracle'd and brute-force-pinned) emits m^2
+    # member pairs under duplication by its own declared semantics —
+    # 1.5 B rows at sf10 on the replicated fixture
+    # (MINHASH_ACCOUNTING_r7.json) — so benching it measures answer
+    # writing, not engine work.
     "q_dedup_exact",
     "q_token_explode",
     "q_text_stats",
@@ -284,12 +289,24 @@ def main() -> None:
             clear_rdd_storage()
 
     total = round(sum(times.values()), 3)
+    # Driver contract: stdout carries ONE COMPACT JSON line —
+    # metric/value/unit/queries(min)/sf only. Round 7 inlined the
+    # per-query runs arrays + cpu_probe here and the line outgrew the
+    # driver's stdout capture (BENCH_r07.json parsed=null: the round
+    # lost its official perf record). All diagnostics now ride in a
+    # sidecar file instead ($SPARK_GRAFT_BENCH_SIDECAR, default
+    # bench_sidecar.json next to this script).
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+    }
+    if failed:
+        out["failed"] = failed
+    sidecar = {
+        **out,
         "timing": "warm (min of 2 back-to-back runs; pass 0 pays per-plan codegen)",
         # both timed passes per query (min is the headline number):
         # |r1-r2|/min is the within-window host band per query
@@ -298,8 +315,16 @@ def main() -> None:
         # start and end; normalize cross-time diffs by t32_meps
         "cpu_probe": {"start": probe_start, "end": cpu_probe()},
     }
-    if failed:
-        out["failed"] = failed
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_sidecar.json"),
+    )
+    try:
+        with open(sidecar_path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"[bench] sidecar write failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

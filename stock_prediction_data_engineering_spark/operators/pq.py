@@ -291,19 +291,24 @@ def _exact_rerank(
     (plan sweeps, lints) pay that cost up front.
 
     Large shortlists (``isin_pushdown=False``): no collect, no
-    In-literal — a lazy broadcast semi-join of the vector table
-    against the shortlist ids. Loses scan-level pruning (the
-    shortlist is no longer 'a few row groups' anyway) but keeps the
-    plan size and driver memory O(1) in shortlist length."""
+    In-literal — a lazy semi-join of the vector table against the
+    shortlist ids, with NO broadcast hint: this path is chosen
+    precisely because the shortlist outgrew the bounded-metadata
+    threshold, so its size is unknown and possibly corpus-scale, and
+    a mandated broadcast of an unbounded id set risks driver/executor
+    OOM. AQE's runtime join selection broadcasts it anyway whenever
+    the built side turns out small, and falls back to a shuffled
+    semi-join when it doesn't — exactly the adaptive behavior a hint
+    would override. Loses scan-level pruning (the shortlist is no
+    longer 'a few row groups' anyway) but keeps the plan size and
+    driver memory O(1) in shortlist length."""
     qrow = query_vec.select(F.col(vec_col).alias("qvec")).limit(1)
     cos = F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 4)
     if isin_pushdown:
         ids = [r[0] for r in shortlist_df.select(id_col).collect()]
         cand = rerank_from.filter(F.col(id_col).isin(ids))
     else:
-        cand = rerank_from.join(
-            F.broadcast(shortlist_df.select(id_col)), id_col, "semi"
-        )
+        cand = rerank_from.join(shortlist_df.select(id_col), id_col, "semi")
     return (
         cand.crossJoin(F.broadcast(qrow))
         .select(F.col(id_col), cos.alias("cosine"))

@@ -44,13 +44,34 @@ def staged_append(df: DataFrame, path: str, partition_col: str) -> None:
     needing all-or-nothing batch visibility should publish through the
     snapshot lake (sources/snapshots.py), which readers resolve via an
     atomically-replaced manifest. Orphaned staging dirs from crashed
-    appends stay hidden and harmless; they are NOT swept here because
-    existence alone cannot distinguish a crash from another in-flight
-    appender (the same concurrent-writer trap search_index_expire
-    guards against) — reclaim them manually or on rebuild."""
+    appends stay hidden and harmless; each call also sweeps the ones it
+    can PROVE dead — batch ids embed the writer's pid, so a staging dir
+    whose pid is no longer alive on this host and whose mtime is older
+    than ``stale_staging_secs`` belongs to a crashed append, not an
+    in-flight one (the concurrent-writer trap search_index_expire
+    guards against needs both signals: a live appender's dir has a
+    live pid; a pid recycled to an unrelated process still fails the
+    age test while that appender is actually writing).
+
+    LOCAL FILESYSTEM ONLY: the rename loop uses ``os.rename`` and the
+    pid-liveness sweep assumes writers share this host, so
+    scheme-qualified URIs (s3a://, hdfs://, file://) are rejected with
+    ``ValueError`` rather than silently producing an index the Spark
+    writer could have written but this helper cannot publish. A
+    multi-host object-store lake should publish through the snapshot
+    manifest instead."""
     import os
+    import re
     import shutil
     import uuid
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        raise ValueError(
+            f"staged_append requires a local filesystem path (os.rename "
+            f"publish + pid-liveness sweep); got URI {path!r} — publish "
+            f"object-store lakes via the snapshot manifest instead"
+        )
+    _sweep_dead_staging(os.path.join(path, "_staging"))
 
     batch_id = f"batch-{os.getpid()}-{uuid.uuid4().hex[:12]}"
     stage_dir = os.path.join(path, "_staging", batch_id)
@@ -79,6 +100,47 @@ def staged_append(df: DataFrame, path: str, partition_col: str) -> None:
                 )
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def _sweep_dead_staging(staging_root: str, stale_staging_secs: float = 3600.0) -> None:
+    """Reclaim ``_staging/batch-<pid>-*`` dirs left by CRASHED appends.
+
+    A dir is dead only when BOTH hold: the embedded writer pid is not
+    alive on this host (``os.kill(pid, 0)``), and the dir's mtime is
+    older than ``stale_staging_secs`` — age alone can't rule out a
+    just-started appender whose pid check raced, and pid-death alone
+    can't rule out pid reuse against a long-running appender's dir.
+    Sweep errors are swallowed: reclamation is hygiene, never a reason
+    to fail the append that triggered it."""
+    import os
+    import re
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(staging_root)
+    except OSError:
+        return  # no staging dir yet — nothing to reclaim
+    now = time.time()
+    for name in entries:
+        m = re.match(r"^batch-(\d+)-[0-9a-f]+$", name)
+        if not m:
+            continue
+        d = os.path.join(staging_root, name)
+        try:
+            if now - os.path.getmtime(d) < stale_staging_secs:
+                continue
+            pid = int(m.group(1))
+            try:
+                os.kill(pid, 0)
+                continue  # pid alive: possibly an in-flight appender
+            except ProcessLookupError:
+                pass  # dead pid + stale mtime: provably orphaned
+            except PermissionError:
+                continue  # alive but not ours
+            shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def dot_expr(a: Column, b: Column) -> Column:

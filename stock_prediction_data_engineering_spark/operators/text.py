@@ -55,7 +55,15 @@ def collapse_text_scores(
     hashed = (
         docs.select(id_col, text_col)
         .repartition(par, id_col)
-        .withColumn("__th", F.md5(F.col(text_col).cast("string")))
+        # NULL-safe content key: md5(NULL) is NULL and every equi-join
+        # below drops NULL keys, which would make NULL-text docs vanish
+        # from the collapsed path while the direct path scores them
+        # (contract: one output row per input doc, whichever path runs).
+        # The sentinel starts with \x00 so no real text collides with it.
+        .withColumn(
+            "__th",
+            F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit("\x00__null__"))),
+        )
         .localCheckpoint(eager=False)
     )
     prof = hashed.agg(

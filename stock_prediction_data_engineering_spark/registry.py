@@ -13,7 +13,17 @@ conventions (SURVEY.md §2 legend):
   and the aggregate is bit-identical across engines) and/or
   ``round(x, 4)``;
 - any LIMIT carries a total ORDER BY on a key prefix;
-- no rand/approx functions in oracle-checked queries.
+- no rand/approx functions in oracle-checked queries;
+- DuckDB's integer division ``x // y`` is written in the dual dialect
+  as ``(x - x % y) / y`` (Spark has no ``//``). PRECONDITIONS, which
+  every current use satisfies and any new use must check: (a) x >= 0 —
+  for negative x the rewrite truncates toward zero (both engines'
+  ``%`` follows the dividend's sign) while DuckDB's ``//`` floors
+  toward -inf; (b) |x| < 2^53 — the quotient routes through double
+  ``/`` division, exact only below that. Where either precondition
+  could fail (signed numerators, >=2^53 cross-multiplied products such
+  as ``sum*n*10000`` at extreme scale), use
+  ``CAST(x AS DECIMAL(38,0))`` arithmetic or ``FLOOR(x / y)`` instead.
 """
 
 from __future__ import annotations

@@ -15,7 +15,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_bench_survives_a_broken_query():
+def test_bench_survives_a_broken_query(tmp_path):
     code = """
 import bench
 from stock_prediction_data_engineering_spark import registry
@@ -29,7 +29,12 @@ registry.QUERIES["q_injected_broken"] = _boom
 bench.HEADLINE_QUERIES = ["q_scan_project", "q_injected_broken", "q_multi_agg"]
 bench.main()
 """
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    sidecar = tmp_path / "bench_sidecar.json"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_SIDECAR=str(sidecar),
+    )
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -46,3 +51,12 @@ bench.main()
     assert payload["value"] > 0
     assert "q_injected_broken" in payload["failed"]
     assert "RuntimeError" in payload["failed"]["q_injected_broken"]
+    # Driver contract (round-7 regression: the stdout line grew past
+    # the driver's capture and BENCH_r07 recorded parsed=null): stdout
+    # carries ONLY the compact fields; runs/probe ride in the sidecar.
+    assert set(payload) <= {"metric", "value", "unit", "queries", "sf", "failed"}
+    side = json.loads(sidecar.read_text())
+    assert set(side["runs"]) == {"q_scan_project", "q_multi_agg"}
+    assert all(len(v) == 2 for v in side["runs"].values())
+    assert side["cpu_probe"]["start"]["t1_meps"] > 0
+    assert side["cpu_probe"]["end"]["t32_meps"] > 0

@@ -1314,6 +1314,49 @@ def test_staged_append_visibility_contract(spark, tmp_path):
     assert batch_files, "appended files should carry the batch-id prefix"
 
 
+def test_staged_append_rejects_uris_and_sweeps_dead_staging(spark, tmp_path):
+    """ADVICE r7: staged_append publishes via os.rename + a pid-liveness
+    sweep, both local-filesystem-only — scheme-qualified URIs must be
+    rejected loudly, and staging dirs whose embedded writer pid is dead
+    AND whose mtime is stale must be reclaimed on the next append, while
+    fresh or live-pid dirs survive."""
+    import os
+    import time
+
+    import pytest
+
+    from stock_prediction_data_engineering_spark.operators.similarity import (
+        staged_append,
+    )
+
+    df = spark.range(4).selectExpr("id", "pmod(id, 2) as bucket")
+    with pytest.raises(ValueError, match="local filesystem"):
+        staged_append(df, "s3a://bucket/index", "bucket")
+    with pytest.raises(ValueError, match="local filesystem"):
+        staged_append(df, f"file://{tmp_path}/index", "bucket")
+
+    path = str(tmp_path / "lake")
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging)
+    # provably dead: pid from a child that already exited, stale mtime
+    dead_pid = os.spawnlp(os.P_NOWAIT, "true", "true")
+    os.waitpid(dead_pid, 0)
+    dead_dir = os.path.join(staging, f"batch-{dead_pid}-{'a' * 12}")
+    live_dir = os.path.join(staging, f"batch-{os.getpid()}-{'b' * 12}")
+    fresh_dir = os.path.join(staging, f"batch-{dead_pid}-{'c' * 12}")
+    for d in (dead_dir, live_dir, fresh_dir):
+        os.makedirs(d)
+    old = time.time() - 7200
+    os.utime(dead_dir, (old, old))
+    os.utime(live_dir, (old, old))  # stale but pid alive -> keep
+
+    staged_append(df, path, "bucket")
+    assert not os.path.exists(dead_dir), "dead-pid stale dir must be swept"
+    assert os.path.exists(live_dir), "live-pid dir must survive any age"
+    assert os.path.exists(fresh_dir), "fresh dir must survive a dead pid"
+    assert spark.read.parquet(path).count() == 4
+
+
 def test_segment_dedup_clean_is_identity_without_duplicates(spark):
     """On a corpus whose segments are globally unique, the transform
     is the identity: clean_text == text and nothing is dropped (the

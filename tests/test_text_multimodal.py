@@ -73,11 +73,15 @@ def test_collapse_text_scores_equals_direct_on_duplicated_corpus(spark):
             F.size(F.split("text", " ")).alias("wc"),
         )
 
+    # NULL-text rows ride along: md5(NULL) is NULL, so without the
+    # NULL-safe content key the collapsed path's equi-joins would drop
+    # them while the direct path scores every row (ADVICE r7, medium)
     base = [(i, f"text body {i % 7} with words") for i in range(140)]
+    base += [(1000, None), (1001, None)]
     dup = spark.createDataFrame(base, "doc_id long, text string")
-    got = sorted(map(tuple, collapse_text_scores(dup, scorer).collect()))
-    want = sorted(map(tuple, scorer(dup).collect()))
-    assert got == want and len(got) == 140
+    got = sorted(map(tuple, collapse_text_scores(dup, scorer).collect()), key=str)
+    want = sorted(map(tuple, scorer(dup).collect()), key=str)
+    assert got == want and len(got) == 142
 
     uniq = spark.createDataFrame(
         [(i, f"unique text {i}") for i in range(50)],
