@@ -526,10 +526,18 @@ def minhash_index_probe(
     bands: int = 16,
     n_buckets: int = 64,
     jaccard_threshold: float = 0.7,
+    include_self: bool = False,
 ) -> DataFrame:
     """Find near-duplicates of ``new_docs`` against a persisted index
     (same shingle/band parameters as the build — the caller owns that
     contract). Returns (new_id, corpus_id, jaccard).
+
+    ``include_self=True`` keeps pairs where the SAME id sits on both
+    sides. For a plain forensic probe those pairs are noise, but for
+    an at-least-once admission loop they are the replay signal: a
+    re-delivered batch matches its own already-indexed rows id-for-id
+    at jaccard 1.0, and dropping those pairs would re-admit the whole
+    replay (streaming/ingest.py passes True for exactly this).
 
     Scale shape: the new batch collapses to ONE representative per
     distinct text (the index stores the corpus the same way, see
@@ -628,13 +636,15 @@ def minhash_index_probe(
         .dropDuplicates(["id", "th"])
         .select(F.col("id").alias("corpus_id"), F.col("th").alias("th_c"))
     )
+    expanded = members.join(F.broadcast(verified), "th_c").join(
+        F.broadcast(new_members), "th_n"
+    )
+    if not include_self:
+        # forensic probes drop the same-id-both-sides pair as noise;
+        # admission loops keep it — it IS the replay hit (see above)
+        expanded = expanded.filter(F.col("corpus_id") != F.col("new_id"))
     result = (
-        members.join(F.broadcast(verified), "th_c")
-        .join(F.broadcast(new_members), "th_n")
-        # a new doc may equal a doc in the batch AND the corpus; the
-        # self-pair (same id on both sides) is meaningless — drop it
-        .filter(F.col("corpus_id") != F.col("new_id"))
-        .select("new_id", "corpus_id", "jaccard")
+        expanded.select("new_id", "corpus_id", "jaccard")
         # materialize, then release this probe's caches: in the
         # streaming _admit loop a probe runs every micro-batch, and
         # without the unpersist the cached blocks accumulate for the

@@ -335,13 +335,22 @@ class IvfIndex:
     read-back of a parquet lake partitioned by ``ivf_cell``, so the
     per-query cell filter prunes to the probed partition directories
     (static partition pruning) instead of scanning the corpus.
+
+    With ``codebooks`` (built via ``ivf_build(..., pq_m=...)``) the
+    table also carries a PQ ``codes`` column next to the full vectors,
+    enabling the two-stage search :func:`ivf_search` runs when given a
+    ``shortlist``: ADC over the probed cells' CODES (≈32× fewer bytes
+    than the floats), exact cosine only on the shortlist.
     """
 
-    def __init__(self, table: DataFrame, centroids, vec_col: str, id_col: str):
+    def __init__(
+        self, table: DataFrame, centroids, vec_col: str, id_col: str, codebooks=None
+    ):
         self.table = table
         self.centroids = centroids
         self.vec_col = vec_col
         self.id_col = id_col
+        self.codebooks = codebooks
 
     @property
     def n_cells(self) -> int:
@@ -357,6 +366,8 @@ def ivf_build(
     sample_fraction: float | None = None,
     fit_limit: int | None = 16384,
     path: str | None = None,
+    pq_m: int | None = None,
+    pq_nbits: int = 8,
 ) -> IvfIndex:
     """Build the IVF index: fit the coarse quantizer on a sample, then
     assign every corpus row to its cell (one distributed transform).
@@ -380,6 +391,13 @@ def ivf_build(
     the quantizer fit must be O(sample), only the assignment O(corpus).
     ``path`` persists the assignment partitioned by ``ivf_cell`` so
     later searches read only the probed cells' directories.
+
+    ``pq_m`` additionally fits PQ codebooks (sample-bounded, same rule
+    as the quantizer) and attaches a ``codes`` column: the IVF-Flat
+    recall ceiling is candidate MEMBERSHIP (in-cell scoring is already
+    exact cosine), and membership only widens by probing more cells —
+    affordable exactly when the probe scan reads code bytes, not float
+    bytes. See :func:`ivf_search`'s ``shortlist`` stage.
     """
     fit_input = (
         corpus.sample(fraction=sample_fraction, seed=seed)
@@ -403,6 +421,14 @@ def ivf_build(
         fit_input = fit_input.orderBy(F.xxhash64(F.col(vec_col))).limit(fit_limit)
     model, centroids = ivf_fit_centroids(fit_input, vec_col, n_cells, seed)
     assigned = ivf_assign(corpus, model, vec_col)
+    codebooks = None
+    if pq_m is not None:
+        from .pq import pq_encode_df, pq_fit_codebooks  # lazy: pq imports us
+
+        codebooks = pq_fit_codebooks(
+            fit_input, vec_col, m=pq_m, nbits=pq_nbits, seed=seed
+        )
+        assigned = pq_encode_df(assigned, codebooks, vec_col)
     if path is not None:
         (
             assigned.repartition("ivf_cell")
@@ -411,7 +437,7 @@ def ivf_build(
             .parquet(path)
         )
         assigned = corpus.sparkSession.read.parquet(path)
-    return IvfIndex(assigned, centroids, vec_col, id_col)
+    return IvfIndex(assigned, centroids, vec_col, id_col, codebooks=codebooks)
 
 
 def ivf_search(
@@ -419,6 +445,7 @@ def ivf_search(
     query_vec: DataFrame,
     k: int = 10,
     nprobe: int = 4,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """Search a built index: probe the ``nprobe`` cells whose centroids
     are nearest the query, brute-force cosine only inside them.
@@ -427,6 +454,17 @@ def ivf_search(
     plain predicate over the persisted assignment, so a lake-backed
     index prunes to the probed partitions. Euclidean cell choice +
     cosine re-rank is the standard FAISS IVF-Flat shape.
+
+    ``shortlist`` (requires a ``pq_m`` build) switches to the
+    two-stage scan PQ search proved out (recall 0.595 → ≥0.9 on the
+    harness corpus): ADC over the probed cells' ``codes`` column picks
+    ``shortlist`` candidates reading ~m bytes/row instead of dim·4,
+    then :func:`operators.pq._exact_rerank` re-scores ONLY those rows
+    with true cosine from the vectors the index already stores. The
+    float read is |shortlist| rows, so ``nprobe`` can widen far enough
+    to fix the MEMBERSHIP misses that cap plain IVF-Flat recall while
+    total bytes stay ≈ (probed rows)·m + |shortlist|·dim·4 — pass a
+    wider ``nprobe`` (e.g. 12 of 16) together with ``shortlist``.
     """
     import numpy as np
 
@@ -435,12 +473,51 @@ def ivf_search(
     if qn > 0:
         q = q / qn  # match the quantizer's unit-sphere space
     probed = np.argsort(((index.centroids - q) ** 2).sum(axis=1))[:nprobe].tolist()
+    cells = index.table.filter(F.col("ivf_cell").isin(probed))
+
+    if shortlist is not None:
+        if index.codebooks is None:
+            raise ValueError(
+                "shortlist search needs PQ codes: build with ivf_build(..., pq_m=...)"
+            )
+        from .pq import (  # lazy: pq imports us at module level
+            ISIN_PUSHDOWN_MAX,
+            _exact_rerank,
+            _lut_row,
+            adc_score_expr,
+        )
+
+        qrow = query_vec.select(index.vec_col).first()
+        lut_df = _lut_row(index.table.sparkSession, index.codebooks, qrow[0])
+        kk = int(np.asarray(index.codebooks).shape[1])
+        adc_top = (
+            # column-pruned: the ADC stage reads (id, cell, codes) only —
+            # never the float vectors sitting in the same files
+            cells.select(index.id_col, "codes")
+            .crossJoin(F.broadcast(lut_df))
+            .select(
+                F.col(index.id_col),
+                F.round(adc_score_expr(F.col("codes"), F.col("lut"), kk), 4).alias(
+                    "adc_score"
+                ),
+            )
+            .orderBy(F.col("adc_score").desc(), F.col(index.id_col))
+            .limit(shortlist)
+        )
+        return _exact_rerank(
+            adc_top,
+            index.table.select(index.id_col, index.vec_col),
+            query_vec.select(F.col(index.vec_col)),
+            k,
+            index.vec_col,
+            index.id_col,
+            isin_pushdown=shortlist <= ISIN_PUSHDOWN_MAX,
+        )
 
     qdf = query_vec.select(F.col(index.vec_col).alias("qvec")).limit(1)
     cos = F.round(cosine_expr(F.col(index.vec_col), F.col("qvec")), 4)
     return (
-        index.table.filter(F.col("ivf_cell").isin(probed))
-        .crossJoin(F.broadcast(qdf))
+        cells.crossJoin(F.broadcast(qdf))
         .select(F.col(index.id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(index.id_col))
         .limit(k)
@@ -473,6 +550,8 @@ def ivf_index_write(
     seed: int = 42,
     sample_fraction: float | None = None,
     fit_limit: int | None = 16384,
+    pq_m: int | None = None,
+    pq_nbits: int = 8,
 ) -> IvfIndex:
     """Persist a reloadable, APPENDABLE IVF index: :func:`ivf_build`'s
     cell-partitioned assignment lake plus a ``_ivf_meta.json`` sidecar
@@ -496,17 +575,21 @@ def ivf_index_write(
         sample_fraction,
         fit_limit,
         path=path,
+        pq_m=pq_m,
+        pq_nbits=pq_nbits,
     )
+    meta = {
+        "format": "ivf-flat",
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "centroids": index.centroids.tolist(),
+    }
+    if index.codebooks is not None:
+        # frozen with the quantizer: appended batches encode against
+        # these codebooks, the same no-refit contract as the centroids
+        meta["codebooks"] = index.codebooks.tolist()
     with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
-        json.dump(
-            {
-                "format": "ivf-flat",
-                "vec_col": vec_col,
-                "id_col": id_col,
-                "centroids": index.centroids.tolist(),
-            },
-            fh,
-        )
+        json.dump(meta, fh)
     return index
 
 
@@ -521,11 +604,13 @@ def ivf_index_load(spark: SparkSession, path: str) -> IvfIndex:
     with open(os.path.join(path, "_ivf_meta.json")) as fh:
         meta = json.load(fh)
     table = spark.read.parquet(path)
+    cb = meta.get("codebooks")
     return IvfIndex(
         table,
         np.asarray(meta["centroids"], dtype=float),
         meta["vec_col"],
         meta["id_col"],
+        codebooks=None if cb is None else np.asarray(cb, dtype=float),
     )
 
 
@@ -543,6 +628,10 @@ def ivf_index_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
     exact visibility contract."""
     index = ivf_index_load(spark, path)
     assigned = ivf_assign(batch, index.centroids, index.vec_col)
+    if index.codebooks is not None:
+        from .pq import pq_encode_df  # lazy: pq imports us at module level
+
+        assigned = pq_encode_df(assigned, index.codebooks, index.vec_col)
     staged_append(assigned, path, "ivf_cell")
 
 
@@ -551,13 +640,23 @@ class LshIndex:
     Build once, search many times. When ``path`` was given to
     :func:`lsh_build`, ``table`` reads a lake partitioned by
     ``bucket``, so per-query bucket predicates prune to the probed
-    partition directories."""
+    partition directories. With ``codebooks`` (``lsh_build(...,
+    pq_m=...)``) the table also carries PQ ``codes`` for the
+    two-stage ``shortlist`` search in :func:`lsh_search`."""
 
-    def __init__(self, table: DataFrame, num_planes: int, vec_col: str, id_col: str):
+    def __init__(
+        self,
+        table: DataFrame,
+        num_planes: int,
+        vec_col: str,
+        id_col: str,
+        codebooks=None,
+    ):
         self.table = table
         self.num_planes = num_planes
         self.vec_col = vec_col
         self.id_col = id_col
+        self.codebooks = codebooks
 
 
 def lsh_build(
@@ -566,12 +665,25 @@ def lsh_build(
     id_col: str = "vec_id",
     num_planes: int = 8,
     path: str | None = None,
+    pq_m: int | None = None,
+    pq_nbits: int = 8,
+    seed: int = 42,
 ) -> LshIndex:
     """Assign every corpus row its hyperplane-LSH bucket (one map-only
     pass — hyperplanes are hash-synthesized, nothing is fit) and
     optionally persist partitioned by bucket for partition-pruned
-    searches."""
+    searches. ``pq_m`` fits sample-bounded PQ codebooks and attaches a
+    ``codes`` column, enabling the wide-probe + exact-rerank search
+    (see :func:`lsh_search`'s ``shortlist``)."""
     bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), num_planes))
+    codebooks = None
+    if pq_m is not None:
+        from .pq import pq_encode_df, pq_fit_codebooks  # lazy: pq imports us
+
+        codebooks = pq_fit_codebooks(
+            corpus, vec_col, m=pq_m, nbits=pq_nbits, seed=seed
+        )
+        bucketed = pq_encode_df(bucketed, codebooks, vec_col)
     if path is not None:
         (
             bucketed.repartition("bucket")
@@ -580,7 +692,7 @@ def lsh_build(
             .parquet(path)
         )
         bucketed = corpus.sparkSession.read.parquet(path)
-    return LshIndex(bucketed, num_planes, vec_col, id_col)
+    return LshIndex(bucketed, num_planes, vec_col, id_col, codebooks=codebooks)
 
 
 def lsh_index_write(
@@ -589,42 +701,51 @@ def lsh_index_write(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_planes: int = 8,
+    pq_m: int | None = None,
+    pq_nbits: int = 8,
 ) -> LshIndex:
     """Persist a reloadable, APPENDABLE LSH index: the
     bucket-partitioned lake plus a ``_lsh_meta.json`` sidecar pinning
     ``num_planes`` and column names. LSH has no fitted state (planes
     are hash-synthesized from their indices), so append-ingest is
     exact, not drift-prone: any batch bucketed with the same plane
-    count lands in the right directories forever."""
+    count lands in the right directories forever. With ``pq_m`` the
+    sidecar also freezes the fitted PQ codebooks (appends encode
+    against them, never refit — same contract as the IVF centroids)."""
     import json
     import os
 
-    index = lsh_build(corpus, vec_col, id_col, num_planes, path=path)
+    index = lsh_build(corpus, vec_col, id_col, num_planes, path=path, pq_m=pq_m, pq_nbits=pq_nbits)
+    meta = {
+        "format": "hyperplane-lsh",
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "num_planes": num_planes,
+    }
+    if index.codebooks is not None:
+        meta["codebooks"] = index.codebooks.tolist()
     with open(os.path.join(path, "_lsh_meta.json"), "w") as fh:
-        json.dump(
-            {
-                "format": "hyperplane-lsh",
-                "vec_col": vec_col,
-                "id_col": id_col,
-                "num_planes": num_planes,
-            },
-            fh,
-        )
+        json.dump(meta, fh)
     return index
 
 
 def lsh_index_load(spark: SparkSession, path: str) -> LshIndex:
-    """Reload a persisted LSH index (lake + plane count)."""
+    """Reload a persisted LSH index (lake + plane count + any frozen
+    PQ codebooks)."""
     import json
     import os
 
+    import numpy as np
+
     with open(os.path.join(path, "_lsh_meta.json")) as fh:
         meta = json.load(fh)
+    cb = meta.get("codebooks")
     return LshIndex(
         spark.read.parquet(path),
         meta["num_planes"],
         meta["vec_col"],
         meta["id_col"],
+        codebooks=None if cb is None else np.asarray(cb, dtype=float),
     )
 
 
@@ -632,12 +753,88 @@ def lsh_index_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
     """Ingest a new vector batch into a persisted LSH index: bucket
     with the index's pinned plane count (map-only, O(batch)) and
     append into the existing ``bucket=`` directories via
-    :func:`staged_append` (failed appends never reader-visible)."""
+    :func:`staged_append` (failed appends never reader-visible).
+    Indexes built with PQ codes encode the batch against the frozen
+    codebooks in the same map."""
     index = lsh_index_load(spark, path)
     bucketed = batch.withColumn(
         "bucket", lsh_bucket(F.col(index.vec_col), index.num_planes)
     )
+    if index.codebooks is not None:
+        from .pq import pq_encode_df  # lazy: pq imports us at module level
+
+        bucketed = pq_encode_df(bucketed, index.codebooks, index.vec_col)
     staged_append(bucketed, path, "bucket")
+
+
+def lsh_probe_buckets(q_bucket: int, num_planes: int, multi_probe: int) -> list[int]:
+    """All bucket ids within Hamming distance ``multi_probe`` of the
+    query signature — the classic multi-probe LSH widener, generalized
+    to any radius (planes are unweighted, so every same-distance flip
+    set is equally likely to hold near neighbors). Probe count is
+    sum of C(planes, d) for d ≤ multi_probe — driver-side metadata."""
+    from itertools import combinations
+
+    buckets = {q_bucket}
+    for d in range(1, multi_probe + 1):
+        for flips in combinations(range(num_planes), d):
+            b = q_bucket
+            for p in flips:
+                b ^= 1 << p
+            buckets.add(b)
+    return sorted(buckets)
+
+
+def lsh_plane_dots(query_vec: DataFrame, vec_col: str, num_planes: int) -> list[float]:
+    """The query's raw dot product against each hash-synthesized
+    hyperplane — one 1-row Spark job over the same JVM expressions
+    :func:`lsh_bucket` folds into sign bits. |dot_p| is the margin of
+    the query to plane p's boundary: the confidence that true
+    neighbors share bit p."""
+    def _plane_term(p: int):
+        return lambda x, i: x.cast("double") * (
+            (F.xxhash64(F.lit(p), i) % 10007).cast("double") / 10007.0
+        )
+
+    vec = F.col(vec_col)
+    exprs = [
+        F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _plane_term(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{p}")
+        for p in range(num_planes)
+    ]
+    row = query_vec.select(*exprs).first()
+    return [float(row[p]) for p in range(num_planes)]
+
+
+def lsh_directed_probes(
+    q_bucket: int, dots: list[float], probe_budget: int
+) -> list[int]:
+    """Query-directed multi-probe (Lv et al., "Multi-Probe LSH", VLDB
+    2007): rank candidate buckets by the total margin |dot_p| of the
+    sign bits flipped to reach them — a bucket reached by flipping
+    only low-confidence bits is far more likely to hold the query's
+    true neighbors than one at the same Hamming distance across
+    high-margin planes. Returns the ``probe_budget`` best buckets
+    (query bucket first). Pure driver-side metadata: all 2^planes
+    flip masks are scored with one numpy pass (planes ≤ 20 enforced —
+    beyond that, signatures are too fine for bucket probing anyway)."""
+    import numpy as np
+
+    num_planes = len(dots)
+    if num_planes > 20:
+        raise ValueError("directed probing enumerates 2^planes masks; use <= 20 planes")
+    margins = np.abs(np.asarray(dots, dtype=float))
+    n = 1 << num_planes
+    masks = np.arange(n, dtype=np.uint32)
+    # cost[mask] = sum of margins over set bits — vectorized bitplane sum
+    cost = np.zeros(n)
+    for p in range(num_planes):
+        cost[(masks >> p) & 1 == 1] += margins[p]
+    order = np.argsort(cost, kind="stable")[: max(1, probe_budget)]
+    return [int(q_bucket ^ int(m)) for m in order]
 
 
 def lsh_search(
@@ -645,33 +842,83 @@ def lsh_search(
     query_vec: DataFrame,
     k: int = 10,
     multi_probe: int = 0,
+    shortlist: int | None = None,
+    probe_budget: int | None = None,
 ) -> DataFrame:
     """Search a built LSH index: scan the query's bucket, plus — with
     ``multi_probe`` > 0 — every bucket within that Hamming distance of
-    the query signature (flipping the least-confident sign bits is the
-    classic multi-probe LSH recall widener; here all single/double bit
-    flips, since planes are unweighted). Candidates grow by
-    ~C(planes, multi_probe) buckets while the corpus scan stays
-    bucket-bounded."""
-    qrow = query_vec.select(F.col(index.vec_col).alias("qvec")).limit(1)
-    q_bucket_df = qrow.withColumn(
-        "bucket", lsh_bucket(F.col("qvec"), index.num_planes)
-    )
-    q_bucket = q_bucket_df.select("bucket").first()[0]
+    the query signature (see :func:`lsh_probe_buckets`). Candidates
+    grow by ~C(planes, multi_probe) buckets while the corpus scan
+    stays bucket-bounded. ``probe_budget`` replaces the Hamming ball
+    with query-DIRECTED probing (see :func:`lsh_directed_probes`):
+    the budgeted number of buckets ranked by flipped-bit margin —
+    strictly better membership per probed bucket, at the cost of one
+    extra 1-row Spark job for the plane dots.
 
-    buckets = {q_bucket}
-    if multi_probe >= 1:
-        for p in range(index.num_planes):
-            buckets.add(q_bucket ^ (1 << p))
-    if multi_probe >= 2:
-        for p1 in range(index.num_planes):
-            for p2 in range(p1 + 1, index.num_planes):
-                buckets.add(q_bucket ^ (1 << p1) ^ (1 << p2))
+    ``shortlist`` (requires a ``pq_m`` build) runs the two-stage scan:
+    ADC over the probed buckets' ``codes`` (~m bytes/row), exact
+    cosine only on the ``shortlist`` winners read back from the
+    index's own vectors. Plain LSH recall is capped by bucket
+    MEMBERSHIP — in-bucket scoring is already exact — and membership
+    only widens by probing more buckets, which is affordable exactly
+    when the probe reads code bytes: pass a wide probe set (e.g.
+    ``probe_budget≈half the buckets``) together with ``shortlist``
+    and total bytes stay ≈ (probed rows)·m + |shortlist|·dim·4."""
+    qrow = query_vec.select(F.col(index.vec_col).alias("qvec")).limit(1)
+    if probe_budget is not None:
+        dots = lsh_plane_dots(query_vec, index.vec_col, index.num_planes)
+        q_bucket = sum(1 << p for p, d in enumerate(dots) if d > 0)
+        buckets = lsh_directed_probes(q_bucket, dots, probe_budget)
+    else:
+        q_bucket_df = qrow.withColumn(
+            "bucket", lsh_bucket(F.col("qvec"), index.num_planes)
+        )
+        q_bucket = q_bucket_df.select("bucket").first()[0]
+        buckets = lsh_probe_buckets(q_bucket, index.num_planes, multi_probe)
+    probed = index.table.filter(F.col("bucket").isin(buckets))
+
+    if shortlist is not None:
+        if index.codebooks is None:
+            raise ValueError(
+                "shortlist search needs PQ codes: build with lsh_build(..., pq_m=...)"
+            )
+        import numpy as np
+
+        from .pq import (  # lazy: pq imports us at module level
+            ISIN_PUSHDOWN_MAX,
+            _exact_rerank,
+            _lut_row,
+            adc_score_expr,
+        )
+
+        q = query_vec.select(index.vec_col).first()
+        lut_df = _lut_row(index.table.sparkSession, index.codebooks, q[0])
+        kk = int(np.asarray(index.codebooks).shape[1])
+        adc_top = (
+            probed.select(index.id_col, "codes")
+            .crossJoin(F.broadcast(lut_df))
+            .select(
+                F.col(index.id_col),
+                F.round(adc_score_expr(F.col("codes"), F.col("lut"), kk), 4).alias(
+                    "adc_score"
+                ),
+            )
+            .orderBy(F.col("adc_score").desc(), F.col(index.id_col))
+            .limit(shortlist)
+        )
+        return _exact_rerank(
+            adc_top,
+            index.table.select(index.id_col, index.vec_col),
+            query_vec.select(F.col(index.vec_col)),
+            k,
+            index.vec_col,
+            index.id_col,
+            isin_pushdown=shortlist <= ISIN_PUSHDOWN_MAX,
+        )
 
     cos = F.round(cosine_expr(F.col(index.vec_col), F.col("qvec")), 4)
     return (
-        index.table.filter(F.col("bucket").isin(sorted(buckets)))
-        .crossJoin(F.broadcast(qrow))
+        probed.crossJoin(F.broadcast(qrow))
         .select(F.col(index.id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(index.id_col))
         .limit(k)

@@ -226,6 +226,35 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_search(index, qv, k=10, rerank_from=emb)
 
 
+@query("q_ann_lsh_rerank")
+def q_ann_lsh_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH composed with the exact-rerank stage (L7, round-8): the
+    hybrid index stores PQ codes next to the vectors; the search runs
+    query-DIRECTED multi-probe (buckets ranked by flipped-bit margin,
+    Lv et al. VLDB 2007), ADC over the probed buckets' CODES, then
+    true cosine on the shortlist only. Lifts recall@10 from 0.36 to
+    ≥0.9 at <10% byte-equivalent scan (ANN_RECALL_r8,
+    tests/test_ann_recall_gate.py). Rows-only — model-dependent."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    index = similarity.lsh_build(emb, num_planes=6, pq_m=8)
+    return similarity.lsh_search(index, qv, k=10, probe_budget=56, shortlist=100)
+
+
+@query("q_ann_ivf_rerank")
+def q_ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat composed with the exact-rerank stage (L7, round-8):
+    codes attached at build, wide nprobe over code bytes, exact cosine
+    on the shortlist read back from the index's own vectors. Lifts
+    recall@10 from 0.595 to ≥0.9 at <10% byte-equivalent scan
+    (ANN_RECALL_r8, tests/test_ann_recall_gate.py). Rows-only —
+    model-dependent."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    index = similarity.ivf_build(emb, n_cells=16, pq_m=8)
+    return similarity.ivf_search(index, qv, k=10, nprobe=12, shortlist=100)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 

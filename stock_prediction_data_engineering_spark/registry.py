@@ -300,6 +300,8 @@ ROWS_ONLY: tuple[str, ...] = (
     "q_ann_pq",                      # L7 product quantization (ADC)
     "q_ann_ivfpq",                   # L7 composed IVF-PQ (residual ADC)
     "q_ann_pq_rerank",               # L7 ADC shortlist → exact re-rank
+    "q_ann_lsh_rerank",              # L7 directed-probe LSH → exact re-rank
+    "q_ann_ivf_rerank",              # L7 wide-nprobe IVF → exact re-rank
     "q_grouped_map_zscore",          # D2 applyInPandas
     "q_multimodal_features",         # L8 binary payload decode
     "q_multimodal_frame_sample",

@@ -82,6 +82,7 @@ def snapshot_write(
     compression: str = "snappy",
     max_retries: int = 5,
     extra_meta: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to the snapshot table at ``path``; returns the new
     version number.
@@ -95,10 +96,36 @@ def snapshot_write(
     directory named by pid+counter (unique per attempt), so a lost
     commit race re-publishes the already-written files under the next
     version instead of rewriting data.
+
+    ``txn=(app_id, epoch)`` makes the commit IDEMPOTENT per
+    application transaction (the Delta ``txnAppId``/``txnVersion``
+    pattern): the tag rides the manifest, and a commit whose tag
+    already appears in the published log is SKIPPED (the existing
+    version is returned, no data written). This is what upgrades an
+    at-least-once ``foreachBatch`` re-delivery into an exactly-once
+    visible table — a replayed (stream, epoch) pair hits the recorded
+    tag and becomes a no-op. The check re-runs inside the optimistic
+    retry loop, so a concurrent replayer that wins the version race
+    is seen before this writer publishes a duplicate.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_snap_dir(path), exist_ok=True)
+
+    def _txn_committed() -> int | None:
+        if txn is None:
+            return None
+        app, epoch = txn
+        for v in list_versions(path):
+            m = _load_manifest(path, v)
+            t = m.get("txn")
+            if t and t.get("app") == app and t.get("epoch") == epoch:
+                return v
+        return None
+
+    already = _txn_committed()
+    if already is not None:
+        return already
 
     # unique, never-published staging dir for this attempt's data
     # files. The name must be claimed ATOMICALLY (os.mkdir, not an
@@ -131,6 +158,13 @@ def snapshot_write(
 
     for retry in range(max_retries):
         versions = list_versions(path)
+        if retry > 0:
+            # a lost race may have been a concurrent replay of OUR txn —
+            # re-check before publishing a duplicate on top of it
+            already = _txn_committed()
+            if already is not None:
+                shutil.rmtree(full, ignore_errors=True)
+                return already
         new_version = (versions[-1] + 1) if versions else 1
         if mode == "append" and versions:
             prev = _load_manifest(path, versions[-1])
@@ -145,6 +179,8 @@ def snapshot_write(
             "n_files_added": n_files,
             "partition_cols": list(partition_cols),
         }
+        if txn is not None:
+            manifest["txn"] = {"app": txn[0], "epoch": txn[1]}
         if extra_meta:
             # caller metadata rides the manifest, so it commits in the
             # SAME atomic publish as the data (e.g. the join-view

@@ -16,12 +16,28 @@ bounded micro-batch inside ``foreachBatch`` — no second dedup
 implementation, and per-batch cost is the O(batch) probe path measured
 in tools/scale_sweep_dedup.py, never a corpus re-dedup.
 
-Exactly-once note: foreachBatch gives at-least-once; the lake append
-is idempotent per (doc_id) only if upstream delivers each doc once.
-For replay-safe ingest, stage admissions through
-``streaming/upsert.upsert_batch`` keyed on doc_id instead of the
-plain append — kept out of this operator to keep the admission logic
-inspectable.
+Exactly-once note: foreachBatch gives at-least-once; the loop makes a
+replayed batch converge instead of double-admitting (round-8):
+
+- the index probe runs with ``include_self=True``, so a re-delivered
+  doc matches its own already-indexed row (same id, jaccard 1.0) and
+  the whole replay drops at the probe once the MinHash append has
+  committed;
+- with ``snapshot_lake=True`` the lake commit carries the
+  ``(txn_app, epoch_id)`` transaction tag, so a replay that reaches
+  the lake step anyway (crash BETWEEN lake commit and index append)
+  skips the already-published commit instead of appending twice;
+- the MinHash index append runs LAST: it is the replay detector, so
+  every other effect must be durable before it commits. A crash
+  before it leaves a replay that re-runs the earlier steps — the lake
+  skips via the txn tag and the substring index tolerates the benign
+  double-append (its probe dedups ids).
+
+With the plain parquet lake (``snapshot_lake=False``) the
+crash-between-lake-and-index window can still double-append the lake
+— full replay idempotence needs the snapshot lake's commit tags.
+Full-batch replays (the common lost-checkpoint case) are no-ops in
+both modes, pinned by tests/test_snapshots.py.
 """
 
 from __future__ import annotations
@@ -49,6 +65,7 @@ def start_dedup_ingest(
     snapshot_lake: bool = False,
     substring_index_path: str | None = None,
     substring_min_shared: int = 1,
+    txn_app: str = "dedup-ingest",
 ):
     """Start the admission stream. ``docs`` must carry (id_col,
     text_col). The index directory may be absent (cold start): the
@@ -86,7 +103,9 @@ def start_dedup_ingest(
             .filter("is_canonical")
             .select(batch.columns)
         )
-        # 2) cross-batch dedup: drop anything the corpus already has
+        # 2) cross-batch dedup: drop anything the corpus already has.
+        # include_self: a replayed batch matches its own indexed rows
+        # id-for-id — those hits make the replay a no-op (module note)
         if os.path.isdir(f"{index_path}/bands"):
             hits = minhash_index_probe(
                 survivors,
@@ -94,6 +113,7 @@ def start_dedup_ingest(
                 text_col=text_col,
                 id_col=id_col,
                 jaccard_threshold=jaccard_threshold,
+                include_self=True,
             ).select(F.col("new_id").alias(id_col)).distinct()
             survivors = survivors.join(hits, id_col, "left_anti")
         # 2b) cross-batch verbatim screen (optional, orthogonal axis)
@@ -123,16 +143,16 @@ def start_dedup_ingest(
         if snapshot_lake:
             from ..sources.snapshots import snapshot_write
 
-            snapshot_write(survivors, lake_path, mode="append")
+            # txn tag: a replay that re-reaches this step after a
+            # crash-between-lake-and-index skips the duplicate commit
+            snapshot_write(
+                survivors, lake_path, mode="append", txn=(txn_app, epoch_id)
+            )
         else:
             survivors.write.mode("append").parquet(lake_path)
-        minhash_index_write(
-            survivors,
-            index_path,
-            text_col=text_col,
-            id_col=id_col,
-            mode="append",
-        )
+        # appends in crash-safety order: the MinHash index commits
+        # LAST because its probe is the replay detector — everything
+        # it would suppress on replay must already be durable
         if substring_index_path is not None:
             from ..operators.winnow import winnow_index_write
 
@@ -143,6 +163,13 @@ def start_dedup_ingest(
                 text_col=text_col,
                 mode="append",
             )
+        minhash_index_write(
+            survivors,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            mode="append",
+        )
 
     return (
         docs.writeStream.outputMode("append")
@@ -157,6 +184,7 @@ def start_snapshot_sink(
     table_path: str,
     partition_cols: tuple[str, ...] = (),
     checkpoint: str | None = None,
+    txn_app: str = "snapshot-sink",
 ):
     """Stream micro-batches into a snapshot-versioned table
     (sources/snapshots.py): every micro-batch publishes as ONE atomic
@@ -166,18 +194,28 @@ def start_snapshot_sink(
     and incremental consumers pick up exactly the new batches via
     ``snapshot_changes(since_version)``.
 
-    Exactly-once note: foreachBatch is at-least-once; a replayed batch
-    would commit twice. The manifest records one commit per batch, so
-    a consumer CAN de-duplicate replays by tracking (epoch -> version)
-    — or stage through upsert for full idempotence, as with
-    start_dedup_ingest. Returns the StreamingQuery."""
+    Exactly-once: foreachBatch delivery is at-least-once, so each
+    commit carries the transaction tag ``(txn_app, epoch_id)`` and
+    ``snapshot_write`` SKIPS a tag already in the published log (the
+    Delta txnAppId/txnVersion pattern) — a batch re-delivered after a
+    crash-between-commit-and-checkpoint becomes a no-op and the
+    visible table is exactly-once (replay-pinned in
+    tests/test_streaming.py). Streams from DIFFERENT sources writing
+    into one table must pass distinct ``txn_app`` ids — epoch ids are
+    per-checkpoint, and two streams sharing the default app id would
+    silently drop each other's same-numbered epochs. Returns the
+    StreamingQuery."""
     from ..sources.snapshots import snapshot_write
 
     def _commit(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         snapshot_write(
-            batch, table_path, mode="append", partition_cols=partition_cols
+            batch,
+            table_path,
+            mode="append",
+            partition_cols=partition_cols,
+            txn=(txn_app, epoch_id),
         )
 
     w = docs.writeStream.outputMode("append").foreachBatch(_commit)

@@ -48,6 +48,14 @@ FLOORS = {
     # clear the ≥0.9 @ ≤10%-bytes scale bar, gated here.
     "recall_pq_rerank": 0.9,
     "recall_ivfpq_rerank": 0.9,
+    # round-8: the plain LSH / IVF-Flat paths composed with the same
+    # exact-rerank stage (codes attached at build, wide probe over
+    # code bytes, true cosine on the shortlist). Measured here:
+    # lsh_rerank 0.98 (query-directed probe budget 56/64 buckets),
+    # ivf_rerank 0.96 (nprobe 12/16) — up from the unreranked 0.24 /
+    # 0.68 rows. Floors at the same ≥0.9 bar as the PQ rerank paths.
+    "recall_lsh_rerank": 0.9,
+    "recall_ivf_rerank": 0.9,
 }
 
 

@@ -86,6 +86,22 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
     # reading 4× fewer code bytes than unpruned PQ rerank.
     params["nprobe_rerank"] = 12
     hits_pq_rr = hits_ivfpq_rr = scanned_ivfpq_rr = 0
+    # round-8: the plain LSH / IVF-Flat paths get the same two-stage
+    # treatment (codes attached at build, ADC over a WIDE probe set,
+    # exact rerank from the index's own vectors). Plain-path recall is
+    # membership-capped (in-bucket/in-cell scoring is already exact),
+    # so the probe set must widen — affordable at code bytes. LSH uses
+    # query-DIRECTED probing (flipped-bit margin order); swept at
+    # sf0.001: budget 48→0.88, 52→0.92, 56→0.98 recall@10 at scan_rows
+    # 0.75/0.81/0.88 — 56 of 64 buckets clears the ≥0.9 floor with
+    # margin while code compression keeps bytes <10%. On this
+    # weakly-clustered corpus the planes carry little signal (lift ~3),
+    # so a high-recall probe set IS most of the buckets; the byte win
+    # comes from scanning codes, not from pruning.
+    params["lsh_probe_budget_rerank"] = 56
+    lsh_rr_idx = sim.lsh_build(emb, num_planes=params["num_planes"], pq_m=8)
+    ivf_rr_idx = sim.ivf_build(emb, n_cells=params["n_cells"], pq_m=8)
+    hits_lsh_rr = hits_ivf_rr = scanned_lsh_rr = scanned_ivf_rr = 0
 
     def _probe(idx, qvec, qid, nprobe):
         """Search corpus-minus-query and count actually-scanned rows."""
@@ -188,6 +204,66 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
         scanned_ivfpq_rr += ivfpq_q.table.filter(
             F.col("ivf_cell").isin(cell_order[: params["nprobe_rerank"]].tolist())
         ).count()
+        # reranked plain paths: corpus-minus-query views of the hybrid
+        # indexes (vectors + codes in the same table)
+        lsh_rr_q = sim.LshIndex(
+            lsh_rr_idx.table.filter(F.col("vec_id") != qid),
+            lsh_rr_idx.num_planes,
+            lsh_rr_idx.vec_col,
+            lsh_rr_idx.id_col,
+            codebooks=lsh_rr_idx.codebooks,
+        )
+        hits_lsh_rr += len(
+            exact
+            & {
+                r.vec_id
+                for r in sim.lsh_search(
+                    lsh_rr_q,
+                    qvec,
+                    k=k,
+                    probe_budget=params["lsh_probe_budget_rerank"],
+                    shortlist=params["rerank_shortlist"],
+                ).collect()
+            }
+        )
+        dots_rr = sim.lsh_plane_dots(qvec, "embedding", params["num_planes"])
+        qb_rr = sum(1 << p for p, d in enumerate(dots_rr) if d > 0)
+        probes_rr = sim.lsh_directed_probes(
+            qb_rr, dots_rr, params["lsh_probe_budget_rerank"]
+        )
+        scanned_lsh_rr += lsh_rr_q.table.filter(
+            F.col("bucket").isin(probes_rr)
+        ).count()
+        ivf_rr_q = sim.IvfIndex(
+            ivf_rr_idx.table.filter(F.col("vec_id") != qid),
+            ivf_rr_idx.centroids,
+            ivf_rr_idx.vec_col,
+            ivf_rr_idx.id_col,
+            codebooks=ivf_rr_idx.codebooks,
+        )
+        hits_ivf_rr += len(
+            exact
+            & {
+                r.vec_id
+                for r in sim.ivf_search(
+                    ivf_rr_q,
+                    qvec,
+                    k=k,
+                    nprobe=params["nprobe_rerank"],
+                    shortlist=params["rerank_shortlist"],
+                ).collect()
+            }
+        )
+        qarr3 = np.array(qvec.first()[0], dtype=float)
+        qn3 = np.linalg.norm(qarr3)
+        if qn3 > 0:
+            qarr3 = qarr3 / qn3
+        probed3 = np.argsort(
+            ((ivf_rr_idx.centroids - qarr3) ** 2).sum(axis=1)
+        )[: params["nprobe_rerank"]].tolist()
+        scanned_ivf_rr += ivf_rr_q.table.filter(
+            F.col("ivf_cell").isin(probed3)
+        ).count()
         ivf, s_ivf = _probe(coarse_idx, qvec, qid, params["nprobe"])
         fine, s_fine = _probe(fine_idx, qvec, qid, params["nprobe_fine"])
         scanned_ivf += s_ivf
@@ -244,6 +320,25 @@ def measure(spark, sf_dir: str, k: int = 10, query_mod: int = 101) -> dict:
         "recall_ivfpq_rerank": round(hits_ivfpq_rr / total, 4),
         "byte_frac_ivfpq_rerank": round(
             (scanned_ivfpq_rr / (len(query_ids) * n_corpus))
+            * params["pq_m"]
+            / (dim * 4)
+            + min(params["rerank_shortlist"], n_corpus) / n_corpus,
+            4,
+        ),
+        # round-8 reranked plain paths: wide probe over code bytes +
+        # exact rerank from the index's own vectors — same byte
+        # accounting as the PQ rerank rows
+        "recall_lsh_rerank": round(hits_lsh_rr / total, 4),
+        "byte_frac_lsh_rerank": round(
+            (scanned_lsh_rr / (len(query_ids) * n_corpus))
+            * params["pq_m"]
+            / (dim * 4)
+            + min(params["rerank_shortlist"], n_corpus) / n_corpus,
+            4,
+        ),
+        "recall_ivf_rerank": round(hits_ivf_rr / total, 4),
+        "byte_frac_ivf_rerank": round(
+            (scanned_ivf_rr / (len(query_ids) * n_corpus))
             * params["pq_m"]
             / (dim * 4)
             + min(params["rerank_shortlist"], n_corpus) / n_corpus,

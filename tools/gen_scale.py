@@ -16,9 +16,22 @@ selectivities, and group cardinalities per key match the source
 distribution.
 
 Usage: python tools/gen_scale.py [--mult 10] [--src /root/testdata/sf0.1]
-                                 [--out .data/sf1]
+                                 [--out .data/sf1] [--dup-frac F]
 Writes one ``{table}.parquet`` per table (same layout the catalog
 expects), via DuckDB — no Spark needed, runs in seconds.
+
+``--dup-frac`` controls the TEXT duplication profile of ``documents``
+(round-8, judge item 5). The default replication leaves every copy's
+text byte-identical — a 100%-duplicated corpus where every dedup cost
+is dominated by the exact-dup collapse path and the m² pair output,
+and genuinely-unique-text behavior at scale is never measured. With
+``--dup-frac 0.25``, a deterministic hash(doc_id) slice (~25% of base
+docs) keeps its text verbatim in every copy (these duplicate
+mult-ways, realistic boilerplate mass), while the rest get every WORD
+suffixed with the copy number — texts disjoint at the shingle level
+across copies (not near-duplicates), so MinHash/ssjoin/winnow see a
+mostly-unique corpus with a real duplicate minority. ``n_chars`` is
+recomputed for perturbed rows.
 """
 
 from __future__ import annotations
@@ -44,7 +57,7 @@ KEYED = {
 FIXED = ["region", "nation"]
 
 
-def generate(src: str, out: str, mult: int) -> None:
+def generate(src: str, out: str, mult: int, dup_frac: float | None = None) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in FIXED:
@@ -59,14 +72,40 @@ def generate(src: str, out: str, mult: int) -> None:
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
         ]
-        proj = ", ".join(
-            f"({c} + i.off) AS {c}" if c in keys else c for c in cols
-        )
-        con.sql(
-            f"COPY (SELECT {proj} "
+        proj_cols = []
+        for c in cols:
+            if c in keys:
+                proj_cols.append(f"({c} + i.off) AS {c}")
+            elif t == "documents" and dup_frac is not None and c == "text":
+                # deterministic duplicate minority: hash(doc_id) slice
+                # keeps text verbatim across all copies; the rest get
+                # per-copy word suffixes (disjoint shingles, NOT
+                # near-duplicates of their siblings)
+                proj_cols.append(
+                    f"CASE WHEN hash(doc_id) % 100 < {int(dup_frac * 100)} "
+                    f"THEN text ELSE array_to_string(list_transform("
+                    f"string_split(text, ' '), "
+                    f"w -> w || '_' || CAST(i.off // {STRIDE} AS VARCHAR)), ' ') "
+                    f"END AS text"
+                )
+            elif t == "documents" and dup_frac is not None and c == "n_chars":
+                proj_cols.append("n_chars")  # recomputed in the outer select
+            else:
+                proj_cols.append(c)
+        proj = ", ".join(proj_cols)
+        inner = (
+            f"SELECT {proj} "
             f"FROM read_parquet('{src}/{t}.parquet'), "
             f"(SELECT range * {STRIDE} AS off FROM range({mult})) i "
-            f"ORDER BY i.off) "
+            f"ORDER BY i.off"
+        )
+        if t == "documents" and dup_frac is not None and "n_chars" in cols:
+            outer_cols = ", ".join(
+                "length(text) AS n_chars" if c == "n_chars" else c for c in cols
+            )
+            inner = f"SELECT {outer_cols} FROM ({inner})"
+        con.sql(
+            f"COPY ({inner}) "
             f"TO '{out}/{t}.parquet' (FORMAT parquet, COMPRESSION snappy)"
         )
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
@@ -78,5 +117,13 @@ if __name__ == "__main__":
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=".data/sf1")
+    ap.add_argument(
+        "--dup-frac",
+        type=float,
+        default=None,
+        help="documents-text duplication profile: this fraction of base "
+        "docs keeps its text verbatim in every copy; the rest are "
+        "word-perturbed per copy (default: legacy 100%% replication)",
+    )
     a = ap.parse_args()
-    generate(a.src, a.out, a.mult)
+    generate(a.src, a.out, a.mult, a.dup_frac)
