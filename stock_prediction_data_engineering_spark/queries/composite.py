@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 # A customer with >= 12 orders plays the role of a symbol with the
@@ -209,11 +210,12 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_supplier_ship_delay_rank",
-    oracle="""
+    # dual dialect (round-8): date_diff('day',..) via the interval-day
+    # extract (functions/dual_sql.py)
+    oracle=f"""
     WITH delays AS (
         SELECT s_nationkey, s_suppkey,
-               CAST(SUM(CAST(date_diff('day', o_orderdate,
-                                       CAST(l_shipdate AS DATE))
+               CAST(SUM(CAST({D.days_between('o_orderdate', 'CAST(l_shipdate AS DATE)')}
                              AS DECIMAL(18,4))) AS DOUBLE)
                    / COUNT(*) AS avg_delay_days
         FROM lineitem

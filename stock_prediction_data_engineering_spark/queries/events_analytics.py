@@ -16,12 +16,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 
 @query(
     "q_funnel_conversion",
-    oracle="""
+    # dual dialect (round-8): DuckDB epoch_us() -> the explicit-extract
+    # + string-fraction form (functions/dual_sql.py)
+    oracle=f"""
     WITH s1 AS (
       SELECT user_id, MIN(ts) AS t_view
       FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -39,9 +42,9 @@ from ..registry import query
       GROUP BY e.user_id
     )
     SELECT s1.user_id,
-           epoch_us(s1.t_view) AS t_view_us,
-           COALESCE(epoch_us(s2.t_click), -1) AS t_click_us,
-           COALESCE(epoch_us(s3.t_purchase), -1) AS t_purchase_us,
+           {D.epoch_us('s1.t_view')} AS t_view_us,
+           COALESCE({D.epoch_us('s2.t_click')}, -1) AS t_click_us,
+           COALESCE({D.epoch_us('s3.t_purchase')}, -1) AS t_purchase_us,
            1 + CAST(s2.user_id IS NOT NULL AS INT)
              + CAST(s3.user_id IS NOT NULL AS INT) AS funnel_depth
     FROM s1
@@ -98,18 +101,22 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_scd2_intervals",
-    oracle="""
+    # dual dialect (round-8): LEAD computed once in a CTE so the
+    # epoch_us macro (functions/dual_sql.py) applies to a plain column
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, ts, value,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+      WHERE event_type = 'purchase'
+    )
     SELECT user_id,
-           epoch_us(ts) AS valid_from_us,
-           COALESCE(
-             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id)), -1
-           ) AS valid_to_us,
-           LEAD(ts) OVER (PARTITION BY user_id
-                          ORDER BY ts, event_id) IS NULL AS is_current,
+           {D.epoch_us('ts')} AS valid_from_us,
+           COALESCE({D.epoch_us('next_ts')}, -1) AS valid_to_us,
+           next_ts IS NULL AS is_current,
            value
-    FROM events
-    WHERE event_type = 'purchase'
+    FROM w
     """,
 )
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +144,11 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_retention_cohorts",
-    oracle="""
+    # dual dialect (round-8): strftime -> CAST(date AS STRING) (same
+    # rendering both engines); date_diff('day',..) -> the interval-day
+    # extract (functions/dual_sql.py). The /7 stays exact: both weeks
+    # are Monday-truncated, so the day span is always a multiple of 7.
+    oracle=f"""
     WITH cohort AS (
       SELECT user_id,
              CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
@@ -148,8 +159,8 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_trunc('week', ts) AS DATE) AS act_week
       FROM events
     )
-    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
-           CAST(date_diff('day', c.cohort_week, a.act_week) / 7 AS INT)
+    SELECT CAST(c.cohort_week AS STRING) AS cohort_week,
+           CAST({D.days_between('c.cohort_week', 'a.act_week')} / 7 AS INT)
              AS week_offset,
            CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_active
     FROM cohort c JOIN activity a ON c.user_id = a.user_id
@@ -411,14 +422,24 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sessionize",
-    oracle="""
-    WITH g AS (
+    # dual dialect (round-8): date_diff('second',a,b) == the truncated
+    # epoch difference (boundary counting), expressed via the
+    # explicit-extract epoch (functions/dual_sql.py); the lag rides a
+    # CTE column so the macro never wraps a window expression, and the
+    # named WINDOW clause is inlined (Spark-parseable)
+    oracle=f"""
+    WITH l AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
-                  THEN 1 ELSE 0 END AS new_s
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR {D.epoch_s('ts')} - {D.epoch_s('prev_ts')} > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM l
     ),
     s AS (
       SELECT user_id, ts,
@@ -426,12 +447,17 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM g
+    ),
+    b AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(ts) AS t0, MAX(ts) AS t1
+      FROM s GROUP BY user_id, session_id
     )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+    SELECT user_id, session_id, n_events,
+           CAST({D.epoch_s('t1')} - {D.epoch_s('t0')} AS BIGINT)
              AS duration_s
-    FROM s GROUP BY user_id, session_id
+    FROM b
     """,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,19 +592,28 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_inter_event_gaps",
-    oracle="""
-    WITH g AS (
-      SELECT event_type,
-             epoch_us(ts) - epoch_us(LAG(ts) OVER
-               (PARTITION BY user_id, event_type
-                ORDER BY ts, event_id)) AS gap_us
+    # dual dialect (round-8): epoch_us() via functions/dual_sql.py
+    # (lag in a CTE so the macro wraps plain columns); the `//` average
+    # uses the DECIMAL(38,0) exact form — SUM(gap_us) can pass 2^53
+    # (µs spans summed over thousands of users), the precision cliff
+    # the registry's plain rewrite documents
+    oracle=f"""
+    WITH l AS (
+      SELECT event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
       FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             {D.epoch_us('ts')} - {D.epoch_us('prev_ts')} AS gap_us
+      FROM l
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_gaps,
            CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
            CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
-           CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS avg_gap_us
+           {D.intdiv_exact('SUM(gap_us)', 'COUNT(*)')} AS avg_gap_us
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY event_type
     """,
@@ -616,14 +651,15 @@ def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_consecutive",
-    oracle="""
+    # dual dialect (round-8): epoch_us() via functions/dual_sql.py
+    oracle=f"""
     WITH s AS (
       SELECT event_id, user_id, event_type, ts,
              LAG(event_type) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
       FROM events
     )
-    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    SELECT event_id, user_id, event_type, {D.epoch_us('ts')} AS ts_us
     FROM s
     WHERE prev_type IS NULL OR event_type <> prev_type
     """,
@@ -657,7 +693,9 @@ def q_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_user_lifetime",
-    oracle="""
+    # dual dialect (round-8): date_diff('day',..) via the interval-day
+    # extract (functions/dual_sql.py)
+    oracle=f"""
     WITH u AS (
       SELECT user_id,
              MIN(ts) AS first_ts, MAX(ts) AS last_ts,
@@ -666,9 +704,9 @@ def q_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (SELECT MAX(ts) AS now_ts FROM events)
     SELECT user_id, n_events,
-           CAST(date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
-                AS BIGINT) AS lifetime_days,
-           (date_diff('day', CAST(last_ts AS DATE), CAST(now_ts AS DATE)) > 30)
+           {D.days_between('CAST(first_ts AS DATE)', 'CAST(last_ts AS DATE)')}
+             AS lifetime_days,
+           ({D.days_between('CAST(last_ts AS DATE)', 'CAST(now_ts AS DATE)')} > 30)
              AS churned
     FROM u, g
     """,
@@ -791,7 +829,11 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cohort_ltv",
-    oracle="""
+    # dual dialect (round-8): date_diff('day',..)//7 via the
+    # interval-day extract + registry `//` rewrite (non-negative:
+    # purchases are at/after signup); VARCHAR -> STRING (both engines'
+    # shared spelling)
+    oracle=f"""
     WITH s AS (
       SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
                AS cohort_week,
@@ -800,7 +842,7 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p AS (
       SELECT e.user_id, s.cohort_week,
-             date_diff('day', s.cohort_week, CAST(e.ts AS DATE)) // 7
+             {D.intdiv(D.days_between('s.cohort_week', 'CAST(e.ts AS DATE)'), '7')}
                AS age_week,
              CAST(CAST(e.value AS DECIMAL(18,4))*100 AS BIGINT) AS v_c
       FROM events e JOIN s ON e.user_id = s.user_id
@@ -812,7 +854,7 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(v_c) AS BIGINT) AS revenue_c
       FROM p GROUP BY 1, 2
     )
-    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, age_week,
+    SELECT CAST(cohort_week AS STRING) AS cohort_week, age_week,
            n_purchases, revenue_c,
            CAST(SUM(revenue_c) OVER (PARTITION BY cohort_week
                 ORDER BY age_week ROWS BETWEEN UNBOUNDED PRECEDING
@@ -886,7 +928,10 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_time_to_convert",
-    oracle="""
+    # dual dialect (round-8): epoch_us() via functions/dual_sql.py; the
+    # `//` chain uses the registry rewrite (non-negative latencies,
+    # per-user gaps ≪ 2^53 µs)
+    oracle=f"""
     WITH v AS (
       SELECT user_id, MIN(ts) AS t_view
       FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -897,10 +942,14 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.event_type = 'purchase' AND e.ts > v.t_view
       GROUP BY e.user_id
     ),
-    lat AS (
-      SELECT (epoch_us(p.t_purchase) - epoch_us(v.t_view))
-             // 60000000 // 30 AS bucket_30m
+    gap AS (
+      SELECT {D.epoch_us('p.t_purchase')} - {D.epoch_us('v.t_view')} AS g_us
       FROM p JOIN v USING (user_id)
+    ),
+    lat AS (
+      SELECT CAST({D.intdiv(D.intdiv('g_us', '60000000'), '30')} AS BIGINT)
+               AS bucket_30m
+      FROM gap
     ),
     agg AS (
       SELECT bucket_30m, COUNT(*) AS n_users FROM lat GROUP BY bucket_30m
@@ -908,7 +957,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n_users) AS total FROM agg)
     SELECT CAST(bucket_30m AS BIGINT) AS bucket_30m,
            CAST(n_users AS BIGINT) AS n_users,
-           CAST((n_users * 10000) // tot.total AS BIGINT) AS share_bp
+           CAST({D.intdiv('n_users * 10000', 'tot.total')} AS BIGINT) AS share_bp
     FROM agg CROSS JOIN tot
     """,
 )

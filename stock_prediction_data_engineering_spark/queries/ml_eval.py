@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 DEC = "decimal(18,4)"
@@ -438,9 +439,16 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_weekday_seasonality",
-    oracle="""
+    # dual dialect (round-8): dayofweek numbering differs (DuckDB
+    # Sunday=0..6, Spark Sunday=1..7), so dow derives from the engine-
+    # neutral day count since a known SUNDAY (1970-01-04) mod 7 —
+    # exactly DuckDB's 0=Sunday numbering, which the DataFrame side
+    # already emits via dayofweek-1
+    oracle=f"""
     WITH e AS (
-      SELECT event_type, dayofweek(ts) AS dow,
+      SELECT event_type,
+             CAST({D.days_between("DATE '1970-01-04'", 'CAST(ts AS DATE)')} % 7
+                  AS INTEGER) AS dow,
              CAST(CAST(value AS DECIMAL(18,4))*100 AS BIGINT) AS v_c
       FROM events
     ),

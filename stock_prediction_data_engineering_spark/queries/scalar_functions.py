@@ -17,20 +17,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 
 @query(
     "q_date_functions",
-    oracle="""
+    # dual dialect (round-8): date_diff('day',..) via the interval-day
+    # extract; strftime('%Y-%m') via substring of the canonical date
+    # rendering (identical in both engines)
+    oracle=f"""
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INTEGER) AS y,
            CAST(month(o_orderdate) AS INTEGER) AS m,
            CAST(day(o_orderdate) AS INTEGER) AS d,
            CAST(quarter(o_orderdate) AS INTEGER) AS q,
-           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS INTEGER)
+           CAST({D.days_between('o_orderdate', "TIMESTAMP '1998-01-01'")} AS INTEGER)
                AS days_to_cutoff,
-           strftime(o_orderdate, '%Y-%m') AS order_month
+           substring(CAST(o_orderdate AS STRING), 1, 7) AS order_month
     FROM orders
     """,
 )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 DEC = "decimal(18,4)"
@@ -22,13 +23,20 @@ DEC = "decimal(18,4)"
 
 @query(
     "q_twap",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
-             date_diff('microsecond', ts,
-                       lead(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id)) AS dt_us
+    # dual dialect (round-8): date_diff('microsecond',..) == the
+    # epoch_us difference (functions/dual_sql.py); lead rides a CTE
+    # column so the macro wraps plain columns
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
       FROM events
+    ),
+    seq AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
+             {D.epoch_us('next_ts')} - {D.epoch_us('ts')} AS dt_us
+      FROM l
     )
     SELECT user_id,
            CAST(COUNT(dt_us) AS BIGINT) AS n_intervals,

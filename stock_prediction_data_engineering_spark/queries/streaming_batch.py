@@ -14,14 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..functions.exact import dsum
 from ..registry import query
 
 
 @query(
     "q_tumbling_window",
+    # dual dialect (round-8): CAST(timestamp AS STRING) renders
+    # identically in DuckDB and Spark (pinned in functions/dual_sql.py),
+    # replacing the DuckDB-only strftime
     oracle="""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+    SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour_start,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -45,15 +49,22 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sliding_window",
-    oracle="""
+    # dual dialect (round-8): DuckDB floor(epoch()) becomes the
+    # explicit-extract epoch (functions/dual_sql.py — truncation IS the
+    # floor for post-epoch data), and the LATERAL generate_series
+    # expansion becomes a UNION ALL constant table (cross join), the
+    # common spelling of a 4-row literal relation
+    oracle=f"""
     SELECT ws * 1000000 AS win_start_us, event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM (
       SELECT e.event_type, e.value,
-             (CAST(floor(epoch(e.ts)) AS BIGINT)
-              - CAST(floor(epoch(e.ts)) AS BIGINT) % 900 - u.k * 900) AS ws
-      FROM events e, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) u
+             ({D.epoch_s('e.ts')}
+              - {D.epoch_s('e.ts')} % 900 - u.k * 900) AS ws
+      FROM events e CROSS JOIN (
+        SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+      ) u
     )
     GROUP BY ws, event_type
     """,
@@ -78,7 +89,12 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_session_window",
-    oracle="""
+    # dual dialect (round-8): epoch_us() becomes the explicit-extract
+    # + string-fraction form (functions/dual_sql.py); the interval
+    # comparison and arithmetic were already common. The per-session
+    # bounds aggregate in an inner CTE so the macro applies to plain
+    # columns, not repeated aggregate expressions.
+    oracle=f"""
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -91,14 +107,20 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM flagged
+    ),
+    bounds AS (
+        SELECT user_id, sid,
+               MIN(ts) AS t0,
+               MAX(ts) + INTERVAL 30 MINUTE AS t1,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM sess
+        GROUP BY user_id, sid
     )
-    SELECT epoch_us(min(ts)) AS session_start_us,
-           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
-           user_id,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM sess
-    GROUP BY user_id, sid
+    SELECT {D.epoch_us('t0')} AS session_start_us,
+           {D.epoch_us('t1')} AS session_end_us,
+           user_id, n_events, sum_value
+    FROM bounds
     """,
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

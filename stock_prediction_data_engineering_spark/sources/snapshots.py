@@ -286,12 +286,22 @@ def snapshot_compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: tuple[str, ...] = (),
 ) -> int | None:
     """Rewrite the latest snapshot's accumulated commit dirs into one
     compacted dir and publish it as a new version — the OPTIMIZE /
     small-file-management half of the lakehouse (streaming appends
     produce one dir per micro-batch; at 100 TB the scan dies of file
     listing and per-file open overhead long before it dies of bytes).
+
+    ``zorder_cols`` upgrades the repack to OPTIMIZE ZORDER (round-8):
+    output files are Morton-clustered on those columns
+    (sources/zorder.py — range partition on the interleaved key + sort
+    within each file), so row-group min/max footer stats become
+    selective for predicates on ANY participating column, not just a
+    lucky leading sort column. Costs the one range shuffle the
+    clustering needs (the plain repack stays shuffle-free); same
+    dataChange=false commit semantics either way.
 
     Semantics: data is UNCHANGED (Delta's dataChange=false) — the
     manifest carries ``extra.compaction`` so :func:`snapshot_changes`
@@ -332,7 +342,13 @@ def snapshot_compact(
                 if f.endswith(".parquet")
             )
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    df = _read_dirs(spark, path, m["dirs"]).coalesce(n_out)
+    df = _read_dirs(spark, path, m["dirs"])
+    if zorder_cols:
+        from .zorder import cluster_by_zorder
+
+        df = cluster_by_zorder(df, list(zorder_cols), n_out)
+    else:
+        df = df.coalesce(n_out)
 
     attempt = 0
     while True:
@@ -366,7 +382,8 @@ def snapshot_compact(
         "n_files_added": n_files,
         "partition_cols": list(pcols),
         "extra": {"compaction": True, "compacted_from": base,
-                  "n_dirs_compacted": len(m["dirs"])},
+                  "n_dirs_compacted": len(m["dirs"]),
+                  **({"zorder_cols": list(zorder_cols)} if zorder_cols else {})},
     }
     tmp = (
         _manifest_path(path, new_version)

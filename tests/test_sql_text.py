@@ -24,8 +24,9 @@ from stock_prediction_data_engineering_spark.catalog import sql_entry
 # DuckDB list_*/lambda/dialect constructs). This list is DISCOVERED,
 # not curated: tools/sql_text_sweep.py runs every registered oracle
 # text through spark.sql at sf0.01 and keeps the ones whose rows match
-# the DataFrame plan exactly — 121 of 189 oracles qualify after the
-# round-7 dual-dialect conversion pass (artifact: SQLTEXT_r7.json;
+# the DataFrame plan exactly — 137 of 189 oracles qualify after the
+# round-8 time-dialect conversion pass (functions/dual_sql.py;
+# artifact: SQLTEXT_r8.json;
 # every remaining gap carries a per-query reason in the tool's
 # GAP_REASONS map, asserted complete below). One text, three engines
 # agreeing: DataFrame API, spark.sql, DuckDB.
@@ -39,6 +40,7 @@ SQL_TEXT_QUERIES = [
     "q_calibration_bins",
     "q_case_when",
     "q_cdc_merge",
+    "q_cohort_ltv",
     "q_concurrent_events",
     "q_conditional_agg",
     "q_corpus_curation",
@@ -47,6 +49,8 @@ SQL_TEXT_QUERIES = [
     "q_cumulative_sum",
     "q_cusum",
     "q_data_validation",
+    "q_date_functions",
+    "q_dedup_consecutive",
     "q_dedup_exact",
     "q_dedup_resolve",
     "q_derive_year",
@@ -63,6 +67,7 @@ SQL_TEXT_QUERIES = [
     "q_filter_limit",
     "q_filter_predicate",
     "q_first_last_value",
+    "q_funnel_conversion",
     "q_fuzzy_match",
     "q_gains_table",
     "q_group_split",
@@ -72,6 +77,7 @@ SQL_TEXT_QUERIES = [
     "q_heavy_keys",
     "q_histogram",
     "q_history_count",
+    "q_inter_event_gaps",
     "q_intersect",
     "q_interval_overlap",
     "q_join_anti",
@@ -101,6 +107,7 @@ SQL_TEXT_QUERIES = [
     "q_rank_topk_per_group",
     "q_ratio_to_report",
     "q_rename_select",
+    "q_retention_cohorts",
     "q_rfm",
     "q_robust_zscore",
     "q_rollup",
@@ -108,18 +115,24 @@ SQL_TEXT_QUERIES = [
     "q_running_distinct",
     "q_scalar_udf",
     "q_scan_project",
+    "q_scd2_intervals",
     "q_seqlen_histogram",
     "q_sequence_pack",
+    "q_session_window",
+    "q_sessionize",
     "q_shuffle_order",
     "q_skyline",
+    "q_sliding_window",
     "q_sort",
     "q_stochastic_osc",
     "q_stratified_sample",
     "q_string_clean_cast",
     "q_subquery_correlated",
+    "q_supplier_ship_delay_rank",
     "q_symbol_preprocess",
     "q_table_profile",
     "q_text_stats",
+    "q_time_to_convert",
     "q_top_revenue_orders",
     "q_tpch_disjunctive_revenue",
     "q_tpch_excess_shippers",
@@ -142,10 +155,14 @@ SQL_TEXT_QUERIES = [
     "q_train_split",
     "q_train_split_exact",
     "q_triangle_count",
+    "q_tumbling_window",
+    "q_twap",
     "q_udaf_range_cents",
     "q_union",
     "q_unpivot",
+    "q_user_lifetime",
     "q_vwap",
+    "q_weekday_seasonality",
     "q_weighted_median",
     "q_window_lag_return",
     "q_window_range_frame",

@@ -87,26 +87,12 @@ GAP_REASONS: dict[str, str] = {
     # vector ops
     "q_vector_dot": "DuckDB list_dot_product + DOUBLE[] cast vs Spark aggregate/zip_with lambdas",
     "q_topk_similar": "DuckDB list_dot_product + DOUBLE[] cast vs Spark aggregate/zip_with lambdas",
-    # time family
-    "q_cohort_ltv": R_TIME,
-    "q_date_functions": R_TIME,
-    "q_dedup_consecutive": R_TIME,
-    "q_funnel_conversion": R_TIME,
-    "q_inter_event_gaps": R_TIME,
-    "q_retention_cohorts": R_TIME,
-    "q_scd2_intervals": R_TIME,
-    "q_session_window": R_TIME,
-    "q_sessionize": R_TIME,
-    "q_sliding_window": R_TIME,
-    "q_supplier_ship_delay_rank": R_TIME,
-    "q_time_to_convert": R_TIME,
-    "q_tumbling_window": R_TIME,
-    "q_twap": R_TIME,
-    "q_user_lifetime": R_TIME,
-    "q_weekday_seasonality": (
-        "dow numbering: Spark extract/dayofweek is Sunday=1..7, "
-        "DuckDB dayofweek is Sunday=0..6 — no shared field"
-    ),
+    # time family: CLOSED in round 8 — DuckDB epoch()/epoch_us()/
+    # date_diff()/strftime()/dayofweek rewritten into the explicit-
+    # extract common subset (functions/dual_sql.py: interval-day
+    # extraction, string-fraction microseconds, Sunday-anchored day
+    # counts, CAST-AS-STRING rendering). All 16 former R_TIME/dow
+    # queries are now pinned three-engine texts.
     # 128-bit family
     "q_domain_similarity": R_128,
     "q_event_corr": R_128,
