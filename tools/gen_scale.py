@@ -28,10 +28,16 @@ and genuinely-unique-text behavior at scale is never measured. With
 ``--dup-frac 0.25``, a deterministic hash(doc_id) slice (~25% of base
 docs) keeps its text verbatim in every copy (these duplicate
 mult-ways, realistic boilerplate mass), while the rest get every WORD
-suffixed with the copy number — texts disjoint at the shingle level
-across copies (not near-duplicates), so MinHash/ssjoin/winnow see a
-mostly-unique corpus with a real duplicate minority. ``n_chars`` is
-recomputed for perturbed rows.
+replaced by a same-length pseudoword hashed from (word, copy):
+within a copy, equal words stay equal (word-match near-dup structure
+preserved) while the cross-word character patterns of the tiny base
+vocab vanish, and across copies every pseudoword differs — so
+MinHash/ssjoin/winnow see a mostly-unique corpus with a real
+duplicate minority. A shared per-word SUFFIX was tried first and
+rejected: over this vocab it DENSIFIED within-copy similarity (0 →
+448 near-dup pairs per 300-doc sample at j≥0.7), turning the
+'unique' fixture into a worse pair-blowup than the replicated one.
+``n_chars`` is recomputed for perturbed rows.
 """
 
 from __future__ import annotations
@@ -79,13 +85,15 @@ def generate(src: str, out: str, mult: int, dup_frac: float | None = None) -> No
             elif t == "documents" and dup_frac is not None and c == "text":
                 # deterministic duplicate minority: hash(doc_id) slice
                 # keeps text verbatim across all copies; the rest get
-                # per-copy word suffixes (disjoint shingles, NOT
-                # near-duplicates of their siblings)
+                # per-copy same-length hash pseudowords (see module
+                # docstring for why not a shared suffix)
                 proj_cols.append(
                     f"CASE WHEN hash(doc_id) % 100 < {int(dup_frac * 100)} "
                     f"THEN text ELSE array_to_string(list_transform("
                     f"string_split(text, ' '), "
-                    f"w -> w || '_' || CAST(i.off // {STRIDE} AS VARCHAR)), ' ') "
+                    f"w -> substring(md5(w || '#' || "
+                    f"CAST(i.off // {STRIDE} AS VARCHAR)), 1, "
+                    f"greatest(length(w), 1))), ' ') "
                     f"END AS text"
                 )
             elif t == "documents" and dup_frac is not None and c == "n_chars":
