@@ -317,17 +317,21 @@ def minhash_lsh_pairs(
         rep_sz = reps.select(F.col("id").alias("rid"), "__th").join(
             sizes, "__th"
         )
+        # merge hints: rep_sz scales with distinct content and its
+        # lineage passes through an aggregate whose frozen-tiny size
+        # estimate would otherwise force a static broadcast (the
+        # operators/winnow.py sf10u maxResultSize trap)
         cross_cl = (
             rep_pairs.join(
                 rep_sz.select(
                     F.col("rid").alias("id_a"), F.col("m").alias("members_a")
-                ),
+                ).hint("merge"),
                 "id_a",
             )
             .join(
                 rep_sz.select(
                     F.col("rid").alias("id_b"), F.col("m").alias("members_b")
-                ),
+                ).hint("merge"),
                 "id_b",
             )
             .select(
@@ -1021,9 +1025,17 @@ def embedding_near_dup_pairs(
         "bucket", lsh_bucket(F.col("vec"), num_planes=num_planes)
     )
     l, r = tagged.alias("l"), tagged.alias("r")
+    # merge hint: `base` is a localCheckpoint over a groupBy(vec), so
+    # its LogicalRDD inherits the aggregate's TINY size estimate and
+    # the static planner would broadcast the whole distinct-vector
+    # table (float arrays included) — accidentally fine when vectors
+    # are heavily duplicated, a driver-killing broadcast on a mostly-
+    # unique corpus (the operators/winnow.py sf10u trap; AQE cannot
+    # demote a statically-planned broadcast). Sort-merge is size-safe
+    # at any distinct-vector cardinality.
     rep_pairs = (
         l.join(
-            r,
+            r.hint("merge"),
             (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
         )
         .select(
@@ -1038,17 +1050,21 @@ def embedding_near_dup_pairs(
         rep_sz = base.join(sizes, "vec").select(
             F.col("id").alias("rid"), F.col("m")
         )
+        # merge hints: rep_sz scales with distinct content and its
+        # lineage passes through an aggregate whose frozen-tiny size
+        # estimate would otherwise force a static broadcast (the
+        # operators/winnow.py sf10u maxResultSize trap)
         cross_cl = (
             rep_pairs.join(
                 rep_sz.select(
                     F.col("rid").alias("id_a"), F.col("m").alias("members_a")
-                ),
+                ).hint("merge"),
                 "id_a",
             )
             .join(
                 rep_sz.select(
                     F.col("rid").alias("id_b"), F.col("m").alias("members_b")
-                ),
+                ).hint("merge"),
                 "id_b",
             )
             .select(

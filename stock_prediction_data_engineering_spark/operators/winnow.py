@@ -82,6 +82,22 @@ def winnow_pairs(
     Hashes are md5-derived 60-bit ints (first 15 hex digits), the
     engine-portable idiom shared with q_feature_hashing, so an ANSI
     oracle can reproduce every fingerprint bit-for-bit.
+
+    JOIN-STRATEGY NOTE (the sf10u 1.6 GB broadcast trap): every join
+    below whose build side scales with DISTINCT text carries an
+    explicit ``merge`` hint. The checkpointed text table is a
+    LogicalRDD that inherits the pre-checkpoint AGGREGATE's size
+    estimate, which Catalyst guesses tiny; on a heavily-duplicated
+    corpus that guess is accidentally right (thousands of distinct
+    texts) and the planner's broadcasts are fast, but on a mostly-
+    unique corpus (.data/sf10u: 377 k distinct) the same static plan
+    tried to broadcast the ~200 M-row k-gram table and corpus-sized
+    fingerprint sets — >1.6 GB collected to the driver, killed by
+    spark.driver.maxResultSize. AQE cannot demote a statically-planned
+    broadcast (it only promotes), so the strategy must be pinned where
+    the size is structurally unbounded. Sort-merge spills gracefully
+    at any scale; on the duplicated profile the extra sorts are over
+    thousands of rows — noise.
     """
     min_len = k + w - 1
     # one representative per distinct text; carries the cluster size.
@@ -162,11 +178,13 @@ def winnow_pairs(
         .filter(F.col("c") <= df_cap)
         .select("fp")
     )
-    fps = fps.join(rare, "fp", "left_semi")
+    # rare / fps scale with distinct fingerprints — never broadcast
+    # (see JOIN-STRATEGY NOTE)
+    fps = fps.join(rare.hint("merge"), "fp", "left_semi")
     a, b = fps.alias("a"), fps.alias("b")
     pairs = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.fp") == F.col("b.fp"))
             & (F.col("a.rep") < F.col("b.rep")),
         )
@@ -182,13 +200,13 @@ def winnow_pairs(
         pairs.join(
             sizes.select(
                 F.col("rep").alias("doc_a"), F.col("dup").alias("dup_a")
-            ),
+            ).hint("merge"),
             "doc_a",
         )
         .join(
             sizes.select(
                 F.col("rep").alias("doc_b"), F.col("dup").alias("dup_b")
-            ),
+            ).hint("merge"),
             "doc_b",
         )
         .select("doc_a", "doc_b", "shared_fp", "dup_a", "dup_b")
@@ -204,17 +222,22 @@ def winnow_pairs(
     kg = mh.select(
         "rep", F.posexplode("hs").alias("pos0", "h")
     ).select("rep", (F.col("pos0") + 1).alias("pos"), "h")
-    a_side = pair_keys.join(
-        kg.select(F.col("rep").alias("doc_a"), F.col("pos").alias("pa"), "h"),
-        "doc_a",
-    )
+    # stream the corpus-sized k-gram table through SHUFFLE-HASH joins
+    # (build side hinted): the build sides — pair_keys, then the
+    # already-pair-bounded a_side — are the small sides, kg streams
+    # with one hash exchange and NO sort. merge would sort kg's ~0.5k
+    # rows-per-doc explode twice (measured at sf10u: the two sorts
+    # dominate the whole refinement); broadcast is forbidden by the
+    # stats trap above. ShuffledHashJoin spills per-partition builds,
+    # so the pair-bounded build stays safe at scale.
+    a_side = kg.select(
+        F.col("rep").alias("doc_a"), F.col("pos").alias("pa"), "h"
+    ).join(pair_keys.hint("shuffle_hash"), "doc_a")
     matches = (
-        a_side.join(
-            kg.select(
-                F.col("rep").alias("doc_b"), F.col("pos").alias("pb"), "h"
-            ),
-            ["doc_b", "h"],
+        kg.select(
+            F.col("rep").alias("doc_b"), F.col("pos").alias("pb"), "h"
         )
+        .join(a_side.hint("shuffle_hash"), ["doc_b", "h"])
         .select("doc_a", "doc_b", "pa", "pb")
         .dropDuplicates(["doc_a", "doc_b", "pa", "pb"])
     )

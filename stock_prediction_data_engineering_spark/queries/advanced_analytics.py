@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 DEC = "decimal(18,4)"
@@ -332,18 +333,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_feature_hashing",
-    oracle="""
-    WITH tok AS (
-      SELECT unnest(list_filter(string_split_regex(lower(text),
-                                                   '[^a-z0-9]+'),
-                    x -> x <> '')) AS tok
-      FROM documents
-    ),
-    h AS (
-      SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
-             CASE WHEN ('0x' || substr(md5(tok), 16, 1))::BIGINT % 2 = 0
+    # dual-dialect: shared alnum-run tokenizer; %64 needs only the
+    # last two digits of the 15-hex prefix (positional hex decode —
+    # see dual_sql.hex_int), the sign bit only digit 16
+    oracle=f"""
+    WITH h AS (
+      SELECT {D.hex_int('substring(md5(tok), 14, 2)', 2)} % 64 AS bucket,
+             CASE WHEN {D.hex_int('substring(md5(tok), 16, 1)', 1)} % 2 = 0
                   THEN 1 ELSE -1 END AS sgn
-      FROM tok
+      FROM {D.alnum_tokens()} a
     )
     SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(sgn) AS BIGINT) AS net_weight
@@ -457,49 +455,55 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_gapfill_interp",
-    oracle="""
+    # dual-dialect: numbers-join spine; both IGNORE NULLS directions
+    # via the count-over-grouping identity (forward/backward running
+    # non-null counts, one non-null per group — see q_gapfill_daily);
+    # date_diff('day', ..) via the shared interval-extract form
+    oracle=f"""
     WITH daily AS (
       SELECT user_id, day, close_c FROM (
         SELECT user_id, CAST(ts AS DATE) AS day,
                CAST(CAST(value AS DECIMAL(18,4))*100 AS BIGINT) AS close_c,
                row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
                                   ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events) WHERE rn = 1
+        FROM events) q WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+      FROM daily GROUP BY user_id
     ),
     spine AS (
-      SELECT user_id,
-             CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
-                                         CAST(max(day) AS TIMESTAMP),
-                                         INTERVAL 1 DAY)) AS DATE) AS day
-      FROM daily GROUP BY user_id
+      SELECT user_id, CAST(lo + (n.i - 1) * INTERVAL 1 DAY AS DATE) AS day
+      FROM bounds JOIN {D.nums_rel(32)} n
+        ON n.i <= {D.days_between('lo', 'hi')} + 1
     ),
     j AS (
       SELECT s.user_id, s.day, d.close_c,
-             d.day IS NOT NULL AS is_observed
+             d.day IS NOT NULL AS is_observed,
+             COUNT(d.close_c) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fg,
+             COUNT(d.close_c) OVER (
+               PARTITION BY s.user_id ORDER BY s.day DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bg
       FROM spine s LEFT JOIN daily d
         ON s.user_id = d.user_id AND s.day = d.day
     ),
     f AS (
       SELECT user_id, day, close_c, is_observed,
-             last_value(close_c IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
-             last_value(CASE WHEN is_observed THEN day END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY day
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
-             first_value(close_c IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY day
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
-             first_value(CASE WHEN is_observed THEN day END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY day
-                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             MAX(close_c) OVER (PARTITION BY user_id, fg) AS pc,
+             MAX(CASE WHEN is_observed THEN day END)
+               OVER (PARTITION BY user_id, fg) AS pd,
+             MAX(close_c) OVER (PARTITION BY user_id, bg) AS nc,
+             MAX(CASE WHEN is_observed THEN day END)
+               OVER (PARTITION BY user_id, bg) AS nd
       FROM j
     )
     SELECT user_id, day, is_observed,
            CASE WHEN is_observed THEN close_c
                 ELSE pc + CAST(FLOOR(CAST((nc - pc) AS DOUBLE)
-                                     * date_diff('day', pd, day)
-                                     / date_diff('day', pd, nd))
+                                     * {D.days_between('pd', 'day')}
+                                     / {D.days_between('pd', 'nd')})
                                AS BIGINT) END AS interp_c
     FROM f
     """,

@@ -492,17 +492,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_rolling_active_users",
-    oracle="""
+    # dual-dialect: the 7-day coverage explode as a numbers cross join
+    # + interval multiply (generate_series has no Spark spelling)
+    oracle=f"""
     WITH ud AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
     ),
     cover AS (
       SELECT user_id,
-             CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
-                                         CAST(day + INTERVAL 6 DAY
-                                              AS TIMESTAMP),
-                                         INTERVAL 1 DAY)) AS DATE) AS day
-      FROM ud
+             CAST(day + (n.i - 1) * INTERVAL 1 DAY AS DATE) AS day
+      FROM ud CROSS JOIN {D.nums_rel(7)} n
     ),
     span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud)
     SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 # word 3-gram list, distinct per document, as a SQL expression over a
@@ -39,34 +40,49 @@ _BIGRAMS = (
 
 @query(
     "q_quality_rules",
-    oracle="""
+    # dual-dialect: the list-lambda feature extraction re-expressed as
+    # keyed aggregates over the shared split_part explode — distinct
+    # words/bigrams via COUNT(DISTINCT ..), stopword hits via CASE
+    oracle=f"""
     WITH feat AS (
-      SELECT doc_id,
-             length(text) AS n_len,
-             string_split(text, ' ') AS w,
-             len(string_split(text, ' ')) AS wc
+      SELECT doc_id, text, length(text) AS n_len,
+             length(text) - length(replace(text, ' ', '')) + 1 AS wc
       FROM documents
     ),
-    m AS (
-      SELECT doc_id, wc,
-             CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE) / wc * 10000)
-                  AS BIGINT) AS ttr_bp,
-             CASE WHEN wc >= 2 THEN CAST(floor(
-                 (1 - CAST(len(list_distinct(list_transform(range(1, wc),
-                           i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE) / (wc - 1))
-                 * 10000) AS BIGINT) END AS dup_bigram_bp,
-             CAST(floor(CAST(len(list_filter(w, x -> x IN ('a', 'the')))
-                             AS DOUBLE) / wc * 10000) AS BIGINT) AS stop_bp,
-             CAST(floor(CAST(n_len - wc + 1 AS DOUBLE) / wc * 100)
-                  AS BIGINT) AS mean_wlen_c
-      FROM feat
+    agg AS (
+      SELECT doc_id,
+             COUNT(DISTINCT token) AS n_dw,
+             SUM(CASE WHEN token IN ('a', 'the') THEN 1 ELSE 0 END) AS n_stop
+      FROM {D.space_tokens()} s GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT f.doc_id,
+             COUNT(DISTINCT split_part(f.text, ' ', n.i) || ' '
+                   || split_part(f.text, ' ', n.i + 1)) AS n_db
+      FROM feat f JOIN {D.nums_rel(D.MAX_DOC_WORDS - 1)} n
+        ON n.i <= f.wc - 1
+      GROUP BY f.doc_id
     )
-    SELECT doc_id, CAST(wc AS BIGINT) AS word_cnt,
-           ttr_bp, dup_bigram_bp, stop_bp, mean_wlen_c,
-           (wc BETWEEN 20 AND 1000 AND ttr_bp >= 3000
-            AND coalesce(dup_bigram_bp, 0) <= 2500 AND stop_bp <= 1500)
-               AS passes
-    FROM m
+    SELECT f.doc_id, CAST(f.wc AS BIGINT) AS word_cnt,
+           CAST(floor(CAST(a.n_dw AS DOUBLE) / f.wc * 10000) AS BIGINT)
+             AS ttr_bp,
+           CASE WHEN f.wc >= 2 THEN CAST(floor(
+               (1 - CAST(b.n_db AS DOUBLE) / (f.wc - 1)) * 10000) AS BIGINT)
+           END AS dup_bigram_bp,
+           CAST(floor(CAST(a.n_stop AS DOUBLE) / f.wc * 10000) AS BIGINT)
+             AS stop_bp,
+           CAST(floor(CAST(f.n_len - f.wc + 1 AS DOUBLE) / f.wc * 100)
+                AS BIGINT) AS mean_wlen_c,
+           (f.wc BETWEEN 20 AND 1000
+            AND CAST(floor(CAST(a.n_dw AS DOUBLE) / f.wc * 10000) AS BIGINT)
+                >= 3000
+            AND coalesce(CASE WHEN f.wc >= 2 THEN CAST(floor(
+                  (1 - CAST(b.n_db AS DOUBLE) / (f.wc - 1)) * 10000)
+                  AS BIGINT) END, 0) <= 2500
+            AND CAST(floor(CAST(a.n_stop AS DOUBLE) / f.wc * 10000) AS BIGINT)
+                <= 1500) AS passes
+    FROM feat f JOIN agg a ON f.doc_id = a.doc_id
+    LEFT JOIN bg b ON f.doc_id = b.doc_id
     """,
 )
 def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,18 +423,20 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_token_bigrams",
-    oracle="""
+    # dual-dialect: adjacent fields cut straight out of the text with
+    # two split_part calls per position — no list_transform needed
+    oracle=f"""
     WITH w AS (
-      SELECT string_split(text, ' ') AS words,
-             len(string_split(text, ' ')) AS wc
+      SELECT text,
+             length(text) - length(replace(text, ' ', '')) + 1 AS wc
       FROM documents
     )
     SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
     FROM (
-      SELECT unnest(list_transform(range(1, wc),
-                    i -> words[i] || ' ' || words[i + 1])) AS bigram
-      FROM w WHERE wc >= 2
-    )
+      SELECT split_part(w.text, ' ', n.i) || ' '
+             || split_part(w.text, ' ', n.i + 1) AS bigram
+      FROM w JOIN {D.nums_rel(D.MAX_DOC_WORDS - 1)} n ON n.i <= w.wc - 1
+    ) b
     GROUP BY bigram
     ORDER BY cnt DESC, bigram
     LIMIT 50
@@ -443,12 +461,11 @@ def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_repetition_stats",
-    oracle="""
+    oracle=f"""
     WITH wcnt AS (
-      SELECT doc_id, w, COUNT(*) AS cnt
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents)
-      GROUP BY doc_id, w
+      SELECT doc_id, token AS w, COUNT(*) AS cnt
+      FROM {D.space_tokens()} s
+      GROUP BY doc_id, token
     )
     SELECT doc_id,
            CAST(SUM(cnt) AS BIGINT) AS word_cnt,
@@ -592,10 +609,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_assoc_rules",
-    oracle="""
+    # dual-dialect: DISTINCT over the split_part explode replaces
+    # list_distinct; the HUGEINT lift row goes through intdiv_exact
+    # (DECIMAL(38,0)) — numerator both_df*n*1e4 stays < 2^53 through
+    # sf10 (5e5 * 5e5 * 1e4 = 2.5e15) but exactness shouldn't hang on
+    # that margin
+    oracle=f"""
     WITH items AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      FROM documents
+      SELECT DISTINCT doc_id, token AS w FROM {D.space_tokens()} s
     ),
     n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM items),
     uni AS (
@@ -608,10 +629,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.w, b.w
     )
     SELECT w1, w2, CAST(both_df AS BIGINT) AS both_df,
-           CAST((both_df * 10000) // n AS BIGINT) AS support_bp,
-           CAST((both_df * 10000) // u1.df AS BIGINT) AS confidence_bp,
-           CAST((CAST(both_df AS HUGEINT) * n * 10000)
-                // (CAST(u1.df AS HUGEINT) * u2.df) AS BIGINT)
+           CAST({D.intdiv('both_df * 10000', 'n')} AS BIGINT) AS support_bp,
+           CAST({D.intdiv('both_df * 10000', 'u1.df')} AS BIGINT)
+             AS confidence_bp,
+           {D.intdiv_exact('both_df * n * 10000', 'u1.df * u2.df')}
              AS lift_x10000
     FROM pairs
     JOIN uni u1 ON pairs.w1 = u1.w
@@ -694,12 +715,11 @@ _CHI2_TERM = (
 
 @query(
     "q_domain_divergence",
+    # dual-dialect: regex-run tokenizer re-expressed as the shared
+    # gaps-and-islands character explode (dual_sql.py alnum_tokens)
     oracle=f"""
     WITH toks AS (
-      SELECT d.source, t.tok
-      FROM documents d,
-           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                              x -> x <> '')) AS t(tok)
+      SELECT source, tok FROM {D.alnum_tokens(extra_cols="source")} a
     ),
     corpus AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_all
                FROM toks GROUP BY tok),
@@ -774,20 +794,17 @@ def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_token_rarity",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text),
-                                                   '[^a-z0-9]+'),
-                    x -> x <> '')) AS tok
-      FROM documents
+      SELECT doc_id, tok FROM {D.alnum_tokens()} a
     ),
     df AS (
       SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
       FROM tok GROUP BY tok
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(1000000 // df) // COUNT(*) AS BIGINT) AS rarity_ppm
+           CAST({D.intdiv(f"SUM(CAST({D.intdiv('1000000', 'df')} AS BIGINT))",
+                          'COUNT(*)')} AS BIGINT) AS rarity_ppm
     FROM tok JOIN df USING (tok)
     GROUP BY doc_id
     """,
@@ -970,23 +987,24 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_bigram_surprisal",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS ws
-      FROM documents
+    # dual-dialect: adjacent alnum-run tokens via the positioned
+    # tokenizer (with_pos) + a pos/pos+1 self-equi-join
+    oracle=f"""
+    WITH tokp AS (
+      SELECT doc_id, tok, pos FROM {D.alnum_tokens(with_pos=True)} a
     ),
     bg AS (
-      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-      FROM w, UNNEST(range(1, len(ws))) AS t(i)
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM tokp a JOIN tokp b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
     ),
     uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
     bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
            FROM bg GROUP BY w1, w2)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(c1 * 1000000 // c12) // COUNT(*) AS BIGINT)
-             AS surprisal_ppm
+           CAST({D.intdiv(
+               f"SUM(CAST({D.intdiv('c1 * 1000000', 'c12')} AS BIGINT))",
+               'COUNT(*)')} AS BIGINT) AS surprisal_ppm
     FROM bg JOIN uni USING (w1) JOIN bi USING (w1, w2)
     GROUP BY doc_id
     """,
@@ -1289,17 +1307,15 @@ def q_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dsir_select",
-    oracle="""
-    WITH tok AS (
+    # dual-dialect: shared tokenizer + positional hex decode — the
+    # 15-hex-digit value mod 256 only depends on its last two digits,
+    # so hex_int(substring(md5, 14, 2)) is the same bucket without the
+    # (Spark-NULL) hex-string CAST
+    oracle=f"""
+    WITH tb AS (
       SELECT doc_id, source,
-             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                    x -> x <> '')) AS tok
-      FROM documents
-    ),
-    tb AS (
-      SELECT doc_id, source,
-             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS bucket
-      FROM tok
+             {D.hex_int('substring(md5(tok), 14, 2)', 2)} % 256 AS bucket
+      FROM {D.alnum_tokens(extra_cols="source")} a
     ),
     tot AS (
       SELECT SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tt,
@@ -1415,10 +1431,14 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_char_entropy",
-    oracle="""
+    # dual-dialect: character explode via substring + numbers join
+    # (fixture texts are newline-free, so this equals the old
+    # regexp_extract_all(text, '.') form; pinned in test_sql_text)
+    oracle=f"""
     WITH ch AS (
-      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
-      FROM documents
+      SELECT doc_id, substring(text, n.i, 1) AS c
+      FROM documents JOIN {D.nums_rel(D.MAX_DOC_CHARS)} n
+        ON n.i <= length(text)
     ),
     cnt AS (
       SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c
@@ -1433,7 +1453,8 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_chars, n_distinct,
            CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000, 0) AS BIGINT)
-             - s_micro // n_chars AS entropy_micro_nats
+             - CAST({D.intdiv('s_micro', 'n_chars')} AS BIGINT)
+             AS entropy_micro_nats
     FROM agg
     """,
 )

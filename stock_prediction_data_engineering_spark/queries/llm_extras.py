@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators import dedup, multimodal, pq, semdedup, similarity, text
+from ..functions import dual_sql as D
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -261,12 +262,35 @@ def q_ann_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_token_count",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-                AS INTEGER) AS bpe_tokens
-    FROM documents
+    # dual-dialect: ws_tokens = separator count + 1 on the trimmed
+    # text (fixture texts are single-space separated — pinned in
+    # test_sql_text); bpe_tokens counted without regexp_extract_all
+    # via the character explode: a token starts where a letter run or
+    # digit run begins, and every non-alnum non-space char is its own
+    # token — exactly the [A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s] alternation
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, substring(text, n.i, 1) AS c,
+             CASE WHEN n.i = 1 THEN ' '
+                  ELSE substring(text, n.i - 1, 1) END AS p
+      FROM documents JOIN {D.nums_rel(D.MAX_DOC_CHARS)} n
+        ON n.i <= length(text)
+    ),
+    bpe AS (
+      SELECT doc_id,
+             SUM(CASE WHEN {D.IS_LETTER} AND NOT {D.IS_LETTER_P} THEN 1
+                      WHEN {D.IS_DIGIT} AND NOT {D.IS_DIGIT_P} THEN 1
+                      WHEN NOT {D.IS_LETTER} AND NOT {D.IS_DIGIT}
+                           AND c <> ' ' THEN 1
+                      ELSE 0 END) AS bpe_tokens
+      FROM ch GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(trim(d.text))
+                - length(replace(trim(d.text), ' ', '')) + 1 AS INTEGER)
+             AS ws_tokens,
+           CAST(b.bpe_tokens AS INTEGER) AS bpe_tokens
+    FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,17 +305,34 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_quality_score",
-    oracle="""
-    SELECT doc_id,
-           round(least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0,
-                       1.0)
-                 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                                    / greatest(length(text), 1)
-                                + CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-                                    / greatest(length(text), 1),
+    # dual-dialect: punct ([^\\w\\s]) and digit counts via per-char
+    # classification over the character explode (fixture whitespace is
+    # single spaces — pinned in test_sql_text)
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, substring(text, n.i, 1) AS c
+      FROM documents JOIN {D.nums_rel(D.MAX_DOC_CHARS)} n
+        ON n.i <= length(text)
+    ),
+    k AS (
+      SELECT doc_id,
+             SUM(CASE WHEN NOT {D.IS_LETTER} AND NOT {D.IS_DIGIT}
+                       AND c <> '_' AND c <> ' ' THEN 1 ELSE 0 END)
+               AS n_punct,
+             SUM(CASE WHEN {D.IS_DIGIT} THEN 1 ELSE 0 END) AS n_digit
+      FROM ch GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           round(least(CAST(length(trim(d.text))
+                    - length(replace(trim(d.text), ' ', '')) + 1 AS DOUBLE)
+                    / 100.0, 1.0)
+                 * (1.0 - least(CAST(k.n_punct AS DOUBLE)
+                                    / greatest(length(d.text), 1)
+                                + CAST(k.n_digit AS DOUBLE)
+                                    / greatest(length(d.text), 1),
                                 1.0)),
                  4) AS quality
-    FROM documents
+    FROM documents d JOIN k ON d.doc_id = k.doc_id
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

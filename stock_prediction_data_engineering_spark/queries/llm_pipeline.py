@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 # whitespace token count as an integer column (the corpus tokenizer
@@ -202,14 +203,18 @@ def q_train_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_quality_filter",
-    oracle="""
+    # dual-dialect: TTR from keyed aggregates over the split_part
+    # explode (COUNT(*) per doc = field count, incl. empty fields —
+    # same as len(string_split))
+    oracle=f"""
     WITH m AS (
-      SELECT doc_id, source,
-             CAST(floor(CAST(len(list_distinct(string_split(text, ' ')))
-                             AS DOUBLE)
-                        / len(string_split(text, ' ')) * 10000)
-                  AS BIGINT) AS ttr_bp
-      FROM documents
+      SELECT d.doc_id, d.source,
+             CAST(floor(CAST(t.n_dw AS DOUBLE) / t.n_w * 10000) AS BIGINT)
+               AS ttr_bp
+      FROM documents d JOIN (
+        SELECT doc_id, COUNT(DISTINCT token) AS n_dw, COUNT(*) AS n_w
+        FROM {D.space_tokens()} s GROUP BY doc_id
+      ) t ON d.doc_id = t.doc_id
     ),
     r AS (
       SELECT doc_id, source, ttr_bp,
@@ -521,21 +526,26 @@ def leakage_profile(docs: DataFrame) -> DataFrame:
 
 @query(
     "q_split_leakage",
-    oracle="""
+    # dual-dialect: word 5-grams as five split_part cuts per start
+    # position (SELECT DISTINCT replaces list_distinct)
+    oracle=f"""
     WITH labeled AS (
-      SELECT doc_id, string_split(text, ' ') AS w,
-             len(string_split(text, ' ')) AS wc,
+      SELECT doc_id, text,
+             length(text) - length(replace(text, ' ', '')) + 1 AS wc,
              CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
                   WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     ),
     grams AS (
-      SELECT doc_id, split,
-             unnest(list_distinct(list_transform(
-                 range(1, greatest(wc - 4, 0) + 1),
-                 i -> array_to_string(w[i:i+4], ' ')))) AS g
-      FROM labeled
+      SELECT DISTINCT doc_id, split,
+             split_part(text, ' ', n.i) || ' '
+             || split_part(text, ' ', n.i + 1) || ' '
+             || split_part(text, ' ', n.i + 2) || ' '
+             || split_part(text, ' ', n.i + 3) || ' '
+             || split_part(text, ' ', n.i + 4) AS g
+      FROM labeled JOIN {D.nums_rel(D.MAX_DOC_WORDS - 4)} n
+        ON n.i <= wc - 4
     )
     SELECT e.doc_id AS eval_doc_id,
            CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,

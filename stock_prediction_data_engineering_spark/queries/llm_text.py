@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 
@@ -194,9 +195,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_token_explode",
-    oracle="""
+    # dual-dialect: split_part + numbers-join explode (dual_sql.py
+    # space_tokens) — one text for DuckDB, Spark SQL, and the plan
+    oracle=f"""
     SELECT token, COUNT(*) AS tf
-    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    FROM {D.space_tokens()} s
     WHERE token <> ''
     GROUP BY token
     """,
@@ -217,12 +220,11 @@ def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_vocab_topk",
-    oracle="""
+    oracle=f"""
     SELECT token,
            CAST(COUNT(*) AS BIGINT) AS tf,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-          FROM documents)
+    FROM {D.space_tokens()} s
     WHERE token <> ''
     GROUP BY token
     ORDER BY df DESC, tf DESC, token

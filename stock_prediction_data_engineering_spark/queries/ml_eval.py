@@ -182,10 +182,12 @@ def q_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ab_lift",
-    oracle="""
+    # dual-dialect: the arm bit is the parity of the 15-hex-digit md5
+    # prefix = parity of its last digit (positional decode, dual_sql)
+    oracle=f"""
     WITH u AS (
       SELECT user_id,
-             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             {D.hex_int("substring(md5(CAST(user_id AS STRING)), 15, 1)", 1)}
                % 2 AS arm,
              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS converted

@@ -62,7 +62,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            substr(c_name, 1, 8) AS name_prefix,
            CAST(length(c_name) AS INTEGER) AS name_len,
            concat_ws('-', c_mktsegment, c_name) AS seg_name,
-           string_split(c_name, '#')[2] AS cust_num_str,
+           split_part(c_name, '#', 2) AS cust_num_str,
            regexp_extract(c_name, '([0-9]+)', 1) AS cust_num_re
     FROM customer
     """,

@@ -582,7 +582,7 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(cnt) OVER () AS n
       FROM h
     ),
-    p AS (SELECT UNNEST([50, 90, 99]) AS pct)
+    p AS (SELECT pct FROM (VALUES (50), (90), (99)) AS v(pct))
     SELECT pct, MIN(bucket) AS bucket,
            MIN(bucket*bucket) AS lo_c,
            MIN((bucket+1)*(bucket+1) - 1) AS hi_c

@@ -15,32 +15,33 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 
 @query(
     "q_tfidf",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS token
-      FROM documents
-    ),
-    tf AS (
+    # dual-dialect: split_part explode + the registry's // rewrite
+    # (tf*1e9 <= ~1e13 — comfortably inside intdiv's 2^53 bound)
+    oracle=f"""
+    WITH tf AS (
       SELECT doc_id, token, COUNT(*) AS tf
-      FROM toks WHERE token <> '' GROUP BY doc_id, token
+      FROM {D.space_tokens()} s WHERE token <> '' GROUP BY doc_id, token
     ),
     dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
     SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
            CAST(df AS BIGINT) AS df, tfidf_ppb
     FROM (
       SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-             tf.tf * 1000000000 // dfreq.df AS tfidf_ppb,
+             CAST({D.intdiv('tf.tf * 1000000000', 'dfreq.df')} AS BIGINT)
+               AS tfidf_ppb,
              row_number() OVER (
                PARTITION BY tf.doc_id
-               ORDER BY tf.tf * 1000000000 // dfreq.df DESC, tf.token
+               ORDER BY CAST({D.intdiv('tf.tf * 1000000000', 'dfreq.df')}
+                             AS BIGINT) DESC, tf.token
              ) AS rk
       FROM tf JOIN dfreq USING (token)
-    )
+    ) r
     WHERE rk <= 5
     """,
 )

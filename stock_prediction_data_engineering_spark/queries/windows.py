@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dual_sql as D
 from ..registry import query
 
 DEC = "decimal(18,4)"
@@ -163,25 +164,41 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_gapfill_daily",
-    oracle="""
+    # dual-dialect: spine via numbers join (user day spans are
+    # bounded — pinned in test_sql_text); forward-fill via the
+    # count-over-grouping identity instead of IGNORE NULLS, whose
+    # placement the two parsers disagree on (Spark postfix, DuckDB
+    # in-paren): the running COUNT of non-nulls is constant within a
+    # fill group and only one non-null (its first row) exists per
+    # group, so MAX over (user, grp) IS the last observation
+    oracle=f"""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS day_avg
-      FROM events GROUP BY user_id, day
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*)
+               AS day_avg
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+      FROM daily GROUP BY user_id
     ),
     spine AS (
-      SELECT user_id,
-             CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
-                                         CAST(max(day) AS TIMESTAMP),
-                                         INTERVAL 1 DAY)) AS DATE) AS day
-      FROM daily GROUP BY user_id
-    )
-    SELECT s.user_id, s.day,
-           last_value(d.day_avg IGNORE NULLS) OVER (
+      SELECT user_id, CAST(lo + (n.i - 1) * INTERVAL 1 DAY AS DATE) AS day
+      FROM bounds JOIN {D.nums_rel(32)} n
+        ON n.i <= {D.days_between('lo', 'hi')} + 1
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.day_avg,
+             COUNT(d.day_avg) OVER (
                PARTITION BY s.user_id ORDER BY s.day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg,
-           d.day_avg IS NOT NULL AS is_observed
-    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day,
+           MAX(day_avg) OVER (PARTITION BY user_id, grp) AS filled_avg,
+           day_avg IS NOT NULL AS is_observed
+    FROM j
     """,
 )
 def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,22 +24,26 @@ from stock_prediction_data_engineering_spark.catalog import sql_entry
 # DuckDB list_*/lambda/dialect constructs). This list is DISCOVERED,
 # not curated: tools/sql_text_sweep.py runs every registered oracle
 # text through spark.sql at sf0.01 and keeps the ones whose rows match
-# the DataFrame plan exactly — 137 of 189 oracles qualify after the
-# round-8 time-dialect conversion pass (functions/dual_sql.py;
-# artifact: SQLTEXT_r8.json;
+# the DataFrame plan exactly — 160 of 189 oracles qualify after the
+# round-8 time-dialect + array-dialect conversion passes
+# (functions/dual_sql.py; artifact: SQLTEXT_r8.json;
 # every remaining gap carries a per-query reason in the tool's
 # GAP_REASONS map, asserted complete below). One text, three engines
 # agreeing: DataFrame API, spark.sql, DuckDB.
 SQL_TEXT_QUERIES = [
+    "q_ab_lift",
     "q_anomaly_gate",
+    "q_assoc_rules",
     "q_atr",
     "q_auc_rank",
     "q_batch_assign",
     "q_benford",
+    "q_bigram_surprisal",
     "q_bollinger_bands",
     "q_calibration_bins",
     "q_case_when",
     "q_cdc_merge",
+    "q_char_entropy",
     "q_cohort_ltv",
     "q_concurrent_events",
     "q_conditional_agg",
@@ -55,14 +59,17 @@ SQL_TEXT_QUERIES = [
     "q_dedup_resolve",
     "q_derive_year",
     "q_distinct",
+    "q_domain_divergence",
     "q_domain_mixture",
     "q_domain_resample",
     "q_drawdown",
+    "q_dsir_select",
     "q_dup_cluster_stats",
     "q_event_paths",
     "q_event_transitions",
     "q_except",
     "q_exists_subquery",
+    "q_feature_hashing",
     "q_feature_matrix",
     "q_filter_limit",
     "q_filter_predicate",
@@ -70,6 +77,8 @@ SQL_TEXT_QUERIES = [
     "q_funnel_conversion",
     "q_fuzzy_match",
     "q_gains_table",
+    "q_gapfill_daily",
+    "q_gapfill_interp",
     "q_group_split",
     "q_groupby_year_count",
     "q_grouping_sets",
@@ -102,14 +111,20 @@ SQL_TEXT_QUERIES = [
     "q_percentile",
     "q_pivot",
     "q_pps_sample",
+    "q_quality_filter",
+    "q_quality_rules",
+    "q_quality_score",
     "q_quantile_bins",
+    "q_quantile_sketch",
     "q_rank_functions",
     "q_rank_topk_per_group",
     "q_ratio_to_report",
     "q_rename_select",
+    "q_repetition_stats",
     "q_retention_cohorts",
     "q_rfm",
     "q_robust_zscore",
+    "q_rolling_active_users",
     "q_rollup",
     "q_rsi",
     "q_running_distinct",
@@ -124,15 +139,22 @@ SQL_TEXT_QUERIES = [
     "q_skyline",
     "q_sliding_window",
     "q_sort",
+    "q_split_leakage",
     "q_stochastic_osc",
     "q_stratified_sample",
     "q_string_clean_cast",
+    "q_string_functions",
     "q_subquery_correlated",
     "q_supplier_ship_delay_rank",
     "q_symbol_preprocess",
     "q_table_profile",
     "q_text_stats",
+    "q_tfidf",
     "q_time_to_convert",
+    "q_token_bigrams",
+    "q_token_count",
+    "q_token_explode",
+    "q_token_rarity",
     "q_top_revenue_orders",
     "q_tpch_disjunctive_revenue",
     "q_tpch_excess_shippers",
@@ -161,6 +183,7 @@ SQL_TEXT_QUERIES = [
     "q_union",
     "q_unpivot",
     "q_user_lifetime",
+    "q_vocab_topk",
     "q_vwap",
     "q_weekday_seasonality",
     "q_weighted_median",
@@ -244,3 +267,44 @@ def test_sql_entry_is_a_full_front_end(spark):
     ).collect()
     assert len(out) == 5  # the five TPC-H market segments
     assert all(r.n_top_orders > 0 and r.top_value > 0 for r in out)
+
+
+def test_shared_tokenizer_bounds():
+    """Preconditions of the shared-dialect explodes (dual_sql.py): the
+    split_part + numbers-join tokenizer silently truncates past
+    MAX_DOC_WORDS fields, the character explode past MAX_DOC_CHARS,
+    and the trim-based whitespace token count assumes single-space
+    separation. Assert all three on the oracle fixture rather than
+    assuming them — a regenerated fixture that violates one fails HERE
+    with a named bound, not as a value mismatch in 23 oracle rows."""
+    import duckdb
+
+    from stock_prediction_data_engineering_spark.functions import (
+        dual_sql as D,
+    )
+
+    con = duckdb.connect()
+    wc, mc, multi_ws = con.sql(
+        f"""
+        SELECT max(length(text) - length(replace(text, ' ', '')) + 1),
+               max(length(text)),
+               SUM(CASE WHEN regexp_matches(text, '\\s\\s|[\\t\\n\\r]')
+                        THEN 1 ELSE 0 END)
+        FROM read_parquet('{SF_ORACLE}/documents.parquet')
+        """
+    ).fetchone()
+    assert wc <= D.MAX_DOC_WORDS, f"doc word count {wc} exceeds numbers rel"
+    assert mc <= D.MAX_DOC_CHARS, f"doc char count {mc} exceeds numbers rel"
+    assert multi_ws == 0, "texts must be single-space separated"
+    # events spine bound (gapfill oracles use nums_rel(32))
+    span = con.sql(
+        f"""
+        WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day
+                   FROM read_parquet('{SF_ORACLE}/events.parquet')
+                   GROUP BY 1, 2)
+        SELECT max(date_diff('day', lo, hi)) + 1
+        FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM d GROUP BY user_id)
+        """
+    ).fetchone()[0]
+    assert span <= 32, f"user day span {span} exceeds gapfill numbers rel"

@@ -53,37 +53,25 @@ R_REGEX_G = (
 )
 R_JSON = "json dialect: DuckDB json_extract_string/json_keys vs Spark get_json_object/json_object_keys"
 GAP_REASONS: dict[str, str] = {
-    # array/lateral family
-    "q_array_explode": R_LIST,
+    # array/lateral family: 23 of the round-7 R_LIST rows CLOSED in
+    # round 8 via the shared-subset explodes (functions/dual_sql.py:
+    # split_part + VALUES-numbers join for space tokens and word
+    # n-grams, gaps-and-islands character explode for regex-run
+    # tokenization, positional hex decode for md5 bucketing, and the
+    # count-over-grouping identity for IGNORE NULLS fills). What
+    # remains is genuinely list-VALUED or engine-bound:
+    "q_array_explode": R_LIST + " (array-valued demo is the point)",
     "q_array_hof": R_LIST + " (and list_sum/list_transform)",
-    "q_assoc_rules": R_LIST,
-    "q_bigram_surprisal": R_LIST,
-    "q_boilerplate_ngrams": R_LIST,
-    "q_char_entropy": R_LIST,
+    "q_boilerplate_ngrams": R_LIST + " (df-capped ngram postings join, list_slice)",
     "q_chunk_windows": R_LIST,
     "q_containment_screen": R_LIST,
     "q_contamination_check": R_LIST,
     "q_contamination_screen": R_LIST,
-    "q_dsir_select": R_LIST,
-    "q_feature_hashing": R_LIST,
     "q_label_centroids": R_LIST + " (struct_pack)",
-    "q_quality_filter": R_LIST,
-    "q_quality_rules": R_LIST,
-    "q_quantile_sketch": R_LIST + " (UNNEST of a literal list)",
-    "q_repetition_stats": R_LIST,
-    "q_rolling_active_users": R_LIST,
     "q_segment_dedup_clean": R_LIST + " (list_slice + struct literal)",
     "q_similarity_join": R_LIST,
-    "q_split_leakage": R_LIST,
-    "q_string_functions": R_LIST,
-    "q_substring_dedup": R_LIST + " (generate_series)",
-    "q_tfidf": R_LIST,
-    "q_token_bigrams": R_LIST,
-    "q_token_explode": R_LIST,
-    "q_token_rarity": R_LIST,
+    "q_substring_dedup": R_LIST + " (generate_series over per-doc shingle spans)",
     "q_udtf_chunk_text": R_LIST + " (array_to_string; D4 Python-UDTF row)",
-    "q_vocab_topk": R_LIST,
-    "q_domain_divergence": R_LIST,
     # vector ops
     "q_vector_dot": "DuckDB list_dot_product + DOUBLE[] cast vs Spark aggregate/zip_with lambdas",
     "q_topk_similar": "DuckDB list_dot_product + DOUBLE[] cast vs Spark aggregate/zip_with lambdas",
@@ -101,22 +89,19 @@ GAP_REASONS: dict[str, str] = {
     "q_moment_stats": R_128,
     "q_rolling_corr": R_128,
     "q_value_autocorr": R_128,
-    # regex flags
+    # regex flags (true REWRITES of the text — counting tricks can't
+    # express a replacement, and DuckDB regexp_replace is
+    # first-match-only without its 'g' flag, which Spark rejects)
     "q_doc_fingerprint": R_REGEX_G,
     "q_pii_redact": R_REGEX_G,
-    "q_quality_score": R_REGEX_G + " (and no regexp_count in DuckDB)",
-    "q_token_count": "no common token-count: DuckDB lacks regexp_count, Spark lacks len() on arrays",
     # json
     "q_json_extract": R_JSON,
     "q_map_functions": R_JSON,
     # one-offs
-    "q_ab_lift": "hex-literal cast: DuckDB '0x..'::BIGINT; Spark CAST of hex strings yields NULL (conv() not in DuckDB)",
     "q_join_asof": "DuckDB ASOF JOIN syntax; Spark SQL has no ASOF join (engine uses a window-based plan)",
     "q_join_asof_forward": "DuckDB ASOF JOIN syntax; Spark SQL has no ASOF join (engine uses a window-based plan)",
     "q_moving_median": "Spark cannot evaluate median/percentile as a framed window function",
     "q_string_agg": "ordered string_agg: DuckDB wants ORDER BY inside the call, Spark wants listagg WITHIN GROUP — no shared form",
-    "q_gapfill_daily": "IGNORE NULLS placement: Spark postfix `lag(x) IGNORE NULLS`, DuckDB in-paren `lag(x IGNORE NULLS)`",
-    "q_gapfill_interp": "IGNORE NULLS placement: Spark postfix `lag(x) IGNORE NULLS`, DuckDB in-paren `lag(x IGNORE NULLS)`",
 }
 
 
