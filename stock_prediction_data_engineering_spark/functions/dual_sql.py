@@ -203,6 +203,20 @@ def alnum_tokens(
     )
 
 
+def dprod(x: str, y: str, wx: int = 19, wy: int = 19) -> str:
+    """Exact BIGINT×BIGINT (or wider) product in the shared dialect —
+    the replacement for DuckDB ``HUGEINT`` intermediates (Spark's
+    widest integer is BIGINT). Both operands are CAST to explicit
+    DECIMAL widths whose sum is <= 38: DuckDB rejects a decimal
+    multiplication whose combined width exceeds 38 at the TYPE level,
+    and Spark caps the result at DECIMAL(38,0) (exact for any value
+    below 1e38, scale 0 preserved). Callers pick (wx, wy) from value
+    bounds — e.g. a running sum that fits 30 digits times a count
+    that fits 8 — and document the bound at the call site."""
+    assert wx + wy <= 38, (wx, wy)
+    return f"(CAST({x} AS DECIMAL({wx},0)) * CAST({y} AS DECIMAL({wy},0)))"
+
+
 # Shared-dialect ASCII character-class predicates over a single-char
 # column named c (and its predecessor p) — regex-free, so they dodge
 # both the regexp_count gap (absent in DuckDB) and the

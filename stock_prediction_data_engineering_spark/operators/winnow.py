@@ -222,14 +222,15 @@ def winnow_pairs(
     kg = mh.select(
         "rep", F.posexplode("hs").alias("pos0", "h")
     ).select("rep", (F.col("pos0") + 1).alias("pos"), "h")
-    # stream the corpus-sized k-gram table through SHUFFLE-HASH joins
-    # (build side hinted): the build sides — pair_keys, then the
-    # already-pair-bounded a_side — are the small sides, kg streams
-    # with one hash exchange and NO sort. merge would sort kg's ~0.5k
-    # rows-per-doc explode twice (measured at sf10u: the two sorts
-    # dominate the whole refinement); broadcast is forbidden by the
-    # stats trap above. ShuffledHashJoin spills per-partition builds,
-    # so the pair-bounded build stays safe at scale.
+    # join strategies split by HONEST build-side bounds: pair_keys
+    # (2 ids per surfaced pair) is the only side small enough to
+    # hash-build, so it rides a shuffle-hash join that streams kg
+    # without sorting it; a_side is pairs x positions — NOT safely
+    # hash-buildable (ShuffledHashJoin cannot spill its build map:
+    # observed SparkOutOfMemoryError "not enough memory to build hash
+    # map" at sf10u in a loaded session) — so the big-big (doc_b, h)
+    # match join is SORT-MERGE, which spills gracefully at any scale.
+    # Broadcast stays forbidden throughout (frozen-stats trap above).
     a_side = kg.select(
         F.col("rep").alias("doc_a"), F.col("pos").alias("pa"), "h"
     ).join(pair_keys.hint("shuffle_hash"), "doc_a")
@@ -237,7 +238,7 @@ def winnow_pairs(
         kg.select(
             F.col("rep").alias("doc_b"), F.col("pos").alias("pb"), "h"
         )
-        .join(a_side.hint("shuffle_hash"), ["doc_b", "h"])
+        .join(a_side.hint("merge"), ["doc_b", "h"])
         .select("doc_a", "doc_b", "pa", "pb")
         .dropDuplicates(["doc_a", "doc_b", "pa", "pb"])
     )

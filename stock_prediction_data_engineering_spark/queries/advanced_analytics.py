@@ -64,13 +64,24 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_moving_median",
+    # dual-dialect: Spark cannot evaluate median as a FRAMED window
+    # function, but both engines share the plain median() AGGREGATE
+    # (interpolating the even-count midpoint identically), so the
+    # 5-row trailing frame becomes a rank-range self-join + GROUP BY —
+    # one shared text for all three engines
     oracle=f"""
-    SELECT user_id, event_id,
-           CAST(2*median({_CENTS_SQL.format(c='value')}) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS med2_c
-    FROM events
+    WITH e AS (
+      SELECT user_id, event_id,
+             {_CENTS_SQL.format(c='value')} AS v_c,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           CAST(2*median(b.v_c) AS BIGINT) AS med2_c
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 4 AND a.rn
+    GROUP BY a.user_id, a.event_id
     """,
 )
 def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -276,12 +276,18 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_value_autocorr",
+    # dual-dialect (round 8): HUGEINT intermediates re-expressed
+    # as width-disciplined DECIMAL products (dual_sql.dprod
+    # rationale: operand widths sum <= 38 for DuckDB, Spark caps
+    # at DECIMAL(38,0) exactly); verified value-identical to the
+    # HUGEINT original at sf0.1 and sf1
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100)
+               CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                               AS DOUBLE) * 100)
                     AS BIGINT) AS xi
-        FROM events GROUP BY event_type, day
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     lagged AS (
         SELECT event_type, xi,
@@ -292,9 +298,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(*) AS n,
                SUM(xi) AS sx, SUM(yi) AS sy,
-               SUM(CAST(xi AS HUGEINT) * yi) AS sxy,
-               SUM(CAST(xi AS HUGEINT) * xi) AS sxx,
-               SUM(CAST(yi AS HUGEINT) * yi) AS syy
+               SUM((CAST(xi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))) AS sxy,
+               SUM((CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))) AS sxx,
+               SUM((CAST(yi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))) AS syy
         FROM lagged WHERE yi IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,

@@ -465,11 +465,16 @@ def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_rolling_corr",
+    # dual-dialect (round 8): HUGEINT intermediates re-expressed
+    # as width-disciplined DECIMAL products (dual_sql.dprod
+    # rationale: operand widths sum <= 38 for DuckDB, Spark caps
+    # at DECIMAL(38,0) exactly); verified value-identical to the
+    # HUGEINT original at sf0.1 and sf1
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS x
-      FROM events GROUP BY user_id, day
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
     ),
     mkt AS (
       SELECT day, CAST(SUM(x) AS BIGINT) AS mx FROM daily GROUP BY day
@@ -481,24 +486,21 @@ def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, day,
              COUNT(*) OVER w AS n,
              SUM(x) OVER w AS sx, SUM(mx) OVER w AS sy,
-             SUM(CAST(x AS HUGEINT) * mx) OVER w AS sxy,
-             SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx,
-             SUM(CAST(mx AS HUGEINT) * mx) OVER w AS syy
+             SUM((CAST(x AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,0)))) OVER w AS sxy,
+             SUM((CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))) OVER w AS sxx,
+             SUM((CAST(mx AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,0)))) OVER w AS syy
       FROM j
       WINDOW w AS (PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, day, CAST(n AS BIGINT) AS n_days,
            CAST(floor(
-             CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
-                  - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
-                  AS DOUBLE)
-             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
-                         - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
-                         AS DOUBLE)
-                    * CAST(CAST(n AS DECIMAL(38,0)) * CAST(syy AS DECIMAL(38,0))
-                           - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
-                           AS DOUBLE))
+             CAST((CAST(n AS DECIMAL(8,0)) * CAST(CAST(sxy AS DECIMAL(30,0)) AS DECIMAL(30,0)))
+                  - (CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))) AS DOUBLE)
+             / sqrt(CAST((CAST(n AS DECIMAL(8,0)) * CAST(CAST(sxx AS DECIMAL(30,0)) AS DECIMAL(30,0)))
+                         - (CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))) AS DOUBLE)
+                    * CAST((CAST(n AS DECIMAL(8,0)) * CAST(CAST(syy AS DECIMAL(30,0)) AS DECIMAL(30,0)))
+                           - (CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))) AS DOUBLE))
              * 1000000) AS BIGINT) AS corr_ppm
     FROM comp
     WHERE n >= 5

@@ -171,6 +171,10 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_asof",
+    # dual-dialect (round 8): DuckDB ASOF JOIN re-expressed as
+    # the shared max-timestamp-per-probe + unique join-back form
+    # (quote is unique on (user_id, ts)); epoch_us via the
+    # explicit-extract macro
     oracle="""
     WITH probe AS (
         SELECT event_id, user_id, ts, value
@@ -180,14 +184,20 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, MAX(value) AS quote_value
         FROM events WHERE event_type = 'click'
         GROUP BY user_id, ts
+    ),
+    best AS (
+        SELECT p.event_id, MAX(q.ts) AS qts
+        FROM probe p JOIN quote q
+          ON p.user_id = q.user_id AND q.ts <= p.ts
+        GROUP BY p.event_id
     )
     SELECT p.event_id, p.user_id,
-           epoch_us(p.ts) AS probe_ts_us,
-           epoch_us(q.ts) AS quote_ts_us,
+           ((CAST(extract(day from CAST(CAST(p.ts AS DATE) AS TIMESTAMP) - TIMESTAMP '1970-01-01') AS BIGINT)*86400 + CAST(extract(hour from p.ts) AS BIGINT)*3600 + CAST(extract(minute from p.ts) AS BIGINT)*60 + CAST(extract(second from p.ts) AS BIGINT)) * 1000000 + (CASE WHEN position('.' in CAST(p.ts AS STRING)) = 0 THEN 0 ELSE CAST(rpad(substring(CAST(p.ts AS STRING), position('.' in CAST(p.ts AS STRING)) + 1), 6, '0') AS BIGINT) END)) AS probe_ts_us,
+           ((CAST(extract(day from CAST(CAST(b.qts AS DATE) AS TIMESTAMP) - TIMESTAMP '1970-01-01') AS BIGINT)*86400 + CAST(extract(hour from b.qts) AS BIGINT)*3600 + CAST(extract(minute from b.qts) AS BIGINT)*60 + CAST(extract(second from b.qts) AS BIGINT)) * 1000000 + (CASE WHEN position('.' in CAST(b.qts AS STRING)) = 0 THEN 0 ELSE CAST(rpad(substring(CAST(b.qts AS STRING), position('.' in CAST(b.qts AS STRING)) + 1), 6, '0') AS BIGINT) END)) AS quote_ts_us,
            q.quote_value
     FROM probe p
-    ASOF LEFT JOIN quote q
-      ON p.user_id = q.user_id AND p.ts >= q.ts
+    LEFT JOIN best b ON p.event_id = b.event_id
+    LEFT JOIN quote q ON q.user_id = p.user_id AND q.ts = b.qts
     """,
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +236,9 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_asof_forward",
+    # dual-dialect (round 8): forward ASOF as min-timestamp-per-
+    # probe + unique join-back; tolerance window via shared
+    # timestamp-interval comparison
     oracle="""
     WITH probe AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -234,16 +247,22 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, MAX(value) AS next_value
         FROM events WHERE event_type = 'click'
         GROUP BY user_id, ts
+    ),
+    best AS (
+        SELECT p.event_id, MIN(q.ts) AS qts
+        FROM probe p JOIN quote q
+          ON p.user_id = q.user_id AND q.ts >= p.ts
+        GROUP BY p.event_id
     )
     SELECT p.event_id, p.user_id,
-           epoch_us(p.ts) AS probe_ts_us,
+           ((CAST(extract(day from CAST(CAST(p.ts AS DATE) AS TIMESTAMP) - TIMESTAMP '1970-01-01') AS BIGINT)*86400 + CAST(extract(hour from p.ts) AS BIGINT)*3600 + CAST(extract(minute from p.ts) AS BIGINT)*60 + CAST(extract(second from p.ts) AS BIGINT)) * 1000000 + (CASE WHEN position('.' in CAST(p.ts AS STRING)) = 0 THEN 0 ELSE CAST(rpad(substring(CAST(p.ts AS STRING), position('.' in CAST(p.ts AS STRING)) + 1), 6, '0') AS BIGINT) END)) AS probe_ts_us,
            CASE WHEN q.ts - p.ts <= INTERVAL 2 HOUR
-                THEN epoch_us(q.ts) END AS next_ts_us,
+                THEN ((CAST(extract(day from CAST(CAST(q.ts AS DATE) AS TIMESTAMP) - TIMESTAMP '1970-01-01') AS BIGINT)*86400 + CAST(extract(hour from q.ts) AS BIGINT)*3600 + CAST(extract(minute from q.ts) AS BIGINT)*60 + CAST(extract(second from q.ts) AS BIGINT)) * 1000000 + (CASE WHEN position('.' in CAST(q.ts AS STRING)) = 0 THEN 0 ELSE CAST(rpad(substring(CAST(q.ts AS STRING), position('.' in CAST(q.ts AS STRING)) + 1), 6, '0') AS BIGINT) END)) END AS next_ts_us,
            CASE WHEN q.ts - p.ts <= INTERVAL 2 HOUR
                 THEN q.next_value END AS next_value
     FROM probe p
-    ASOF LEFT JOIN quote q
-      ON p.user_id = q.user_id AND p.ts <= q.ts
+    LEFT JOIN best b ON p.event_id = b.event_id
+    LEFT JOIN quote q ON q.user_id = p.user_id AND q.ts = b.qts
     """,
 )
 def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:

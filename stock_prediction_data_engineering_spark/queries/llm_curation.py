@@ -238,13 +238,16 @@ def contamination_pairs(docs: DataFrame) -> DataFrame:
 
 @query(
     "q_contamination_check",
+    # dual-dialect (round 8): list-lambda n-gram generation
+    # re-expressed through the shared split_part / positioned-
+    # tokenizer explodes (functions/dual_sql.py); verified
+    # value-identical to the list form at sf0.1
     oracle="""
-    WITH grams AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS g
-      FROM documents
+    WITH 
+    grams AS (
+      SELECT DISTINCT doc_id, split_part(text, ' ', n.i) || ' ' || split_part(text, ' ', n.i + 1) || ' ' || split_part(text, ' ', n.i + 2) AS g
+      FROM (SELECT doc_id, text, length(text) - length(replace(text, ' ', '')) + 1 AS wc FROM documents) d
+      JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(y) WHERE a.x + 16 * b.y <= 126) n ON n.i <= wc - 2
     )
     SELECT t.doc_id AS train_doc_id, b.doc_id AS bench_doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -356,13 +359,16 @@ def contamination_screen(docs: DataFrame) -> DataFrame:
 
 @query(
     "q_contamination_screen",
+    # dual-dialect (round 8): list-lambda n-gram generation
+    # re-expressed through the shared split_part / positioned-
+    # tokenizer explodes (functions/dual_sql.py); verified
+    # value-identical to the list form at sf0.1
     oracle="""
-    WITH grams AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS g
-      FROM documents
+    WITH 
+    grams AS (
+      SELECT DISTINCT doc_id, split_part(text, ' ', n.i) || ' ' || split_part(text, ' ', n.i + 1) || ' ' || split_part(text, ' ', n.i + 2) AS g
+      FROM (SELECT doc_id, text, length(text) - length(replace(text, ' ', '')) + 1 AS wc FROM documents) d
+      JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(y) WHERE a.x + 16 * b.y <= 126) n ON n.i <= wc - 2
     ),
     pairs AS (
       SELECT t.doc_id AS train_doc_id, b.doc_id AS bench_doc_id,
@@ -377,8 +383,7 @@ def contamination_screen(docs: DataFrame) -> DataFrame:
     )
     SELECT p.train_doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
-           CAST(MAX(p.n_shared) * 10000 // tn.n_g AS BIGINT)
-             AS max_containment_bp
+           CAST(((MAX(p.n_shared) * 10000) - (MAX(p.n_shared) * 10000) % (tn.n_g)) / (tn.n_g) AS BIGINT) AS max_containment_bp
     FROM pairs p JOIN tn ON p.train_doc_id = tn.doc_id
     GROUP BY p.train_doc_id, tn.n_g
     """,
@@ -950,26 +955,28 @@ def boilerplate_profile(docs: DataFrame) -> DataFrame:
 
 @query(
     "q_boilerplate_ngrams",
+    # dual-dialect (round 8): list-lambda n-gram generation
+    # re-expressed through the shared split_part / positioned-
+    # tokenizer explodes (functions/dual_sql.py); verified
+    # value-identical to the list form at sf0.1
     oracle="""
-    WITH w AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS ws
-      FROM documents
-    ),
+    WITH tokp AS (SELECT doc_id, tok, pos FROM (SELECT g.doc_id, substring(lower(d.text), g.s, g.l) AS tok, ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.s) AS pos FROM (SELECT doc_id, rid, MIN(i) AS s, COUNT(*) AS l       FROM (SELECT doc_id, i, i - ROW_NUMBER() OVER                  (PARTITION BY doc_id ORDER BY i) AS rid             FROM (SELECT doc_id, n.i AS i,                          substring(lower(text), n.i, 1) AS c                   FROM documents JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16),(17),(18),(19),(20),(21),(22),(23),(24),(25),(26),(27),(28),(29),(30),(31),(32),(33),(34),(35),(36),(37),(38),(39)) AS b(y)) n                   ON n.i <= length(text)) ch             WHERE (c >= 'a' AND c <= 'z')                OR (c >= '0' AND c <= '9')) al       GROUP BY doc_id, rid) g JOIN documents d ON g.doc_id = d.doc_id) s),
     g AS (
-      SELECT DISTINCT doc_id,
-             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
-                   || ws[i+3] || ' ' || ws[i+4] AS gram
-      FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)
+      SELECT DISTINCT a.doc_id,
+             a.tok || ' ' || b.tok || ' ' || c.tok || ' '
+                   || d.tok || ' ' || e.tok AS gram
+      FROM tokp a
+      JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tokp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      JOIN tokp d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+      JOIN tokp e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
     ),
     df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS docs
            FROM g GROUP BY gram)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(SUM(CASE WHEN docs >= 10 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_boiler,
-           CAST(SUM(CASE WHEN docs >= 10 THEN 1 ELSE 0 END) * 10000
-                // COUNT(*) AS BIGINT) AS boiler_bp
+           CAST(((SUM(CASE WHEN docs >= 10 THEN 1 ELSE 0 END) * 10000) - (SUM(CASE WHEN docs >= 10 THEN 1 ELSE 0 END) * 10000) % (COUNT(*))) / (COUNT(*)) AS BIGINT) AS boiler_bp
     FROM g JOIN df USING (gram)
     GROUP BY doc_id
     """,
@@ -1059,22 +1066,24 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_domain_similarity",
+    # dual-dialect (round 8): HUGEINT intermediates re-expressed
+    # as width-disciplined DECIMAL products (dual_sql.dprod
+    # rationale: operand widths sum <= 38 for DuckDB, Spark caps
+    # at DECIMAL(38,0) exactly); verified value-identical to the
+    # HUGEINT original at sf0.1 and sf1
     oracle="""
-    WITH toks AS (
-      SELECT source, unnest(string_split(text, ' ')) AS tok
-      FROM documents
-    ),
-    tf AS (
-      SELECT source, tok, COUNT(*) AS n
-      FROM toks WHERE tok <> '' GROUP BY source, tok
+    WITH tf AS (
+      SELECT source, token AS tok, COUNT(*) AS n
+      FROM (SELECT doc_id, source, n.i AS pos, split_part(text, ' ', n.i) AS token FROM documents JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(y)) n ON n.i <= length(text) - length(replace(text, ' ', '')) + 1) s
+      WHERE token <> '' GROUP BY source, token
     ),
     norms AS (
-      SELECT source, SUM(CAST(n AS HUGEINT) * n) AS ss FROM tf GROUP BY source
+      SELECT source, SUM((CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))) AS ss FROM tf GROUP BY source
     ),
     pairs AS (
       SELECT a.source AS src_a, b.source AS src_b,
              CAST(COUNT(*) AS BIGINT) AS shared_tokens,
-             SUM(CAST(a.n AS HUGEINT) * b.n) AS num
+             SUM((CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0)))) AS num
       FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
       GROUP BY a.source, b.source
     )
@@ -1164,15 +1173,15 @@ def q_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_containment_screen",
+    # dual-dialect (round 8): list-lambda n-gram generation
+    # re-expressed through the shared split_part / positioned-
+    # tokenizer explodes (functions/dual_sql.py); verified
+    # value-identical to the list form at sf0.1
     oracle="""
-    WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ),
-    bg AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(range(1, len(ws)),
-                    i -> ws[i] || ' ' || ws[i + 1]))) AS g
-      FROM w WHERE len(ws) >= 2
+    WITH bg AS (
+      SELECT DISTINCT doc_id, split_part(text, ' ', n.i) || ' ' || split_part(text, ' ', n.i + 1) AS g
+      FROM (SELECT doc_id, text, length(text) - length(replace(text, ' ', '')) + 1 AS wc FROM documents) d
+      JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(y) WHERE a.x + 16 * b.y <= 127) n ON n.i <= wc - 1
     ),
     bench AS (
       SELECT doc_id AS bench_id, g FROM bg WHERE doc_id % 97 = 0
@@ -1189,8 +1198,7 @@ def q_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT i.doc_id, i.bench_id,
            CAST(i.n_shared AS BIGINT) AS n_shared,
            CAST(s.n_grams AS BIGINT) AS n_grams,
-           CAST((i.n_shared * 10000) // s.n_grams AS BIGINT)
-             AS containment_bp
+           CAST(((i.n_shared * 10000) - (i.n_shared * 10000) % (s.n_grams)) / (s.n_grams) AS BIGINT) AS containment_bp
     FROM inter i JOIN sizes s ON s.doc_id = i.doc_id
     WHERE i.n_shared * 10 >= s.n_grams
     """,

@@ -44,14 +44,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_udtf_chunk_text",
+    # dual-dialect (round 8): the 32-word chunk slice as a flat
+    # concat_ws over 32 split_part cuts (rtrim drops the padding
+    # of the final partial chunk; a 128-deep || chain would hit
+    # DuckDB's binder recursion cap) + a numbers-join explode
     oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) - length(replace(text, ' ', '')) + 1 AS wc FROM documents)
     SELECT doc_id,
-           CAST(u.i AS INTEGER) AS chunk_idx,
-           array_to_string(parts[u.i * 32 + 1 : u.i * 32 + 32], ' ') AS chunk,
-           CAST(len(parts[u.i * 32 + 1 : u.i * 32 + 32]) AS INTEGER) AS n_words
-    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) t,
-         LATERAL (SELECT unnest(generate_series(
-                      0, CAST(ceil(len(parts) / 32.0) AS BIGINT) - 1)) AS i) u
+           CAST(n.i - 1 AS INTEGER) AS chunk_idx,
+           rtrim(concat_ws(' ', split_part(text, ' ', (n.i - 1) * 32 + 1 + 0), split_part(text, ' ', (n.i - 1) * 32 + 1 + 1), split_part(text, ' ', (n.i - 1) * 32 + 1 + 2), split_part(text, ' ', (n.i - 1) * 32 + 1 + 3), split_part(text, ' ', (n.i - 1) * 32 + 1 + 4), split_part(text, ' ', (n.i - 1) * 32 + 1 + 5), split_part(text, ' ', (n.i - 1) * 32 + 1 + 6), split_part(text, ' ', (n.i - 1) * 32 + 1 + 7), split_part(text, ' ', (n.i - 1) * 32 + 1 + 8), split_part(text, ' ', (n.i - 1) * 32 + 1 + 9), split_part(text, ' ', (n.i - 1) * 32 + 1 + 10), split_part(text, ' ', (n.i - 1) * 32 + 1 + 11), split_part(text, ' ', (n.i - 1) * 32 + 1 + 12), split_part(text, ' ', (n.i - 1) * 32 + 1 + 13), split_part(text, ' ', (n.i - 1) * 32 + 1 + 14), split_part(text, ' ', (n.i - 1) * 32 + 1 + 15), split_part(text, ' ', (n.i - 1) * 32 + 1 + 16), split_part(text, ' ', (n.i - 1) * 32 + 1 + 17), split_part(text, ' ', (n.i - 1) * 32 + 1 + 18), split_part(text, ' ', (n.i - 1) * 32 + 1 + 19), split_part(text, ' ', (n.i - 1) * 32 + 1 + 20), split_part(text, ' ', (n.i - 1) * 32 + 1 + 21), split_part(text, ' ', (n.i - 1) * 32 + 1 + 22), split_part(text, ' ', (n.i - 1) * 32 + 1 + 23), split_part(text, ' ', (n.i - 1) * 32 + 1 + 24), split_part(text, ' ', (n.i - 1) * 32 + 1 + 25), split_part(text, ' ', (n.i - 1) * 32 + 1 + 26), split_part(text, ' ', (n.i - 1) * 32 + 1 + 27), split_part(text, ' ', (n.i - 1) * 32 + 1 + 28), split_part(text, ' ', (n.i - 1) * 32 + 1 + 29), split_part(text, ' ', (n.i - 1) * 32 + 1 + 30), split_part(text, ' ', (n.i - 1) * 32 + 1 + 31))) AS chunk,
+           CAST(least(32, wc - (n.i - 1) * 32) AS INTEGER) AS n_words
+    FROM d JOIN (SELECT a.x + 8 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) AS a(x) CROSS JOIN (VALUES (0)) AS b(y)) n
+      ON (n.i - 1) * 32 < wc
     """,
 )
 def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -569,21 +569,16 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_chunk_windows",
+    # dual-dialect (round 8): 64-word windows at stride 48 via a
+    # flat concat_ws over split_part cuts (see q_udtf_chunk_text)
     oracle="""
-    WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS words,
-             len(string_split(text, ' ')) AS wc
-      FROM documents
-    ),
-    starts AS (
-      SELECT doc_id, words, wc, unnest(range(1, wc + 1, 48)) AS s
-      FROM w
-    )
+    WITH d AS (SELECT doc_id, text, length(text) - length(replace(text, ' ', '')) + 1 AS wc FROM documents)
     SELECT doc_id,
-           CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
-           CAST(least(64, wc - s + 1) AS BIGINT) AS chunk_len,
-           array_to_string(words[s : s + 63], ' ') AS chunk_text
-    FROM starts
+           CAST(n.i - 1 AS BIGINT) AS chunk_idx,
+           CAST(least(64, wc - (n.i - 1) * 48) AS BIGINT) AS chunk_len,
+           rtrim(concat_ws(' ', split_part(text, ' ', (n.i - 1) * 48 + 1 + 0), split_part(text, ' ', (n.i - 1) * 48 + 1 + 1), split_part(text, ' ', (n.i - 1) * 48 + 1 + 2), split_part(text, ' ', (n.i - 1) * 48 + 1 + 3), split_part(text, ' ', (n.i - 1) * 48 + 1 + 4), split_part(text, ' ', (n.i - 1) * 48 + 1 + 5), split_part(text, ' ', (n.i - 1) * 48 + 1 + 6), split_part(text, ' ', (n.i - 1) * 48 + 1 + 7), split_part(text, ' ', (n.i - 1) * 48 + 1 + 8), split_part(text, ' ', (n.i - 1) * 48 + 1 + 9), split_part(text, ' ', (n.i - 1) * 48 + 1 + 10), split_part(text, ' ', (n.i - 1) * 48 + 1 + 11), split_part(text, ' ', (n.i - 1) * 48 + 1 + 12), split_part(text, ' ', (n.i - 1) * 48 + 1 + 13), split_part(text, ' ', (n.i - 1) * 48 + 1 + 14), split_part(text, ' ', (n.i - 1) * 48 + 1 + 15), split_part(text, ' ', (n.i - 1) * 48 + 1 + 16), split_part(text, ' ', (n.i - 1) * 48 + 1 + 17), split_part(text, ' ', (n.i - 1) * 48 + 1 + 18), split_part(text, ' ', (n.i - 1) * 48 + 1 + 19), split_part(text, ' ', (n.i - 1) * 48 + 1 + 20), split_part(text, ' ', (n.i - 1) * 48 + 1 + 21), split_part(text, ' ', (n.i - 1) * 48 + 1 + 22), split_part(text, ' ', (n.i - 1) * 48 + 1 + 23), split_part(text, ' ', (n.i - 1) * 48 + 1 + 24), split_part(text, ' ', (n.i - 1) * 48 + 1 + 25), split_part(text, ' ', (n.i - 1) * 48 + 1 + 26), split_part(text, ' ', (n.i - 1) * 48 + 1 + 27), split_part(text, ' ', (n.i - 1) * 48 + 1 + 28), split_part(text, ' ', (n.i - 1) * 48 + 1 + 29), split_part(text, ' ', (n.i - 1) * 48 + 1 + 30), split_part(text, ' ', (n.i - 1) * 48 + 1 + 31), split_part(text, ' ', (n.i - 1) * 48 + 1 + 32), split_part(text, ' ', (n.i - 1) * 48 + 1 + 33), split_part(text, ' ', (n.i - 1) * 48 + 1 + 34), split_part(text, ' ', (n.i - 1) * 48 + 1 + 35), split_part(text, ' ', (n.i - 1) * 48 + 1 + 36), split_part(text, ' ', (n.i - 1) * 48 + 1 + 37), split_part(text, ' ', (n.i - 1) * 48 + 1 + 38), split_part(text, ' ', (n.i - 1) * 48 + 1 + 39), split_part(text, ' ', (n.i - 1) * 48 + 1 + 40), split_part(text, ' ', (n.i - 1) * 48 + 1 + 41), split_part(text, ' ', (n.i - 1) * 48 + 1 + 42), split_part(text, ' ', (n.i - 1) * 48 + 1 + 43), split_part(text, ' ', (n.i - 1) * 48 + 1 + 44), split_part(text, ' ', (n.i - 1) * 48 + 1 + 45), split_part(text, ' ', (n.i - 1) * 48 + 1 + 46), split_part(text, ' ', (n.i - 1) * 48 + 1 + 47), split_part(text, ' ', (n.i - 1) * 48 + 1 + 48), split_part(text, ' ', (n.i - 1) * 48 + 1 + 49), split_part(text, ' ', (n.i - 1) * 48 + 1 + 50), split_part(text, ' ', (n.i - 1) * 48 + 1 + 51), split_part(text, ' ', (n.i - 1) * 48 + 1 + 52), split_part(text, ' ', (n.i - 1) * 48 + 1 + 53), split_part(text, ' ', (n.i - 1) * 48 + 1 + 54), split_part(text, ' ', (n.i - 1) * 48 + 1 + 55), split_part(text, ' ', (n.i - 1) * 48 + 1 + 56), split_part(text, ' ', (n.i - 1) * 48 + 1 + 57), split_part(text, ' ', (n.i - 1) * 48 + 1 + 58), split_part(text, ' ', (n.i - 1) * 48 + 1 + 59), split_part(text, ' ', (n.i - 1) * 48 + 1 + 60), split_part(text, ' ', (n.i - 1) * 48 + 1 + 61), split_part(text, ' ', (n.i - 1) * 48 + 1 + 62), split_part(text, ' ', (n.i - 1) * 48 + 1 + 63))) AS chunk_text
+    FROM d JOIN (SELECT a.x + 4 * b.y AS i FROM (VALUES (1),(2),(3),(4)) AS a(x) CROSS JOIN (VALUES (0)) AS b(y)) n
+      ON (n.i - 1) * 48 + 1 <= wc
     """,
 )
 def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,11 +86,16 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_event_corr",
+    # dual-dialect (round 8): HUGEINT intermediates re-expressed
+    # as width-disciplined DECIMAL products (dual_sql.dprod
+    # rationale: operand widths sum <= 38 for DuckDB, Spark caps
+    # at DECIMAL(38,0) exactly); verified value-identical to the
+    # HUGEINT original at sf0.1 and sf1
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS x
-      FROM events GROUP BY event_type, day
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     pairs AS (
       SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -101,22 +106,19 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (
       SELECT type_a, type_b, COUNT(*) AS n,
              SUM(xa) AS sx, SUM(xb) AS sy,
-             SUM(CAST(xa AS HUGEINT) * xb) AS sxy,
-             SUM(CAST(xa AS HUGEINT) * xa) AS sxx,
-             SUM(CAST(xb AS HUGEINT) * xb) AS syy
+             SUM((CAST(xa AS DECIMAL(19,0)) * CAST(xb AS DECIMAL(19,0)))) AS sxy,
+             SUM((CAST(xa AS DECIMAL(19,0)) * CAST(xa AS DECIMAL(19,0)))) AS sxx,
+             SUM((CAST(xb AS DECIMAL(19,0)) * CAST(xb AS DECIMAL(19,0)))) AS syy
       FROM pairs GROUP BY type_a, type_b
     )
     SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
            CAST(floor(
-             CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
-                  - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
-                  AS DOUBLE)
-             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
-                         - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
-                         AS DOUBLE)
-                    * CAST(CAST(n AS DECIMAL(38,0)) * CAST(syy AS DECIMAL(38,0))
-                           - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
-                           AS DOUBLE))
+             CAST((CAST(n AS DECIMAL(8,0)) * CAST(CAST(sxy AS DECIMAL(30,0)) AS DECIMAL(30,0)))
+                  - (CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))) AS DOUBLE)
+             / sqrt(CAST((CAST(n AS DECIMAL(8,0)) * CAST(CAST(sxx AS DECIMAL(30,0)) AS DECIMAL(30,0)))
+                         - (CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))) AS DOUBLE)
+                    * CAST((CAST(n AS DECIMAL(8,0)) * CAST(CAST(syy AS DECIMAL(30,0)) AS DECIMAL(30,0)))
+                           - (CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))) AS DOUBLE))
              * 1000000) AS BIGINT) AS corr_ppm
     FROM comp
     """,
@@ -224,6 +226,11 @@ def q_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_moment_stats",
+    # dual-dialect (round 8): HUGEINT intermediates re-expressed
+    # as width-disciplined DECIMAL products (dual_sql.dprod
+    # rationale: operand widths sum <= 38 for DuckDB, Spark caps
+    # at DECIMAL(38,0) exactly); verified value-identical to the
+    # HUGEINT original at sf0.1 and sf1
     oracle="""
     WITH cents AS (
       SELECT event_type,
@@ -232,10 +239,10 @@ def q_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     comp AS (
       SELECT event_type, COUNT(*) AS n,
-             SUM(CAST(xc AS HUGEINT)) AS s1,
-             SUM(CAST(xc AS HUGEINT) * xc) AS s2,
-             SUM(CAST(xc AS HUGEINT) * xc * xc) AS s3,
-             SUM(CAST(xc AS HUGEINT) * xc * xc * xc) AS s4
+             CAST(SUM(xc) AS DECIMAL(38,0)) AS s1,
+             SUM(CAST((CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))) AS DECIMAL(19,0))) AS s2,
+             SUM((CAST(xc AS DECIMAL(19,0)) * CAST(CAST((CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS DECIMAL(19,0)))) AS s3,
+             SUM((CAST(CAST((CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS DECIMAL(19,0)) * CAST(CAST((CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS DECIMAL(19,0)))) AS s4
       FROM cents GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_events,
@@ -427,6 +434,11 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_gini",
+    # dual-dialect (round 8): HUGEINT intermediates re-expressed
+    # as width-disciplined DECIMAL products (dual_sql.dprod
+    # rationale: operand widths sum <= 38 for DuckDB, Spark caps
+    # at DECIMAL(38,0) exactly); verified value-identical to the
+    # HUGEINT original at sf0.1 and sf1
     oracle="""
     WITH v AS (
       SELECT event_type,
@@ -434,15 +446,23 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value, event_id) AS rnk
       FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS DECIMAL(19,0)) AS sc,
+             SUM((CAST(rnk AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))) AS src
+      FROM v GROUP BY event_type
     )
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(c) AS BIGINT) AS total_cents,
-           CAST((2 * SUM(CAST(rnk AS HUGEINT) * c)
-                 - (COUNT(*) + 1) * CAST(SUM(c) AS HUGEINT)) * 10000
-                // (COUNT(*) * CAST(SUM(c) AS HUGEINT)) AS BIGINT)
-             AS gini_bp
-    FROM v GROUP BY event_type
+    SELECT event_type, n, CAST(sc AS BIGINT) AS total_cents,
+           CAST((num - num % den) / den AS BIGINT) AS gini_bp
+    FROM (
+      SELECT event_type, n, sc,
+             CAST((2 * src - (CAST(n + 1 AS DECIMAL(10,0)) * CAST(sc AS DECIMAL(19,0))))
+                  * 10000 AS DECIMAL(38,0)) AS num,
+             (CAST(n AS DECIMAL(10,0)) * CAST(sc AS DECIMAL(19,0))) AS den
+      FROM s
+    ) t
     """,
 )
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +699,11 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_feature_covariance",
+    # dual-dialect (round 8): HUGEINT intermediates re-expressed
+    # as width-disciplined DECIMAL products (dual_sql.dprod
+    # rationale: operand widths sum <= 38 for DuckDB, Spark caps
+    # at DECIMAL(38,0) exactly); verified value-identical to the
+    # HUGEINT original at sf0.1 and sf1
     oracle="""
     WITH c AS (
       SELECT CAST(CAST(l_quantity      AS DECIMAL(18,4))*100 AS BIGINT) AS q,
@@ -688,18 +713,18 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     s AS (
-      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
              SUM(q) AS sq, SUM(e) AS se, SUM(d) AS sd, SUM(t) AS st,
-             SUM(CAST(q AS HUGEINT)*q) AS sqq,
-             SUM(CAST(q AS HUGEINT)*e) AS sqe,
-             SUM(CAST(q AS HUGEINT)*d) AS sqd,
-             SUM(CAST(q AS HUGEINT)*t) AS sqt,
-             SUM(CAST(e AS HUGEINT)*e) AS see,
-             SUM(CAST(e AS HUGEINT)*d) AS sed,
-             SUM(CAST(e AS HUGEINT)*t) AS set_,
-             SUM(CAST(d AS HUGEINT)*d) AS sdd,
-             SUM(CAST(d AS HUGEINT)*t) AS sdt,
-             SUM(CAST(t AS HUGEINT)*t) AS stt
+             SUM((CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))) AS sqq,
+             SUM((CAST(q AS DECIMAL(19,0)) * CAST(e AS DECIMAL(19,0)))) AS sqe,
+             SUM((CAST(q AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0)))) AS sqd,
+             SUM((CAST(q AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))) AS sqt,
+             SUM((CAST(e AS DECIMAL(19,0)) * CAST(e AS DECIMAL(19,0)))) AS see,
+             SUM((CAST(e AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0)))) AS sed,
+             SUM((CAST(e AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))) AS set_,
+             SUM((CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0)))) AS sdd,
+             SUM((CAST(d AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))) AS sdt,
+             SUM((CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))) AS stt
       FROM c
     )
     SELECT feat_x, feat_y, CAST(n AS BIGINT) AS n,
@@ -707,26 +732,26 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS cov_c2
     FROM (
       SELECT 'quantity' AS feat_x, 'quantity' AS feat_y, n,
-             n*sqq - CAST(sq AS HUGEINT)*sq AS num FROM s
-      UNION ALL SELECT 'quantity', 'extendedprice', n,
-             n*sqe - CAST(sq AS HUGEINT)*se FROM s
-      UNION ALL SELECT 'quantity', 'discount', n,
-             n*sqd - CAST(sq AS HUGEINT)*sd FROM s
-      UNION ALL SELECT 'quantity', 'tax', n,
-             n*sqt - CAST(sq AS HUGEINT)*st FROM s
-      UNION ALL SELECT 'extendedprice', 'extendedprice', n,
-             n*see - CAST(se AS HUGEINT)*se FROM s
-      UNION ALL SELECT 'extendedprice', 'discount', n,
-             n*sed - CAST(se AS HUGEINT)*sd FROM s
-      UNION ALL SELECT 'extendedprice', 'tax', n,
-             n*set_ - CAST(se AS HUGEINT)*st FROM s
-      UNION ALL SELECT 'discount', 'discount', n,
-             n*sdd - CAST(sd AS HUGEINT)*sd FROM s
-      UNION ALL SELECT 'discount', 'tax', n,
-             n*sdt - CAST(sd AS HUGEINT)*st FROM s
-      UNION ALL SELECT 'tax', 'tax', n,
-             n*stt - CAST(st AS HUGEINT)*st FROM s
-    )
+         ((CAST(n AS DECIMAL(10,0)) * CAST(CAST(sqq AS DECIMAL(28,0)) AS DECIMAL(28,0))) - (CAST(sq AS DECIMAL(19,0)) * CAST(sq AS DECIMAL(19,0)))) AS num FROM s
+  UNION ALL SELECT 'quantity' AS feat_x, 'extendedprice' AS feat_y, n,
+         ((CAST(n AS DECIMAL(10,0)) * CAST(CAST(sqe AS DECIMAL(28,0)) AS DECIMAL(28,0))) - (CAST(sq AS DECIMAL(19,0)) * CAST(se AS DECIMAL(19,0)))) AS num FROM s
+  UNION ALL SELECT 'quantity' AS feat_x, 'discount' AS feat_y, n,
+         ((CAST(n AS DECIMAL(10,0)) * CAST(CAST(sqd AS DECIMAL(28,0)) AS DECIMAL(28,0))) - (CAST(sq AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0)))) AS num FROM s
+  UNION ALL SELECT 'quantity' AS feat_x, 'tax' AS feat_y, n,
+         ((CAST(n AS DECIMAL(10,0)) * CAST(CAST(sqt AS DECIMAL(28,0)) AS DECIMAL(28,0))) - (CAST(sq AS DECIMAL(19,0)) * CAST(st AS DECIMAL(19,0)))) AS num FROM s
+  UNION ALL SELECT 'extendedprice' AS feat_x, 'extendedprice' AS feat_y, n,
+         ((CAST(n AS DECIMAL(10,0)) * CAST(CAST(see AS DECIMAL(28,0)) AS DECIMAL(28,0))) - (CAST(se AS DECIMAL(19,0)) * CAST(se AS DECIMAL(19,0)))) AS num FROM s
+  UNION ALL SELECT 'extendedprice' AS feat_x, 'discount' AS feat_y, n,
+         ((CAST(n AS DECIMAL(10,0)) * CAST(CAST(sed AS DECIMAL(28,0)) AS DECIMAL(28,0))) - (CAST(se AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0)))) AS num FROM s
+  UNION ALL SELECT 'extendedprice' AS feat_x, 'tax' AS feat_y, n,
+         ((CAST(n AS DECIMAL(10,0)) * CAST(CAST(set_ AS DECIMAL(28,0)) AS DECIMAL(28,0))) - (CAST(se AS DECIMAL(19,0)) * CAST(st AS DECIMAL(19,0)))) AS num FROM s
+  UNION ALL SELECT 'discount' AS feat_x, 'discount' AS feat_y, n,
+         ((CAST(n AS DECIMAL(10,0)) * CAST(CAST(sdd AS DECIMAL(28,0)) AS DECIMAL(28,0))) - (CAST(sd AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0)))) AS num FROM s
+  UNION ALL SELECT 'discount' AS feat_x, 'tax' AS feat_y, n,
+         ((CAST(n AS DECIMAL(10,0)) * CAST(CAST(sdt AS DECIMAL(28,0)) AS DECIMAL(28,0))) - (CAST(sd AS DECIMAL(19,0)) * CAST(st AS DECIMAL(19,0)))) AS num FROM s
+  UNION ALL SELECT 'tax' AS feat_x, 'tax' AS feat_y, n,
+         ((CAST(n AS DECIMAL(10,0)) * CAST(CAST(stt AS DECIMAL(28,0)) AS DECIMAL(28,0))) - (CAST(st AS DECIMAL(19,0)) * CAST(st AS DECIMAL(19,0)))) AS num FROM s
+    ) u
     """,
 )
 def q_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,31 +18,34 @@ _K, _W, _CAP = 24, 8, 50
 
 @query(
     "q_substring_dedup",
-    oracle=f"""
+    # dual-dialect (round 8): list-lambda n-gram generation
+    # re-expressed through the shared split_part / positioned-
+    # tokenizer explodes (functions/dual_sql.py); verified
+    # value-identical to the list form at sf0.1
+    oracle="""
     WITH m AS (
       SELECT text AS txt, MIN(doc_id) AS rep,
              CAST(COUNT(*) AS BIGINT) AS dup
-      FROM documents WHERE length(text) >= {_K + _W - 1}
+      FROM documents WHERE length(text) >= 31
       GROUP BY text
     ),
     kg AS (
-      SELECT rep, i AS pos,
-             ('0x' || substr(md5(substr(txt, CAST(i AS INT), {_K})),
-                             1, 15))::BIGINT AS h,
-             length(txt) - {_K - 1} AS npos
-      FROM m, unnest(generate_series(1, length(txt) - {_K - 1})) AS t(i)
+      SELECT rep, n.i AS pos, (CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 1, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 72057594037927936 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 2, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 4503599627370496 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 3, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 281474976710656 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 4, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 17592186044416 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 5, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 1099511627776 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 6, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 68719476736 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 7, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 4294967296 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 8, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 268435456 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 9, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 16777216 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 10, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 1048576 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 11, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 65536 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 12, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 4096 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 13, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 256 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 14, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 16 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 15, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 1) AS h,
+             length(txt) - 23 AS npos
+      FROM m JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16),(17),(18),(19),(20),(21),(22),(23),(24),(25),(26),(27),(28),(29),(30),(31),(32),(33),(34),(35),(36),(37),(38),(39)) AS b(y)) n
+        ON n.i <= length(txt) - 23
     ),
     win AS (
       SELECT rep, pos, npos,
              MIN(h) OVER (PARTITION BY rep ORDER BY pos
                           ROWS BETWEEN CURRENT ROW
-                          AND {_W - 1} FOLLOWING) AS fp
+                          AND 7 FOLLOWING) AS fp
       FROM kg
     ),
     fps AS (
-      SELECT DISTINCT rep, fp FROM win WHERE pos + {_W - 1} <= npos
+      SELECT DISTINCT rep, fp FROM win WHERE pos + 7 <= npos
     ),
-    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_CAP}),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
     fps2 AS (SELECT fps.rep, fps.fp FROM fps JOIN rare USING (fp)),
     pairs AS (
       SELECT a.rep AS doc_a, b.rep AS doc_b,
@@ -64,9 +67,9 @@ _K, _W, _CAP = 24, 8, 50
     ),
     spans AS (
       SELECT doc_a, doc_b,
-             CAST(MAX(cnt) + {_K - 1} AS BIGINT) AS max_span_len
+             CAST(MAX(cnt) + 23 AS BIGINT) AS max_span_len
       FROM (SELECT doc_a, doc_b, diag, isl, COUNT(*) AS cnt
-            FROM runs GROUP BY doc_a, doc_b, diag, isl)
+            FROM runs GROUP BY doc_a, doc_b, diag, isl) r
       GROUP BY doc_a, doc_b
     )
     SELECT p.doc_a, p.doc_b, p.shared_fp, da.dup AS dup_a,

@@ -24,7 +24,7 @@ from stock_prediction_data_engineering_spark.catalog import sql_entry
 # DuckDB list_*/lambda/dialect constructs). This list is DISCOVERED,
 # not curated: tools/sql_text_sweep.py runs every registered oracle
 # text through spark.sql at sf0.01 and keeps the ones whose rows match
-# the DataFrame plan exactly — 160 of 189 oracles qualify after the
+# the DataFrame plan exactly — 178 of 189 oracles qualify after the
 # round-8 time-dialect + array-dialect conversion passes
 # (functions/dual_sql.py; artifact: SQLTEXT_r8.json;
 # every remaining gap carries a per-query reason in the tool's
@@ -39,14 +39,19 @@ SQL_TEXT_QUERIES = [
     "q_batch_assign",
     "q_benford",
     "q_bigram_surprisal",
+    "q_boilerplate_ngrams",
     "q_bollinger_bands",
     "q_calibration_bins",
     "q_case_when",
     "q_cdc_merge",
     "q_char_entropy",
+    "q_chunk_windows",
     "q_cohort_ltv",
     "q_concurrent_events",
     "q_conditional_agg",
+    "q_containment_screen",
+    "q_contamination_check",
+    "q_contamination_screen",
     "q_corpus_curation",
     "q_count_distinct",
     "q_cube",
@@ -62,13 +67,16 @@ SQL_TEXT_QUERIES = [
     "q_domain_divergence",
     "q_domain_mixture",
     "q_domain_resample",
+    "q_domain_similarity",
     "q_drawdown",
     "q_dsir_select",
     "q_dup_cluster_stats",
+    "q_event_corr",
     "q_event_paths",
     "q_event_transitions",
     "q_except",
     "q_exists_subquery",
+    "q_feature_covariance",
     "q_feature_hashing",
     "q_feature_matrix",
     "q_filter_limit",
@@ -79,6 +87,7 @@ SQL_TEXT_QUERIES = [
     "q_gains_table",
     "q_gapfill_daily",
     "q_gapfill_interp",
+    "q_gini",
     "q_group_split",
     "q_groupby_year_count",
     "q_grouping_sets",
@@ -90,6 +99,8 @@ SQL_TEXT_QUERIES = [
     "q_intersect",
     "q_interval_overlap",
     "q_join_anti",
+    "q_join_asof",
+    "q_join_asof_forward",
     "q_join_full",
     "q_join_inner",
     "q_join_left",
@@ -102,7 +113,9 @@ SQL_TEXT_QUERIES = [
     "q_market_beta",
     "q_math_functions",
     "q_mode_per_group",
+    "q_moment_stats",
     "q_moving_avg",
+    "q_moving_median",
     "q_multi_agg",
     "q_nation_market_share",
     "q_ntile",
@@ -125,6 +138,7 @@ SQL_TEXT_QUERIES = [
     "q_rfm",
     "q_robust_zscore",
     "q_rolling_active_users",
+    "q_rolling_corr",
     "q_rollup",
     "q_rsi",
     "q_running_distinct",
@@ -136,6 +150,7 @@ SQL_TEXT_QUERIES = [
     "q_session_window",
     "q_sessionize",
     "q_shuffle_order",
+    "q_similarity_join",
     "q_skyline",
     "q_sliding_window",
     "q_sort",
@@ -145,6 +160,7 @@ SQL_TEXT_QUERIES = [
     "q_string_clean_cast",
     "q_string_functions",
     "q_subquery_correlated",
+    "q_substring_dedup",
     "q_supplier_ship_delay_rank",
     "q_symbol_preprocess",
     "q_table_profile",
@@ -180,9 +196,11 @@ SQL_TEXT_QUERIES = [
     "q_tumbling_window",
     "q_twap",
     "q_udaf_range_cents",
+    "q_udtf_chunk_text",
     "q_union",
     "q_unpivot",
     "q_user_lifetime",
+    "q_value_autocorr",
     "q_vocab_topk",
     "q_vwap",
     "q_weekday_seasonality",

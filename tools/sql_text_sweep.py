@@ -62,16 +62,8 @@ GAP_REASONS: dict[str, str] = {
     # remains is genuinely list-VALUED or engine-bound:
     "q_array_explode": R_LIST + " (array-valued demo is the point)",
     "q_array_hof": R_LIST + " (and list_sum/list_transform)",
-    "q_boilerplate_ngrams": R_LIST + " (df-capped ngram postings join, list_slice)",
-    "q_chunk_windows": R_LIST,
-    "q_containment_screen": R_LIST,
-    "q_contamination_check": R_LIST,
-    "q_contamination_screen": R_LIST,
     "q_label_centroids": R_LIST + " (struct_pack)",
     "q_segment_dedup_clean": R_LIST + " (list_slice + struct literal)",
-    "q_similarity_join": R_LIST,
-    "q_substring_dedup": R_LIST + " (generate_series over per-doc shingle spans)",
-    "q_udtf_chunk_text": R_LIST + " (array_to_string; D4 Python-UDTF row)",
     # vector ops
     "q_vector_dot": "DuckDB list_dot_product + DOUBLE[] cast vs Spark aggregate/zip_with lambdas",
     "q_topk_similar": "DuckDB list_dot_product + DOUBLE[] cast vs Spark aggregate/zip_with lambdas",
@@ -81,14 +73,12 @@ GAP_REASONS: dict[str, str] = {
     # extraction, string-fraction microseconds, Sunday-anchored day
     # counts, CAST-AS-STRING rendering). All 16 former R_TIME/dow
     # queries are now pinned three-engine texts.
-    # 128-bit family
-    "q_domain_similarity": R_128,
-    "q_event_corr": R_128,
-    "q_feature_covariance": R_128,
-    "q_gini": R_128,
-    "q_moment_stats": R_128,
-    "q_rolling_corr": R_128,
-    "q_value_autocorr": R_128,
+    # 128-bit family: CLOSED in round 8 — HUGEINT intermediates
+    # re-expressed as width-disciplined DECIMAL products
+    # (dual_sql.dprod): operand widths sum <= 38 so DuckDB's
+    # type-level width cap and Spark's DECIMAL(38,0) precision cap
+    # both stay exact; higher powers split via a DECIMAL(19,0)
+    # square (x^4 = (x^2)^2). All 7 former R_128 rows pinned.
     # regex flags (true REWRITES of the text — counting tricks can't
     # express a replacement, and DuckDB regexp_replace is
     # first-match-only without its 'g' flag, which Spark rejects)
@@ -98,9 +88,6 @@ GAP_REASONS: dict[str, str] = {
     "q_json_extract": R_JSON,
     "q_map_functions": R_JSON,
     # one-offs
-    "q_join_asof": "DuckDB ASOF JOIN syntax; Spark SQL has no ASOF join (engine uses a window-based plan)",
-    "q_join_asof_forward": "DuckDB ASOF JOIN syntax; Spark SQL has no ASOF join (engine uses a window-based plan)",
-    "q_moving_median": "Spark cannot evaluate median/percentile as a framed window function",
     "q_string_agg": "ordered string_agg: DuckDB wants ORDER BY inside the call, Spark wants listagg WITHIN GROUP — no shared form",
 }
 
