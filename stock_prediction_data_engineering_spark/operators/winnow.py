@@ -23,20 +23,32 @@ negatives above the guarantee length). Density is ~2/(w+1) of all
 k-grams, so the index is a small fraction of the corpus.
 
 Scale shape (everything keyed or row-local):
-  1. fingerprinting is PER-ROW array algebra (transform/slice/
-     array_min) — embarrassingly parallel, no shuffle at all;
-  2. duplicate texts are collapsed FIRST (the semantics are defined
+  1. k-gram hashing runs over a FLAT exploded (doc, pos) table so the
+     md5 chain stays inside whole-stage codegen. The earlier form
+     hashed inside array lambdas (transform/slice/array_min), and
+     HigherOrderFunction is CodegenFallback — every element went
+     through the interpreted evaluator, measured ~20 µs/k-gram at
+     sf10u (66 s for 104 M k-grams on 32 cores) vs seconds flat.
+  2. the sliding-window minimum is a rows-frame window function
+     partitioned by doc — and the k-gram table is hash-partitioned by
+     doc from birth, so the window plans NO exchange, only a
+     partition-local sort (HashPartitioning(doc) satisfies the
+     window's ClusteredDistribution).
+  3. duplicate texts are collapsed FIRST (the semantics are defined
      over distinct texts, with cluster sizes carried in the output),
      so an m-copy cluster costs one fingerprint pass, not m, and the
      pair stage never sees the C(m,2) intra-cluster blowup;
-  3. fingerprint document frequencies are a keyed count, and
+  4. fingerprint document frequencies are a keyed count, and
      fingerprints shared by more than ``df_cap`` distinct texts are
      excluded from pairing — corpus-wide boilerplate (license
      headers, templates) is a *frequency* signal, not a *pair*
      signal (q_boilerplate_ngrams measures it); the cap bounds every
-     posting list, so the self-join emits at most C(df_cap, 2) pairs
-     per fingerprint;
-  4. the pair aggregate is keyed on (doc_a, doc_b).
+     posting list, so pair generation emits at most C(df_cap, 2)
+     pairs per fingerprint;
+  5. pairs are generated IN-ROW from the df-capped posting lists
+     (groupBy(fp).collect_list, bounded by the cap *before* the list
+     is built), replacing the fps self-join — one shuffle of the
+     fingerprint table instead of two sorted join sides.
 
 No reference-repo counterpart (the reference is a 131-line ingest
 DAG, reference dags/stock_data_airflow_local_aws_s3.py); this is
@@ -45,8 +57,80 @@ north-star LLM-curation surface (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _kgram_hash(txt: Column, pos: Column, k: int) -> Column:
+    """md5-derived 60-bit int (first 15 hex digits) of the k chars of
+    ``txt`` starting at 1-based ``pos`` — the engine-portable hash
+    idiom shared with q_feature_hashing, so an ANSI oracle reproduces
+    every fingerprint bit-for-bit."""
+    return F.conv(
+        F.substring(F.md5(F.substr(txt, pos, F.lit(k))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def _kgram_table(reps: DataFrame, key: str, k: int) -> DataFrame:
+    """Flat k-gram hash table (key, npos, pos, h) over a ``__txt``
+    column — one row per 1-based k-gram position. ``reps`` must carry
+    one row per distinct text; callers repartition by ``key`` first so
+    the CPU-heavy md5 stage is row-parallel (the post-groupBy text
+    table is byte-tiny, so AQE's byte-based coalescing would otherwise
+    run the entire hash pass on one core) and so the downstream
+    window-min plans no exchange.
+
+    The sequence is guarded total: Catalyst may infer a
+    size(...) > 0 predicate from the explode and evaluate it on rows
+    the caller's length filter has not yet removed (observed with the
+    earlier array form), and sequence(1, x) counts DOWN for x < 1."""
+    npos = (F.length("__txt") - (k - 1)).alias("npos")
+    seq = F.when(
+        F.col("npos") >= 1, F.sequence(F.lit(1), F.col("npos"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        reps.select(key, npos, "__txt")
+        .select(key, "npos", F.explode(seq).alias("pos"), "__txt")
+        .select(
+            key,
+            "npos",
+            "pos",
+            _kgram_hash(F.col("__txt"), F.col("pos"), k).alias("h"),
+        )
+    )
+
+
+def _fps_from_kgrams(kg: DataFrame, key: str, w: int) -> DataFrame:
+    """Distinct winnowing fingerprints (key, fp) from a flat k-gram
+    table: minimum hash of each w-row window, positions past the last
+    full window dropped. Both the window and the per-doc dedup are
+    partition-local when ``kg`` is hash-partitioned by ``key`` —
+    HashPartitioning(key) satisfies both required distributions, so
+    neither plans an exchange."""
+    win = Window.partitionBy(key).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        kg.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") + (w - 1) <= F.col("npos"))
+        .select(key, "fp")
+        .dropDuplicates([key, "fp"])
+    )
+
+
+def _pair_structs(reps_col: Column) -> Column:
+    """All i < j element pairs of a sorted posting list as structs —
+    in-row generation bounded by the df cap, so the array lambdas run
+    over <= df_cap elements (never corpus-scaled; cheap even on the
+    interpreted lambda path)."""
+    return F.flatten(
+        F.transform(
+            reps_col,
+            lambda x, i: F.transform(
+                F.slice(reps_col, i + F.lit(2), F.size(reps_col)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
 
 
 def winnow_pairs(
@@ -79,10 +163,6 @@ def winnow_pairs(
     already winnowed into a pair, keyed on (doc, hash) — never a
     corpus-wide product.
 
-    Hashes are md5-derived 60-bit ints (first 15 hex digits), the
-    engine-portable idiom shared with q_feature_hashing, so an ANSI
-    oracle can reproduce every fingerprint bit-for-bit.
-
     JOIN-STRATEGY NOTE (the sf10u 1.6 GB broadcast trap): every join
     below whose build side scales with DISTINCT text carries an
     explicit ``merge`` hint. The checkpointed text table is a
@@ -100,12 +180,15 @@ def winnow_pairs(
     thousands of rows — noise.
     """
     min_len = k + w - 1
+    par = docs.sparkSession.sparkContext.defaultParallelism
     # one representative per distinct text; carries the cluster size.
     # The groupBy shuffles text payloads once — the same cost class as
     # the ssjoin/dedup members table, and it makes every later stage
     # per-DISTINCT-text (the replication fixture's 10x duplication
-    # multiplies this stage's input, not the fingerprint or pair work).
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # multiplies this stage's input, not the fingerprint or pair
+    # work). localCheckpoint: m feeds the k-gram pass AND the two
+    # cluster-size joins at the end — without the barrier the text
+    # groupBy re-executes per consumer.
     m = (
         docs.filter(F.length(text_col) >= min_len)
         .repartition(par, id_col)
@@ -114,88 +197,46 @@ def winnow_pairs(
             F.min(id_col).alias("rep"),
             F.count("*").cast("bigint").alias("dup"),
         )
-    )
-    # per-row fingerprinting: k-gram hash array, then sliding-window
-    # min. `hs` is materialized as its own projection so the window
-    # lambda slices ONE array column instead of re-embedding the whole
-    # md5 subtree per window (the codegen-CSE trap measured in
-    # operators/ssjoin.py word_ngrams). Both arrays are guarded with
-    # when(): sequence(1, x) counts DOWN for x < 1 and feeds slice a
-    # zero start — and the length filter above does NOT protect these
-    # expressions, because Catalyst infers a size(fps) > 0 predicate
-    # from the explode below and may evaluate it on pre-filter rows
-    # (observed: INVALID_PARAMETER_VALUE.START from the pushed-down
-    # filter). The expressions must be total.
-    empty = F.array().cast("array<bigint>")
-    hs = F.when(
-        F.length("__txt") >= min_len,
-        F.transform(
-            F.sequence(F.lit(1), F.length("__txt") - (k - 1)),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.substr(F.col("__txt"), i, F.lit(k))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-        ),
-    ).otherwise(empty)
-    fp_arr = F.when(
-        F.size("hs") >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("hs") - (w - 1)),
-                lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
-            )
-        ),
-    ).otherwise(empty)
-    # TWO projections with a materialization barrier between them.
-    # Without it, CollapseProject inlines the whole `hs` md5 transform
-    # into the window lambda, and slice() re-evaluates ALL n k-gram
-    # hashes for EVERY one of the n windows — O(n^2) md5 calls per
-    # document on the interpreted eval path (measured: a 4-query sf1
-    # sweep pinned one core for 14+ minutes; with the barrier the
-    # same stage is seconds). localCheckpoint stores the hash arrays
-    # executor-local (~8 bytes per character, no exchange) — the same
-    # lineage-truncation trade operators/ssjoin.py documents. The
-    # preceding repartition is row-honest parallelism for the CPU-
-    # heavy fingerprint stage: the post-groupBy text table is
-    # byte-tiny, so AQE's byte-based coalescing would otherwise run
-    # the entire md5 pass on ONE core.
-    mh = (
-        m.repartition(par, "rep")
-        .withColumn("hs", hs)
         .localCheckpoint(eager=False)
     )
-    fps = mh.withColumn("fps", fp_arr).select(
-        "rep", F.explode("fps").alias("fp")
-    )
-    # boilerplate mask: drop fingerprints present in > df_cap distinct
-    # texts (keyed count + fp-keyed semi join; bounds every posting)
+    # flat k-gram hashing (scale note 1); checkpointed when the span
+    # refinement will consume it again, so the md5 pass runs once.
+    kg = _kgram_table(m.repartition(par, "rep"), "rep", k)
+    if with_spans:
+        kg = kg.localCheckpoint(eager=False)
+    # fingerprints, then the df cap + posting lists. fps is
+    # checkpointed because it feeds both the frequency count and the
+    # posting aggregate (two consumers; the window-min would otherwise
+    # re-run per consumer) — it is fingerprint-sized (~2/(w+1) of the
+    # k-gram table), executor-local.
+    fps = _fps_from_kgrams(kg, "rep", w).localCheckpoint(eager=False)
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") <= df_cap)
         .select("fp")
     )
-    # rare / fps scale with distinct fingerprints — never broadcast
-    # (see JOIN-STRATEGY NOTE)
-    fps = fps.join(rare.hint("merge"), "fp", "left_semi")
-    a, b = fps.alias("a"), fps.alias("b")
+    # the cap is applied BEFORE any posting list is built (a count
+    # aggregate with map-side combine + a keyed semi join), so a
+    # corpus-hot boilerplate fingerprint never materializes a
+    # corpus-sized collect_list buffer. rare / fps scale with distinct
+    # fingerprints — never broadcast (see JOIN-STRATEGY NOTE).
+    posting = (
+        fps.join(rare.hint("merge"), "fp", "left_semi")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("rep")).alias("reps"))
+        .filter(F.size("reps") >= 2)
+    )
     pairs = (
-        a.join(
-            b.hint("merge"),
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.rep") < F.col("b.rep")),
-        )
+        posting.select(F.explode(_pair_structs(F.col("reps"))).alias("p"))
         .groupBy(
-            F.col("a.rep").alias("doc_a"), F.col("b.rep").alias("doc_b")
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
         )
         .agg(F.count("*").cast("bigint").alias("shared_fp"))
     )
-    # read sizes off the checkpointed table so the text groupBy does
+    # read sizes off the checkpointed text table so the groupBy does
     # not re-execute for a third consumer
-    sizes = mh.select("rep", "dup")
+    sizes = m.select("rep", "dup")
     out = (
         pairs.join(
             sizes.select(
@@ -214,33 +255,45 @@ def winnow_pairs(
     if not with_spans:
         return out
     # --- exact match-length refinement (pair-bounded) ---
-    # k-gram table of PAIRED docs only: positions are 1-based to match
-    # the fingerprint expressions and the ANSI oracle
-    from pyspark.sql.window import Window
-
     pair_keys = out.select("doc_a", "doc_b")
-    kg = mh.select(
-        "rep", F.posexplode("hs").alias("pos0", "h")
-    ).select("rep", (F.col("pos0") + 1).alias("pos"), "h")
+    # lossless shared-hash prefilter: a match row needs its k-gram
+    # hash present in >= 2 DISTINCT docs, so df=1 hashes (the vast
+    # majority on a mostly-unique corpus — 88% of k-gram rows at
+    # sf10u) can never produce a match and are dropped from BOTH join
+    # sides. One window pass (min/max rep share a frame, so a single
+    # exchange-by-h + partition-local sort); checkpointed because both
+    # match-join sides consume it.
+    wh = Window.partitionBy("h")
+    kgs = (
+        kg.withColumn("mn", F.min("rep").over(wh))
+        .withColumn("mx", F.max("rep").over(wh))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("rep", "pos", "h")
+        .localCheckpoint(eager=False)
+    )
     # join strategies split by HONEST build-side bounds: pair_keys
     # (2 ids per surfaced pair) is the only side small enough to
-    # hash-build, so it rides a shuffle-hash join that streams kg
+    # hash-build, so it rides a shuffle-hash join that streams kgs
     # without sorting it; a_side is pairs x positions — NOT safely
     # hash-buildable (ShuffledHashJoin cannot spill its build map:
     # observed SparkOutOfMemoryError "not enough memory to build hash
     # map" at sf10u in a loaded session) — so the big-big (doc_b, h)
     # match join is SORT-MERGE, which spills gracefully at any scale.
     # Broadcast stays forbidden throughout (frozen-stats trap above).
-    a_side = kg.select(
+    a_side = kgs.select(
         F.col("rep").alias("doc_a"), F.col("pos").alias("pa"), "h"
     ).join(pair_keys.hint("shuffle_hash"), "doc_a")
+    # match rows are structurally distinct — kg has one row per
+    # (doc, pos) and h is a function of (doc, pos), so a given
+    # (doc_a, doc_b, pa, pb) can only arise once; no dedup shuffle
+    # (the earlier dropDuplicates re-shuffled the match-bounded table
+    # a second time for rows that were already unique).
     matches = (
-        kg.select(
+        kgs.select(
             F.col("rep").alias("doc_b"), F.col("pos").alias("pb"), "h"
         )
         .join(a_side.hint("merge"), ["doc_b", "h"])
         .select("doc_a", "doc_b", "pa", "pb")
-        .dropDuplicates(["doc_a", "doc_b", "pa", "pb"])
     )
     # gaps-and-islands per diagonal: a verbatim run of length L is
     # L - k + 1 consecutive (pa, pb) matches with constant pa - pb
@@ -264,38 +317,6 @@ def winnow_pairs(
     return out.join(spans, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "shared_fp", "dup_a", "dup_b", "max_span_len"
     )
-
-
-def _fp_exprs(k: int, w: int):
-    """The guarded (hs, fps) expression pair over a `__txt` column —
-    shared by the standalone join and the persisted index. Guards and
-    the materialization-barrier requirement are documented at the use
-    site in winnow_pairs."""
-    min_len = k + w - 1
-    empty = F.array().cast("array<bigint>")
-    hs = F.when(
-        F.length("__txt") >= min_len,
-        F.transform(
-            F.sequence(F.lit(1), F.length("__txt") - (k - 1)),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.substr(F.col("__txt"), i, F.lit(k))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-        ),
-    ).otherwise(empty)
-    fp_arr = F.when(
-        F.size("hs") >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("hs") - (w - 1)),
-                lambda j: F.array_min(F.slice(F.col("hs"), j, w)),
-            )
-        ),
-    ).otherwise(empty)
-    return hs, fp_arr
 
 
 def winnow_index_write(
@@ -337,13 +358,9 @@ def winnow_index_write(
         .dropDuplicates(["th"])
         .repartition(par, "th")
     )
-    hs, fp_arr = _fp_exprs(k, w)
-    # barrier between the two projections — see winnow_pairs
-    rh = reps.withColumn("hs", hs).localCheckpoint(eager=False)
+    fps = _fps_from_kgrams(_kgram_table(reps, "th", k), "th", w)
     (
-        rh.withColumn("fps", fp_arr)
-        .select("th", F.explode("fps").alias("fp"))
-        .withColumn("bucket", F.pmod("fp", F.lit(n_buckets)))
+        fps.withColumn("bucket", F.pmod("fp", F.lit(n_buckets)))
         .repartition("bucket")
         .write.mode(mode)
         .partitionBy("bucket")
@@ -376,22 +393,23 @@ def winnow_index_probe(
     posting; member pairs are restored by output-bound joins through
     ``members/``. No corpus shuffle anywhere."""
     min_len = k + w - 1
+    par = new_docs.sparkSession.sparkContext.defaultParallelism
     spark = new_docs.sparkSession
     flt = new_docs.filter(F.length(text_col) >= min_len)
     new_members = flt.select(
         F.col(id_col).alias("new_id"),
         F.md5(F.col(text_col).cast("string")).alias("th_n"),
     )
-    new_reps = flt.select(
-        F.md5(F.col(text_col).cast("string")).alias("th_n"),
-        F.col(text_col).alias("__txt"),
-    ).dropDuplicates(["th_n"])
-    hs, fp_arr = _fp_exprs(k, w)
+    new_reps = (
+        flt.select(
+            F.md5(F.col(text_col).cast("string")).alias("th_n"),
+            F.col(text_col).alias("__txt"),
+        )
+        .dropDuplicates(["th_n"])
+        .repartition(par, "th_n")
+    )
     new_fps = (
-        new_reps.withColumn("hs", hs)
-        .localCheckpoint(eager=False)
-        .withColumn("fps", fp_arr)
-        .select("th_n", F.explode("fps").alias("fp"))
+        _fps_from_kgrams(_kgram_table(new_reps, "th_n", k), "th_n", w)
         .withColumn("bucket", F.pmod("fp", F.lit(n_buckets)))
         .cache()
     )
