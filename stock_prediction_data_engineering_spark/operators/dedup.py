@@ -72,6 +72,39 @@ def _mix_coeffs(seed: int) -> tuple[int, int]:
     return a, b
 
 
+def hashed_shingle_set(text: Column | str, k: int) -> Column:
+    """Each document's DISTINCT hashed k-char shingles as an
+    ``array<int>`` — the fused form of
+    ``shingle_hashes(char_shingles(...))``.
+
+    Distinct-HASH vs distinct-STRING sets: identical downstream
+    everywhere (min-mix, intersect and set sizes are all set functions
+    of the hash values; a string-collision duplicate never changes a
+    set function) — and deduping AFTER hashing makes array_distinct
+    compare ints, not strings.
+
+    int element type: base hashes live in [0, 2^31-2] (pmod by the
+    Mersenne prime), so the cast is lossless, and the verify stage's
+    array_intersect measures 1.75x faster on int than bigint arrays;
+    the numpy signature kernel upcasts to int64 before mixing —
+    signatures stay bit-identical.
+
+    Deliberately the ARRAY form, not a flat explode: the per-element
+    op here is one xxhash64 of a k-char substring — light enough that
+    a flat rewrite (explode + partition-local dedup + re-collect over
+    ~240 M rows at sf10u) measured SLOWER (13.9 s vs 9.2 s) than the
+    interpreted-lambda cost it removes. Contrast operators/winnow.py,
+    whose per-element md5+conv chain is heavy enough that flat wins
+    3x there."""
+    t = F.col(text) if isinstance(text, str) else text
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+        lambda i: F.pmod(F.xxhash64(t.substr(i, F.lit(k))), F.lit(_MERSENNE))
+        .cast("int"),
+    )
+    return F.array_distinct(grams)
+
+
 def _mixer(a: int, b: int):
     # closure factory: a default-arg lambda would be seen by PySpark as
     # a multi-argument higher-order lambda and silently receive the
@@ -120,11 +153,88 @@ def minhash_signature_np(num_hashes: int = 64):
     return _sig
 
 
-def _band_table(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(id, sig) -> exploded (id, band, band_hash) — 24 bytes per band,
-    never the signature array itself (see minhash_lsh_pairs docstring)."""
+def minhash_signature_packed_np(num_hashes: int = 64, n_buckets: int = 128):
+    """The :func:`minhash_signature_np` kernel extended to ALSO emit a
+    packed hash-bucket-count vector per document, for the verify
+    stage's sound intersection upper bound (see minhash_lsh_pairs):
+
+    - ``sig``    — identical to minhash_signature_np (same family,
+      same int64 math, bit-identical);
+    - ``packed`` — ``n_buckets`` counts of the doc's shingle hashes by
+      ``h & (n_buckets - 1)``, 8 bits each, packed little-endian into
+      ``n_buckets / 8`` bigints. NULL if any bucket count exceeds 255
+      (the byte cap would silently UNDERstate the bound and make it
+      unsound) — the filter treats NULL as "cannot bound, must verify".
+
+    Computing the counts here is one vectorized bincount inside the
+    Arrow pass the signatures already pay for — the hash arrays cross
+    the Python boundary exactly once either way."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    coeffs = [_mix_coeffs(i) for i in range(num_hashes)]
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    shifts = np.arange(8, dtype=np.int64) * 8
+    mask = n_buckets - 1
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("sig", ArrayType(LongType())),
+                StructField("packed", ArrayType(LongType())),
+            ]
+        )
+    )
+    def _sigp(hashes: pd.Series) -> pd.DataFrame:
+        sigs, packs = [], []
+        for h in hashes:
+            arr = np.asarray(h, dtype=np.int64)
+            sigs.append(((a_vec * arr[None, :] + b_vec) % _MERSENNE).min(axis=1))
+            cnt = np.bincount(arr & mask, minlength=n_buckets)
+            if cnt.size > n_buckets or cnt.max() > 255:
+                packs.append(None)
+            else:
+                packs.append(
+                    (cnt.astype(np.int64).reshape(-1, 8) << shifts).sum(axis=1)
+                )
+        return pd.DataFrame({"sig": sigs, "packed": packs})
+
+    return _sigp
+
+
+def _packed_intersect_ub(pa: Column, pb: Column, n_words: int = 16) -> Column:
+    """Sound upper bound on |A ∩ B| from two packed bucket-count
+    vectors: for ANY partition of the hash space into buckets,
+    |A ∩ B| = Σ_b |A_b ∩ B_b| <= Σ_b min(|A_b|, |B_b|). Unpacks and
+    mins the 8-bit counts with plain shift/and/least — every op is
+    whole-stage-codegen'd long arithmetic, ~128 least() terms per
+    pair, orders of magnitude cheaper than the array_intersect it
+    gates."""
+    terms = []
+    for w in range(1, n_words + 1):
+        a, b = F.element_at(pa, w), F.element_at(pb, w)
+        for j in range(0, 57, 8):
+            terms.append(
+                F.least(
+                    F.shiftright(a, j).bitwiseAND(F.lit(255)),
+                    F.shiftright(b, j).bitwiseAND(F.lit(255)),
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _band_table(
+    sigs: DataFrame, bands: int, rows_per_band: int, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, sig) -> exploded (id, *extra, band, band_hash) — 24 bytes
+    per band plus any passthrough columns, never the signature array
+    itself (see minhash_lsh_pairs docstring)."""
     return sigs.select(
         "id",
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -146,7 +256,7 @@ def _band_table(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("id", "b.band", "b.band_hash")
+    ).select("id", *extra, "b.band", "b.band_hash")
 
 
 def minhash_lsh_pairs(
@@ -239,41 +349,73 @@ def minhash_lsh_pairs(
             F.col(id_col) == F.col("__rep_id"),
             "left_semi",
         )
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(char_shingles(text_col, k)).alias("sh_hashes"),
-    )
     # The hashed-shingle table feeds three consumers (signatures and
-    # both verify sides); a lazy localCheckpoint computes the regex
+    # both verify sides); a lazy localCheckpoint computes the
     # shingling once per invocation instead of three times. See
     # operators/ssjoin.py for the persist-vs-localCheckpoint trade.
-    base = base.localCheckpoint(eager=False)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        hashed_shingle_set(text_col, k).alias("sh_hashes"),
+    ).localCheckpoint(eager=False)
 
     # Signature via the Arrow-batched numpy kernel: the JVM
     # higher-order form is interpreted (lambdas don't participate in
     # whole-stage codegen) and measured ~5x slower at 64 hashes; the
     # surrounding pipeline (shingling, banding, candidate join, verify)
-    # stays entirely JVM-side.
-    sigs = base.select(
-        "id", minhash_signature_np(num_hashes)(F.col("sh_hashes")).alias("sig")
+    # stays entirely JVM-side. The packed bucket counts for the verify
+    # bound ride the same Arrow pass; the kernel output feeds both the
+    # band table and the packed-vector join, so it is checkpointed
+    # (id + n + 64-long sig + 16-long packed ≈ 700 B per DISTINCT doc).
+    sp = (
+        base.select(
+            "id",
+            F.size("sh_hashes").alias("n"),
+            minhash_signature_packed_np(num_hashes)(
+                F.col("sh_hashes")
+            ).alias("sp"),
+        )
+        .select("id", "n", F.col("sp.sig").alias("sig"), F.col("sp.packed").alias("packed"))
+        .localCheckpoint(eager=False)
     )
 
     # The band table is SELF-joined, so without materialization the
     # Arrow minhash kernel — the pipeline's one Python stage — would
     # execute twice (once per join side). Checkpointing stores only
-    # (id, band, band_hash): 24 bytes/band, never the arrays.
-    banded = _band_table(sigs, bands, rows_per_band).localCheckpoint(eager=False)
+    # (id, n, band, band_hash): ~32 bytes/band, never the arrays. The
+    # set SIZE rides along so the length filter below can run INSIDE
+    # the join, before dropDuplicates ever sees the pruned rows.
+    banded = _band_table(sp, bands, rows_per_band, extra=("n",)).localCheckpoint(
+        eager=False
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
+    # lossless size filter IN the join condition:
+    # J(A,B) <= min(|A|,|B|) / max(|A|,|B|) (intersection is at most
+    # the smaller set, union at least the larger — the PPJoin length
+    # filter, operators/ssjoin.py), so pairs whose set sizes are too
+    # far apart can never clear the threshold and are dropped before
+    # they cost dedup or verify work. The 5e-5 slack mirrors the
+    # round(jaccard, 4) in the final filter (a true J of t - 0.00004
+    # still rounds up to t). At sf10u this cuts 14.6 M candidates to
+    # 9.4 M with zero extra joins.
     cands = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.id") < F.col("r.id"))
+            & (
+                F.least("l.n", "r.n").cast("double")
+                >= (jaccard_threshold - 5e-5) * F.greatest("l.n", "r.n")
+            ),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.n").alias("n_a"),
+            F.col("r.n").alias("n_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     # Explicit partition count for the verify stage: candidate rows are
@@ -286,25 +428,58 @@ def minhash_lsh_pairs(
     # optimized away, re-exposing the coalescible exchange.
     cands = cands.repartition(n_parts, "id_a")
 
-    # per-doc distinct-set size computed ONCE here, so the per-pair cost
-    # below is a single array_intersect — the union size is exact set
-    # arithmetic (|A ∪ B| = |A| + |B| − |A ∩ B|), which avoids building
-    # an array_union per candidate pair (measured ~25% off the verify
-    # stage at sf0.1's 244k candidates)
-    ha = base.select(
-        F.col("id").alias("id_a"),
-        F.col("sh_hashes").alias("h_a"),
-        F.size(F.array_distinct("sh_hashes")).alias("n_a"),
-    )
-    hb = base.select(
-        F.col("id").alias("id_b"),
-        F.col("sh_hashes").alias("h_b"),
-        F.size(F.array_distinct("sh_hashes")).alias("n_b"),
-    )
+    # sound intersection upper bound BEFORE any array payload moves:
+    # join the 128-byte packed bucket-count vectors (never the 5 KB
+    # hash arrays) and drop every pair whose bound proves J below the
+    # threshold (see _packed_intersect_ub; NULL packed = uncappable
+    # doc, must verify). The candidate J distribution is bimodal at
+    # sf10u — 9.4 M pairs at J <= 0.4 vs 15 k true pairs at J >= 0.8 —
+    # so at the 0.7 pair-form threshold the bound clears ~99.8% of the
+    # exact-intersect work (verify stage 25.6 s -> 3.5 s). The bound
+    # carries ~0.1-0.15 of additive J slack (per-bucket min picks up
+    # E[min(Poisson, Poisson)] noise from non-shared elements), so at
+    # LOW thresholds it can prove almost nothing and the two 9 M-row
+    # joins are pure overhead — gated off below 0.5 (the clusters
+    # query verifies at 0.2, where ~60% of candidates genuinely pass
+    # and must be exactly intersected anyway). merge hints: the packed
+    # table scales with distinct text and descends from a checkpoint
+    # whose frozen-tiny size estimate would otherwise force a static
+    # broadcast (the operators/winnow.py sf10u maxResultSize trap).
+    if jaccard_threshold >= 0.5:
+        pk = sp.select("id", "packed")
+        cands = (
+            cands.join(
+                pk.select(
+                    F.col("id").alias("id_a"), F.col("packed").alias("pk_a")
+                ).hint("merge"),
+                "id_a",
+            )
+            .join(
+                pk.select(
+                    F.col("id").alias("id_b"), F.col("packed").alias("pk_b")
+                ).hint("merge"),
+                "id_b",
+            )
+        )
+        ub = _packed_intersect_ub(F.col("pk_a"), F.col("pk_b"))
+        cands = cands.filter(
+            F.col("pk_a").isNull()
+            | F.col("pk_b").isNull()
+            | (
+                ub.cast("double")
+                >= (jaccard_threshold - 5e-5)
+                * (F.col("n_a") + F.col("n_b") - ub)
+            )
+        ).select("id_a", "id_b", "n_a", "n_b")
+    ha = base.select(F.col("id").alias("id_a"), F.col("sh_hashes").alias("h_a"))
+    hb = base.select(F.col("id").alias("id_b"), F.col("sh_hashes").alias("h_b"))
     verified = cands.join(ha, "id_a").join(hb, "id_b")
     # array_intersect has set semantics (distinct output), so this is
     # Jaccard of the hashed shingle sets; a 2^31 hash space makes
-    # within-doc collisions negligible
+    # within-doc collisions negligible. n_a/n_b are exact set sizes
+    # (sh_hashes is distinct by construction), so the union size is
+    # set arithmetic (|A ∪ B| = |A| + |B| − |A ∩ B|) — never an
+    # array_union per pair.
     inter = F.size(F.array_intersect("h_a", "h_b"))
     jaccard = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     rep_pairs = (
@@ -449,7 +624,7 @@ def _minhash_base(
     rows_per_band = num_hashes // bands
     base = docs.select(
         F.col(id_col).alias("id"),
-        shingle_hashes(char_shingles(text_col, k)).alias("sh_hashes"),
+        hashed_shingle_set(text_col, k).alias("sh_hashes"),
     )
     sigs = base.select(
         "id", minhash_signature_np(num_hashes)(F.col("sh_hashes")).alias("sig")
