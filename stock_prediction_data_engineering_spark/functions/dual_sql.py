@@ -180,8 +180,11 @@ def alnum_tokens(
     (unshared) ordered string_agg. The run grouping is a keyed window
     + keyed aggregate: everything shuffles on the document key, so
     the plan scales with corpus size like the list-lambda original."""
-    sel = f"{id_col}, {extra_cols}" if extra_cols else id_col
-    gsel = f"g.{id_col}, {', '.join('g.' + c for c in extra_cols.split(', '))}" if extra_cols else f"g.{id_col}"
+    # split on bare ',' and strip each name: a caller writing 'a,b' or
+    # a stray trailing space must not silently produce 'g.a,b'
+    extras = [c.strip() for c in extra_cols.split(",") if c.strip()]
+    sel = ", ".join([id_col, *extras])
+    gsel = ", ".join(f"g.{c}" for c in [id_col, *extras])
     pos = (
         f", ROW_NUMBER() OVER (PARTITION BY g.{id_col} ORDER BY g.s) AS pos "
         if with_pos

@@ -242,12 +242,12 @@ def contamination_pairs(docs: DataFrame) -> DataFrame:
     # re-expressed through the shared split_part / positioned-
     # tokenizer explodes (functions/dual_sql.py); verified
     # value-identical to the list form at sf0.1
-    oracle="""
+    oracle=f"""
     WITH 
     grams AS (
       SELECT DISTINCT doc_id, split_part(text, ' ', n.i) || ' ' || split_part(text, ' ', n.i + 1) || ' ' || split_part(text, ' ', n.i + 2) AS g
       FROM (SELECT doc_id, text, length(text) - length(replace(text, ' ', '')) + 1 AS wc FROM documents) d
-      JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(y) WHERE a.x + 16 * b.y <= 126) n ON n.i <= wc - 2
+      JOIN {D.nums_rel(D.MAX_DOC_WORDS - 2)} n ON n.i <= wc - 2
     )
     SELECT t.doc_id AS train_doc_id, b.doc_id AS bench_doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -363,12 +363,12 @@ def contamination_screen(docs: DataFrame) -> DataFrame:
     # re-expressed through the shared split_part / positioned-
     # tokenizer explodes (functions/dual_sql.py); verified
     # value-identical to the list form at sf0.1
-    oracle="""
+    oracle=f"""
     WITH 
     grams AS (
       SELECT DISTINCT doc_id, split_part(text, ' ', n.i) || ' ' || split_part(text, ' ', n.i + 1) || ' ' || split_part(text, ' ', n.i + 2) AS g
       FROM (SELECT doc_id, text, length(text) - length(replace(text, ' ', '')) + 1 AS wc FROM documents) d
-      JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(y) WHERE a.x + 16 * b.y <= 126) n ON n.i <= wc - 2
+      JOIN {D.nums_rel(D.MAX_DOC_WORDS - 2)} n ON n.i <= wc - 2
     ),
     pairs AS (
       SELECT t.doc_id AS train_doc_id, b.doc_id AS bench_doc_id,
@@ -959,8 +959,8 @@ def boilerplate_profile(docs: DataFrame) -> DataFrame:
     # re-expressed through the shared split_part / positioned-
     # tokenizer explodes (functions/dual_sql.py); verified
     # value-identical to the list form at sf0.1
-    oracle="""
-    WITH tokp AS (SELECT doc_id, tok, pos FROM (SELECT g.doc_id, substring(lower(d.text), g.s, g.l) AS tok, ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.s) AS pos FROM (SELECT doc_id, rid, MIN(i) AS s, COUNT(*) AS l       FROM (SELECT doc_id, i, i - ROW_NUMBER() OVER                  (PARTITION BY doc_id ORDER BY i) AS rid             FROM (SELECT doc_id, n.i AS i,                          substring(lower(text), n.i, 1) AS c                   FROM documents JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16),(17),(18),(19),(20),(21),(22),(23),(24),(25),(26),(27),(28),(29),(30),(31),(32),(33),(34),(35),(36),(37),(38),(39)) AS b(y)) n                   ON n.i <= length(text)) ch             WHERE (c >= 'a' AND c <= 'z')                OR (c >= '0' AND c <= '9')) al       GROUP BY doc_id, rid) g JOIN documents d ON g.doc_id = d.doc_id) s),
+    oracle=f"""
+    WITH tokp AS (SELECT doc_id, tok, pos FROM (SELECT g.doc_id, substring(lower(d.text), g.s, g.l) AS tok, ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.s) AS pos FROM (SELECT doc_id, rid, MIN(i) AS s, COUNT(*) AS l       FROM (SELECT doc_id, i, i - ROW_NUMBER() OVER                  (PARTITION BY doc_id ORDER BY i) AS rid             FROM (SELECT doc_id, n.i AS i,                          substring(lower(text), n.i, 1) AS c                   FROM documents JOIN {D.nums_rel(D.MAX_DOC_CHARS)} n                   ON n.i <= length(text)) ch             WHERE (c >= 'a' AND c <= 'z')                OR (c >= '0' AND c <= '9')) al       GROUP BY doc_id, rid) g JOIN documents d ON g.doc_id = d.doc_id) s),
     g AS (
       SELECT DISTINCT a.doc_id,
              a.tok || ' ' || b.tok || ' ' || c.tok || ' '
@@ -1071,10 +1071,10 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rationale: operand widths sum <= 38 for DuckDB, Spark caps
     # at DECIMAL(38,0) exactly); verified value-identical to the
     # HUGEINT original at sf0.1 and sf1
-    oracle="""
+    oracle=f"""
     WITH tf AS (
       SELECT source, token AS tok, COUNT(*) AS n
-      FROM (SELECT doc_id, source, n.i AS pos, split_part(text, ' ', n.i) AS token FROM documents JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(y)) n ON n.i <= length(text) - length(replace(text, ' ', '')) + 1) s
+      FROM (SELECT doc_id, source, n.i AS pos, split_part(text, ' ', n.i) AS token FROM documents JOIN {D.nums_rel(D.MAX_DOC_WORDS)} n ON n.i <= length(text) - length(replace(text, ' ', '')) + 1) s
       WHERE token <> '' GROUP BY source, token
     ),
     norms AS (
@@ -1177,11 +1177,11 @@ def q_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-expressed through the shared split_part / positioned-
     # tokenizer explodes (functions/dual_sql.py); verified
     # value-identical to the list form at sf0.1
-    oracle="""
+    oracle=f"""
     WITH bg AS (
       SELECT DISTINCT doc_id, split_part(text, ' ', n.i) || ' ' || split_part(text, ' ', n.i + 1) AS g
       FROM (SELECT doc_id, text, length(text) - length(replace(text, ' ', '')) + 1 AS wc FROM documents) d
-      JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(y) WHERE a.x + 16 * b.y <= 127) n ON n.i <= wc - 1
+      JOIN {D.nums_rel(D.MAX_DOC_WORDS - 1)} n ON n.i <= wc - 1
     ),
     bench AS (
       SELECT doc_id AS bench_id, g FROM bg WHERE doc_id % 97 = 0

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from ..functions import dual_sql as D
 
 _K, _W, _CAP = 24, 8, 50
 
@@ -22,7 +23,7 @@ _K, _W, _CAP = 24, 8, 50
     # re-expressed through the shared split_part / positioned-
     # tokenizer explodes (functions/dual_sql.py); verified
     # value-identical to the list form at sf0.1
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT text AS txt, MIN(doc_id) AS rep,
              CAST(COUNT(*) AS BIGINT) AS dup
@@ -32,7 +33,7 @@ _K, _W, _CAP = 24, 8, 50
     kg AS (
       SELECT rep, n.i AS pos, (CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 1, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 72057594037927936 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 2, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 4503599627370496 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 3, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 281474976710656 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 4, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 17592186044416 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 5, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 1099511627776 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 6, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 68719476736 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 7, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 4294967296 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 8, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 268435456 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 9, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 16777216 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 10, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 1048576 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 11, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 65536 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 12, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 4096 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 13, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 256 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 14, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 16 + CAST(position(substring(substring(md5(substring(txt, n.i, 24)), 1, 15), 15, 1) IN '0123456789abcdef') - 1 AS BIGINT) * 1) AS h,
              length(txt) - 23 AS npos
-      FROM m JOIN (SELECT a.x + 16 * b.y AS i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16)) AS a(x) CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16),(17),(18),(19),(20),(21),(22),(23),(24),(25),(26),(27),(28),(29),(30),(31),(32),(33),(34),(35),(36),(37),(38),(39)) AS b(y)) n
+      FROM m JOIN {D.nums_rel(D.MAX_DOC_CHARS)} n
         ON n.i <= length(txt) - 23
     ),
     win AS (

@@ -314,6 +314,34 @@ def test_shared_tokenizer_bounds():
     assert wc <= D.MAX_DOC_WORDS, f"doc word count {wc} exceeds numbers rel"
     assert mc <= D.MAX_DOC_CHARS, f"doc char count {mc} exceeds numbers rel"
     assert multi_ws == 0, "texts must be single-space separated"
+    # rtrim precondition of the concat_ws-chunk oracles
+    # (q_udtf_chunk_text, q_chunk_windows): their rtrim(concat_ws(..))
+    # would strip a legitimate trailing EMPTY field if a text ever
+    # ended (or began) with a space — assert the fixture has none.
+    edge_ws = con.sql(
+        f"""
+        SELECT SUM(CASE WHEN text LIKE ' %' OR text LIKE '% '
+                        THEN 1 ELSE 0 END)
+        FROM read_parquet('{SF_ORACLE}/documents.parquet')
+        """
+    ).fetchone()[0]
+    assert edge_ws == 0, "texts must not start or end with a space"
+    # q_moment_stats down-casts the xc^2 product to DECIMAL(19,0)
+    # (queries/stats.py), which is exact only while |cents| stays
+    # below sqrt(10^19) ~= 3.16e9 — pin the value-range bound the
+    # cast silently assumes (ANSI would error loudly, but only at
+    # runtime on a regenerated fixture).
+    max_cents = con.sql(
+        f"""
+        SELECT max(abs(CAST(CAST(value AS DECIMAL(18,4)) * 100
+                            AS BIGINT)))
+        FROM read_parquet('{SF_ORACLE}/events.parquet')
+        """
+    ).fetchone()[0]
+    assert max_cents < 3_162_277_660, (
+        f"events |cents| {max_cents} exceeds the DECIMAL(19,0) square "
+        "bound assumed by q_moment_stats s3/s4"
+    )
     # events spine bound (gapfill oracles use nums_rel(32))
     span = con.sql(
         f"""

@@ -64,9 +64,52 @@ def main() -> int:
             f"read_parquet('{args.sf_dir}/{t}.parquet')"
         )
 
+    # fixture bound maxima vs the dual_sql constants, ALWAYS — most
+    # important under --exec-only, where the DuckDB compare is skipped
+    # and a doc past MAX_DOC_WORDS/CHARS (or a user day span past the
+    # gapfill nums_rel spine) would truncate oracle results SILENTLY
+    # at that scale; exactness is otherwise only pinned at <= sf1.
+    # Same aggregates as tests/test_sql_text.py::
+    # test_shared_tokenizer_bounds, recomputed on THIS sweep's fixture.
+    from stock_prediction_data_engineering_spark.functions import (
+        dual_sql as dsql,
+    )
+
+    bounds: dict[str, int] = {}
+    wc, mc, edge = con.sql(
+        "SELECT max(length(text) - length(replace(text, ' ', '')) + 1), "
+        "max(length(text)), "
+        "SUM(CASE WHEN text LIKE ' %' OR text LIKE '% ' THEN 1 ELSE 0 END) "
+        "FROM documents"
+    ).fetchone()
+    span = con.sql(
+        "WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events "
+        "GROUP BY 1, 2) "
+        "SELECT max(date_diff('day', lo, hi)) + 1 FROM ("
+        "SELECT user_id, min(day) AS lo, max(day) AS hi FROM d "
+        "GROUP BY user_id)"
+    ).fetchone()[0]
+    bounds = {
+        "max_doc_words": int(wc),
+        "max_doc_chars": int(mc),
+        "edge_space_texts": int(edge),
+        "max_user_day_span": int(span),
+    }
+    bound_errs = []
+    if wc > dsql.MAX_DOC_WORDS:
+        bound_errs.append(f"doc word count {wc} > {dsql.MAX_DOC_WORDS}")
+    if mc > dsql.MAX_DOC_CHARS:
+        bound_errs.append(f"doc char count {mc} > {dsql.MAX_DOC_CHARS}")
+    if edge:
+        bound_errs.append(f"{edge} texts with leading/trailing space")
+    if span > 32:
+        bound_errs.append(f"user day span {span} > gapfill nums_rel(32)")
+    if bound_errs:
+        print(f"BOUND VIOLATIONS at {args.sf_dir}: {bound_errs}", flush=True)
+
     only = set(args.only.split(",")) if args.only else None
     results: dict[str, dict] = {}
-    failures: list[str] = []
+    failures: list[str] = list(bound_errs)
 
     for name in sorted(registry.QUERIES):
         if only and name not in only:
@@ -120,9 +163,10 @@ def main() -> int:
 
     out = {
         "sf_dir": args.sf_dir,
-        "n_ok": len(results) - len(failures),
+        "n_ok": sum(1 for r in results.values() if r["ok"]),
         "n_fail": len(failures),
         "failures": failures,
+        "fixture_bounds": bounds,
         "total_sec": round(sum(r["sec"] for r in results.values()), 2),
         "queries": results,
     }
