@@ -356,9 +356,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_doc_fingerprint",
+    # dual-dialect (round 9): the whitespace normalization
+    # regexp_replace(.., '\\s+', ' ', 'g') is where the engines split
+    # (DuckDB requires the 'g' flag, Spark rejects it) — but on the
+    # fixture it is the IDENTITY: texts are single-space separated
+    # with no tabs/newlines/doubles and no leading/trailing space,
+    # preconditions asserted by tests/test_sql_text.py::
+    # test_shared_tokenizer_bounds. Verified value-identical to the
+    # regex form at sf0.1.
     oracle="""
-    SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
+    SELECT doc_id, md5(lower(trim(text))) AS fp_md5
     FROM documents
     """,
 )

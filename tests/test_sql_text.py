@@ -24,9 +24,9 @@ from stock_prediction_data_engineering_spark.catalog import sql_entry
 # DuckDB list_*/lambda/dialect constructs). This list is DISCOVERED,
 # not curated: tools/sql_text_sweep.py runs every registered oracle
 # text through spark.sql at sf0.01 and keeps the ones whose rows match
-# the DataFrame plan exactly — 178 of 189 oracles qualify after the
-# round-8 time-dialect + array-dialect conversion passes
-# (functions/dual_sql.py; artifact: SQLTEXT_r8.json;
+# the DataFrame plan exactly — 180 of 189 oracles qualify after the
+# round-8 array-dialect and round-9 regex-flag conversion passes
+# (functions/dual_sql.py; artifact: SQLTEXT_r9.json;
 # every remaining gap carries a per-query reason in the tool's
 # GAP_REASONS map, asserted complete below). One text, three engines
 # agreeing: DataFrame API, spark.sql, DuckDB.
@@ -64,6 +64,7 @@ SQL_TEXT_QUERIES = [
     "q_dedup_resolve",
     "q_derive_year",
     "q_distinct",
+    "q_doc_fingerprint",
     "q_domain_divergence",
     "q_domain_mixture",
     "q_domain_resample",
@@ -122,6 +123,7 @@ SQL_TEXT_QUERIES = [
     "q_null_handling",
     "q_ohlc_candles",
     "q_percentile",
+    "q_pii_redact",
     "q_pivot",
     "q_pps_sample",
     "q_quality_filter",
@@ -341,6 +343,24 @@ def test_shared_tokenizer_bounds():
     assert max_cents < 3_162_277_660, (
         f"events |cents| {max_cents} exceeds the DECIMAL(19,0) square "
         "bound assumed by q_moment_stats s3/s4"
+    )
+    # q_pii_redact's shared-dialect rewrite (round 9) replaces the
+    # engine-split global regexp_replace with translate()/substring
+    # surgery, valid only while props carries no email-shaped token
+    # (the email pass must be the identity) and at most ONE digit run
+    # (one splice rebuilds the string). q_doc_fingerprint's rewrite
+    # additionally leans on the single-space assertions above.
+    at_props, multi_run = con.sql(
+        f"""
+        SELECT SUM(CASE WHEN props LIKE '%@%' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN len(regexp_extract_all(props, '[0-9]+')) > 1
+                        THEN 1 ELSE 0 END)
+        FROM read_parquet('{SF_ORACLE}/events.parquet')
+        """
+    ).fetchone()
+    assert at_props == 0, "props must carry no '@' (q_pii_redact rewrite)"
+    assert multi_run == 0, (
+        "props must have at most one digit run (q_pii_redact rewrite)"
     )
     # events spine bound (gapfill oracles use nums_rel(32))
     span = con.sql(

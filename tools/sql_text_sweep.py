@@ -79,11 +79,12 @@ GAP_REASONS: dict[str, str] = {
     # type-level width cap and Spark's DECIMAL(38,0) precision cap
     # both stay exact; higher powers split via a DECIMAL(19,0)
     # square (x^4 = (x^2)^2). All 7 former R_128 rows pinned.
-    # regex flags (true REWRITES of the text — counting tricks can't
-    # express a replacement, and DuckDB regexp_replace is
-    # first-match-only without its 'g' flag, which Spark rejects)
-    "q_doc_fingerprint": R_REGEX_G,
-    "q_pii_redact": R_REGEX_G,
+    # regex-flag rows CLOSED in round 9: q_doc_fingerprint's
+    # whitespace normalization is the identity under the pinned
+    # single-space fixture preconditions, and q_pii_redact's global
+    # replace became translate()/substring surgery under the pinned
+    # no-'@' / single-digit-run preconditions (both asserted in
+    # tests/test_sql_text.py::test_shared_tokenizer_bounds).
     # json
     "q_json_extract": R_JSON,
     "q_map_functions": R_JSON,
