@@ -240,7 +240,11 @@ def _intersect_counts_np(batches):
     by id_a, so runs are common). Exactness is preserved: both arrays
     are distinct by construction, so the match count IS |A ∩ B| —
     bit-identical to the JVM form; the Jaccard division/round stays
-    JVM-side so float semantics never cross the boundary."""
+    JVM-side so float semantics never cross the boundary.
+
+    int64 internally, so the same kernel serves both 31-bit shingle
+    hashes (this module) and full-range xxhash64 gram hashes
+    (operators/ssjoin.py's verify stage)."""
     for pdf in batches:
         n = len(pdf)
         out = np.zeros(n, dtype=np.int32)
@@ -251,11 +255,11 @@ def _intersect_counts_np(batches):
             b = hbs.iat[i]
             if last_id != ids[i]:
                 a = has.iat[i]
-                sa = None if a is None else np.sort(np.asarray(a, dtype=np.int32))
+                sa = None if a is None else np.sort(np.asarray(a, dtype=np.int64))
                 last_id = ids[i]
             if sa is None or sa.size == 0 or b is None or len(b) == 0:
                 continue
-            bb = np.asarray(b, dtype=np.int32)
+            bb = np.asarray(b, dtype=np.int64)
             idx = np.searchsorted(sa, bb)
             idxc = np.minimum(idx, sa.size - 1)
             out[i] = np.count_nonzero((sa[idxc] == bb) & (idx < sa.size))
