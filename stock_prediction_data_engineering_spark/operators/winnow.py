@@ -57,8 +57,13 @@ north-star LLM-curation surface (BASELINE.json).
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -115,6 +120,71 @@ def _fps_from_kgrams(kg: DataFrame, key: str, w: int) -> DataFrame:
         .select(key, "fp")
         .dropDuplicates([key, "fp"])
     )
+
+
+def _winnow_fps_np(key: str, k: int, w: int):
+    """mapInPandas kernel fusing the whole fingerprint pipeline —
+    k-gram md5 hashing, sliding-window minimum, per-doc distinct —
+    into ONE Arrow pass per document batch.
+
+    Why: the flat JVM pipeline materializes a corpus-scaled k-gram
+    row table (104 M rows at sf10u) only to reduce it back to ~2/(w+1)
+    density; the rows-frame sliding min re-aggregates w rows per
+    position and the per-doc dedup re-hashes the full table — measured
+    12 s (md5) + 50 s (window min) + 33 s (dedup) at sf10u. Here the
+    text crosses Arrow once (~240 MB corpus-wide) and each document
+    costs ~0.7 ms: a hashlib-md5 loop over its positions, one
+    vectorized stride-window min, one np.unique.
+
+    Bit-for-bit equality with the JVM form (pinned in
+    tests/test_winnow.py): hashlib.md5 over the UTF-8 bytes of the
+    CODE-POINT slice txt[p:p+k] is exactly md5(substr(txt, pos, k))
+    (UTF8String.substring is code-point based), the first 15 hex
+    digits parse to the same 60-bit int as conv(.., 16, 10), and
+    sliding_window_view(h, w).min over positions 1..npos-w+1 is the
+    rows-frame minimum with the trailing partial windows dropped."""
+
+    def fn(batches):
+        for pdf in batches:
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            fps_list = []
+            for i, txt in enumerate(pdf["__txt"]):
+                if txt is None:
+                    continue
+                npos = len(txt) - (k - 1)
+                if npos < w:
+                    continue
+                h = np.empty(npos, dtype=np.int64)
+                for p in range(npos):
+                    h[p] = int(
+                        hashlib.md5(txt[p : p + k].encode("utf-8")).hexdigest()[:15],
+                        16,
+                    )
+                fp = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+                )
+                fps_list.append(fp)
+                counts[i] = fp.size
+            keys = pdf[key].to_numpy().repeat(counts)
+            fp_all = (
+                np.concatenate(fps_list)
+                if fps_list
+                else np.array([], dtype=np.int64)
+            )
+            yield pd.DataFrame({key: keys, "fp": fp_all})
+
+    return fn
+
+
+def winnow_fingerprints(reps: DataFrame, key: str, k: int, w: int) -> DataFrame:
+    """Distinct winnowing fingerprints (key, fp) of a one-row-per-
+    distinct-text table carrying ``__txt`` — the fused Arrow-kernel
+    form of ``_fps_from_kgrams(_kgram_table(...))`` (kept as the JVM
+    semantic reference and for the span path's k-gram table). Callers
+    repartition by ``key`` first for row-parallelism, exactly as for
+    the JVM form."""
+    schema = StructType([reps.schema[key], StructField("fp", LongType())])
+    return reps.select(key, "__txt").mapInPandas(_winnow_fps_np(key, k, w), schema)
 
 
 def _pair_structs(reps_col: Column) -> Column:
@@ -199,33 +269,28 @@ def winnow_pairs(
         )
         .localCheckpoint(eager=False)
     )
-    # flat k-gram hashing (scale note 1); checkpointed when the span
-    # refinement will consume it again, so the md5 pass runs once.
-    kg = _kgram_table(m.repartition(par, "rep"), "rep", k)
-    if with_spans:
-        kg = kg.localCheckpoint(eager=False)
-    # fingerprints, then the df cap + posting lists. fps is
-    # checkpointed because it feeds both the frequency count and the
-    # posting aggregate (two consumers; the window-min would otherwise
-    # re-run per consumer) — it is fingerprint-sized (~2/(w+1) of the
-    # k-gram table), executor-local.
-    fps = _fps_from_kgrams(kg, "rep", w).localCheckpoint(eager=False)
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") <= df_cap)
-        .select("fp")
-    )
-    # the cap is applied BEFORE any posting list is built (a count
-    # aggregate with map-side combine + a keyed semi join), so a
-    # corpus-hot boilerplate fingerprint never materializes a
-    # corpus-sized collect_list buffer. rare / fps scale with distinct
-    # fingerprints — never broadcast (see JOIN-STRATEGY NOTE).
+    # fingerprints via the fused Arrow kernel (hash + window-min +
+    # per-doc distinct in one pass — see _winnow_fps_np; the flat
+    # JVM pipeline paid ~95 s at sf10u for the same 22.7 M rows).
+    # No checkpoint: the posting block below consumes fps exactly
+    # once, so the kernel streams straight into its one exchange.
+    fps = winnow_fingerprints(m.repartition(par, "rep"), "rep", k, w)
+    # df cap + posting lists in ONE exchange: a partition-unbounded
+    # window count over fp (same hash layout the groupBy needs), the
+    # cap filter, then a partition-local collect_list — the earlier
+    # [count agg + sort-merge semi join + re-agg] form exchanged and
+    # sorted the fingerprint table three times for the same result
+    # (measured 46.7 s -> ~22 s at sf10u). The cap still applies
+    # BEFORE any posting list is built, so a corpus-hot boilerplate
+    # fingerprint never materializes a corpus-sized collect_list
+    # buffer; the >= 2 floor drops singleton fps before the list agg
+    # too. Nothing here is broadcast (see JOIN-STRATEGY NOTE).
+    whc = Window.partitionBy("fp")
     posting = (
-        fps.join(rare.hint("merge"), "fp", "left_semi")
+        fps.withColumn("c", F.count("*").over(whc))
+        .filter((F.col("c") >= 2) & (F.col("c") <= df_cap))
         .groupBy("fp")
         .agg(F.sort_array(F.collect_list("rep")).alias("reps"))
-        .filter(F.size("reps") >= 2)
     )
     pairs = (
         posting.select(F.explode(_pair_structs(F.col("reps"))).alias("p"))
@@ -255,7 +320,31 @@ def winnow_pairs(
     if not with_spans:
         return out
     # --- exact match-length refinement (pair-bounded) ---
+    # out is consumed twice below (the match join's pair keys AND the
+    # final span join); without the barrier the whole fingerprint ->
+    # posting -> pair pipeline would re-execute per consumer.
+    out = out.localCheckpoint(eager=False)
     pair_keys = out.select("doc_a", "doc_b")
+    # the k-gram table is built ONLY over documents that appear in a
+    # surfaced pair (a semi join against the pair endpoints — the
+    # build side is pair-bounded, the same bound a_side's hash build
+    # already rides), so non-paired documents never pay the md5
+    # explode; values agree bit-for-bit with the fingerprint kernel's
+    # (same md5 chain), so the final inner join stays total. The
+    # table streams straight into the prefilter window's exchange —
+    # its single consumer — with no checkpoint.
+    pair_docs = (
+        pair_keys.select(F.col("doc_a").alias("rep"))
+        .unionByName(pair_keys.select(F.col("doc_b").alias("rep")))
+        .dropDuplicates(["rep"])
+    )
+    kg = _kgram_table(
+        m.repartition(par, "rep").join(
+            pair_docs.hint("shuffle_hash"), "rep", "left_semi"
+        ),
+        "rep",
+        k,
+    )
     # lossless shared-hash prefilter: a match row needs its k-gram
     # hash present in >= 2 DISTINCT docs, so df=1 hashes (the vast
     # majority on a mostly-unique corpus — 88% of k-gram rows at
@@ -358,7 +447,7 @@ def winnow_index_write(
         .dropDuplicates(["th"])
         .repartition(par, "th")
     )
-    fps = _fps_from_kgrams(_kgram_table(reps, "th", k), "th", w)
+    fps = winnow_fingerprints(reps, "th", k, w)
     (
         fps.withColumn("bucket", F.pmod("fp", F.lit(n_buckets)))
         .repartition("bucket")
@@ -409,7 +498,7 @@ def winnow_index_probe(
         .repartition(par, "th_n")
     )
     new_fps = (
-        _fps_from_kgrams(_kgram_table(new_reps, "th_n", k), "th_n", w)
+        winnow_fingerprints(new_reps, "th_n", k, w)
         .withColumn("bucket", F.pmod("fp", F.lit(n_buckets)))
         .cache()
     )

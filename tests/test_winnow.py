@@ -129,6 +129,37 @@ def test_matches_oracle_fingerprints_bitwise(spark, duck):
     assert spark_fps == duck_fps
 
 
+def test_kernel_fps_match_jvm_form(spark):
+    # the fused Arrow kernel (hashlib md5 + stride-window min +
+    # np.unique) must reproduce the JVM semantic-reference pipeline
+    # bit-for-bit — including on non-ASCII text, where both sides must
+    # slice by CODE POINT and hash the UTF-8 bytes, and on texts at or
+    # below the k + w - 1 guarantee length, which must yield no rows
+    from stock_prediction_data_engineering_spark.operators.winnow import (
+        _fps_from_kgrams,
+        _kgram_table,
+        winnow_fingerprints,
+    )
+
+    texts = [
+        (1, _FILLER_A + " " + _QUOTE + " " + _FILLER_B),
+        (2, "café déjà-vu naïve façade über straße çœur ångström φύση 日本語テキスト!"),
+        (3, "x" * 40),
+        (4, "short"),  # no k-grams at all
+        (5, "a" * 31),  # exactly k + w - 1: one window, one fingerprint
+        (6, "y" * 30),  # k-grams exist but no full window: no rows
+    ]
+    reps = spark.createDataFrame(texts, "rep: bigint, __txt: string")
+    jvm = _fps_from_kgrams(
+        _kgram_table(reps.repartition(4, "rep"), "rep", 24), "rep", 8
+    )
+    ker = winnow_fingerprints(reps.repartition(4, "rep"), "rep", 24, 8)
+    jvm_rows = sorted((r.rep, r.fp) for r in jvm.collect())
+    ker_rows = sorted((r.rep, r.fp) for r in ker.collect())
+    assert jvm_rows == ker_rows
+    assert {r for r, _ in jvm_rows} == {1, 2, 3, 5}
+
+
 # ---------------------------------------------------------------------------
 # property: the winnowing guarantee holds for arbitrary planted runs
 
