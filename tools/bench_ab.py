@@ -74,6 +74,12 @@ def main() -> None:
         help="flag threshold on |median ratio - 1|",
     )
     args = ap.parse_args()
+    # a RELATIVE sf-dir resolves inside the side-a WORKTREE (where
+    # gitignored fixture dirs like .data/ do not exist): every side-a
+    # query then fails, bench.py swallows per-query errors into its
+    # sidecar, and the whole protocol burns its passes producing empty
+    # "queries" maps. Resolve once, against the caller's cwd.
+    args.sf_dir = os.path.abspath(args.sf_dir)
 
     worktrees: list[str] = []
 
@@ -96,8 +102,17 @@ def main() -> None:
     runs: dict[str, list[dict]] = {"a": [], "b": []}
     try:
         for i in range(args.passes):
-            runs["a"].append(_run_pass(dir_a, args.sf_dir, "a", i))
-            runs["b"].append(_run_pass(dir_b, args.sf_dir, "b", i))
+            for side, wd in (("a", dir_a), ("b", dir_b)):
+                r = _run_pass(wd, args.sf_dir, side, i)
+                if not r.get("queries"):
+                    # fail FAST: an all-failed pass (bad sf-dir, broken
+                    # ref) would otherwise burn every remaining pass
+                    # and crash on the empty-median at the end
+                    raise SystemExit(
+                        f"pass {i} side={side} returned zero queries "
+                        f"(sf_dir={args.sf_dir}); aborting"
+                    )
+                runs[side].append(r)
     finally:
         for wd in worktrees:
             subprocess.run(
