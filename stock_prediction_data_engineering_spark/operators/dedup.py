@@ -53,6 +53,15 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
 
 _MERSENNE = 2147483647  # 2^31 - 1: keeps a*h+b inside long range
 
+# Distinct-text count above which minhash_lsh_pairs' exact verify runs
+# the Arrow sort+searchsorted kernel instead of JVM array_intersect.
+# The kernel wins ~95 us/pair but costs a flat ~1.3 s Python-worker /
+# Arrow round-trip per run; candidates scale with distinct text, so
+# the crossover (~14 k pairs) maps to a distinct-count gate. Measured:
+# d=4,992 (sf0.1/sf1 fixtures) JVM wins by the full constant; d=38,845
+# (sf1u) the kernel already wins; d=377 k (sf10u) it wins 12+ s.
+_VERIFY_KERNEL_MIN_DISTINCT = 20_000
+
 
 def shingle_hashes(shingles: Column) -> Column:
     """Base hash per shingle, reduced mod 2^31-1. Each shingle STRING
@@ -236,8 +245,10 @@ def _intersect_counts_np(batches):
     hash set per row (measured ~110 us/pair on 600-element int
     arrays); this kernel's per-pair ``np.sort`` + ``searchsorted``
     measures ~15 us, and a one-element cache skips re-sorting
-    consecutive rows that share ``id_a`` (candidates are partitioned
-    by id_a, so runs are common). Exactness is preserved: both arrays
+    consecutive rows that share ``id_a`` (both call sites arrange for
+    runs: this module repartitions candidates by id_a, and
+    operators/ssjoin.py sorts its pairs by id_a within partitions
+    before handing them over). Exactness is preserved: both arrays
     are distinct by construction, so the match count IS |A ∩ B| —
     bit-identical to the JVM form; the Jaccard division/round stays
     JVM-side so float semantics never cross the boundary.
@@ -323,6 +334,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     output: str = "pairs",
+    verify_kernel: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH.
 
@@ -375,6 +387,10 @@ def minhash_lsh_pairs(
     """
     if output not in ("pairs", "clusters"):
         raise ValueError(f"output must be 'pairs' or 'clusters', got {output!r}")
+    if verify_kernel not in ("auto", "arrow", "jvm"):
+        raise ValueError(
+            f"verify_kernel must be 'auto', 'arrow' or 'jvm', got {verify_kernel!r}"
+        )
     rows_per_band = num_hashes // bands
     n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     # duplication profile: one 1-row aggregate over (id, content-hash)
@@ -388,17 +404,35 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col).cast("string")).alias("__th"),
     ).localCheckpoint(eager=False)
+    prof = members.agg(
+        F.count("*").alias("n"), F.countDistinct("__th").alias("d")
+    ).first()
     if output == "clusters":
-        # cluster output NEEDS the cluster structure; no profile to run
+        # cluster output NEEDS the cluster structure; the profile still
+        # runs — it picks the verify branch below (and its action
+        # materializes the members checkpoint the sizes agg reuses)
         collapse = True
     else:
-        prof = members.agg(
-            F.count("*").alias("n"), F.countDistinct("__th").alias("d")
-        ).first()
         # collapse pays only when duplicate mass is material: the
         # expansion adds ~4 keyed joins, worth it when clusters shrink
         # the candidate stage, pure overhead for a handful of twins
         collapse = prof.d * 100 <= prof.n * 95
+    if verify_kernel == "auto":
+        # The Arrow sort+searchsorted verify kernel wins per pair
+        # (~15 us vs ~110 us for JVM array_intersect's per-row hash-set
+        # build) but pays a flat Python-worker/Arrow round-trip that
+        # only amortizes when the candidate set is large. Candidate
+        # volume scales with DISTINCT text (the pipeline runs on one
+        # representative per distinct text), so the same 1-row profile
+        # that picks the collapse picks the verify branch: measured
+        # crossover sits between d=4,992 (kernel loses ~1.3 s flat,
+        # driver bench sf0.1) and d=38,845 (kernel wins, sf1u); at
+        # d=377 k (sf10u) it wins 12+ s. Both branches are exact on
+        # the distinct hashed-shingle arrays — bit-identical answers
+        # (pinned by tests/test_dedup_similarity.py equivalence test).
+        use_arrow_verify = prof.d >= _VERIFY_KERNEL_MIN_DISTINCT
+    else:
+        use_arrow_verify = verify_kernel == "arrow"
     if collapse:
         # Representative selection as ONE aggregate instead of
         # [groupBy + semi-join + full rescan]: within a __th group
@@ -562,18 +596,35 @@ def minhash_lsh_pairs(
     # union size is set arithmetic (|A ∪ B| = |A| + |B| − |A ∩ B|) —
     # never an array_union per pair; the division and round stay
     # JVM-side so float semantics are unchanged.
-    counted = verified.select("id_a", "id_b", "n_a", "n_b", "h_a", "h_b").mapInPandas(
-        _intersect_counts_np,
-        StructType(
-            [
-                verified.schema["id_a"],
-                verified.schema["id_b"],
-                verified.schema["n_a"],
-                verified.schema["n_b"],
-                StructField("inter", IntegerType()),
-            ]
-        ),
-    )
+    if use_arrow_verify:
+        counted = verified.select(
+            "id_a", "id_b", "n_a", "n_b", "h_a", "h_b"
+        ).mapInPandas(
+            _intersect_counts_np,
+            StructType(
+                [
+                    verified.schema["id_a"],
+                    verified.schema["id_b"],
+                    verified.schema["n_a"],
+                    verified.schema["n_b"],
+                    StructField("inter", IntegerType()),
+                ]
+            ),
+        )
+    else:
+        # small-candidate branch: stay JVM-side and skip the Python
+        # worker round-trip entirely. Both arrays are distinct, so
+        # size(array_intersect) IS |A ∩ B| — the same integer the
+        # kernel emits (coalesce matches its 0 for a null/empty side).
+        counted = verified.select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.coalesce(
+                F.size(F.array_intersect("h_a", "h_b")), F.lit(0)
+            ).alias("inter"),
+        )
     inter = F.col("inter")
     jaccard = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     rep_pairs = (

@@ -88,7 +88,14 @@ def jaccard_similarity_join(
 
     Returns (doc_a, doc_b, inter_grams, union_grams, jac_bp) with
     doc_a < doc_b; the threshold test and jac_bp are pure integer
-    arithmetic, so results are bit-identical across engines.
+    arithmetic. Exactness contract: the verify stage intersects
+    per-gram xxhash64 values, not the gram strings, so results are
+    exact up to hash collisions — P[any collision across a vocabulary
+    of |V| distinct grams] <= |V|^2 / 2^65 (~1e-9 at 1e5-gram
+    vocabularies). If |V| ever approaches 2^30, assign dense gram ids
+    off the df table instead (the fallback noted at the hashing site
+    below); under that bound, results are bit-identical across
+    engines.
 
     Plan shape (all keyed, nothing global):
       1. one scan -> distinct (id, gram) explode;
@@ -247,6 +254,11 @@ def jaccard_similarity_join(
         .join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", "n_a", "n_b", "h_a", "h_b")
+        # local sort, no exchange: the join leaves rows ordered by
+        # id_b, so the kernel's one-element id_a sort cache would
+        # almost never hit; sorting within partitions restores id_a
+        # runs so each left array is sorted once per run, not per pair
+        .sortWithinPartitions("id_a")
     )
     counted = paired.mapInPandas(
         _intersect_counts_np,

@@ -41,6 +41,46 @@ def test_minhash_lsh_finds_planted_near_dups(planted_docs):
     assert not any(3 in p or 5 in p for p in pairs)
 
 
+def test_minhash_verify_branches_bit_identical(spark):
+    """The adaptive verify gate (operators/dedup.py
+    _VERIFY_KERNEL_MIN_DISTINCT) picks JVM array_intersect below the
+    candidate-volume crossover and the Arrow sort+searchsorted kernel
+    above it. Both branches must produce BIT-IDENTICAL answers — same
+    pairs, same rounded jaccard — in both output forms, on a corpus
+    with exact dups, near dups, unrelated docs, and a too-short text
+    (empty shingle set exercises the null/empty intersect edge)."""
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill and the birds sing in the "
+        "garden near the old stone wall every single morning"
+    )
+    rows = [(0, base), (1, base), (2, base.replace("lazy", "sleepy"))]
+    rows += [(3, "tiny"), (4, "tiny")]  # too short to shingle at k=5
+    rows += [
+        (10 + i, f"document number {i} about unrelated topic {i * 7} "
+                 f"with shared boilerplate suffix common to all rows")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for output in ("pairs", "clusters"):
+        got = {}
+        for kern in ("jvm", "arrow"):
+            df = minhash_lsh_pairs(
+                docs,
+                jaccard_threshold=0.2,
+                output=output,
+                verify_kernel=kern,
+            )
+            got[kern] = sorted(tuple(r) for r in df.collect())
+        assert got["jvm"] == got["arrow"], f"branch mismatch for {output}"
+        assert len(got["jvm"]) > 0  # the comparison is not vacuous
+
+
 def test_simhash_hamming_ranks_similarity(planted_docs):
     from pyspark.sql import functions as F
 
