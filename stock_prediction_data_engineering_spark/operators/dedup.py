@@ -20,6 +20,9 @@ Scale posture (the whole point of these operators):
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -299,8 +302,9 @@ def _band_table(
     without a separator). band is part of every downstream join key,
     so only within-band collisions matter, at xxhash64's 2^-64. The
     value is also what minhash_index_write persists: build and probe
-    must run the same code version, the same contract the index
-    already carries for k/num_hashes/bands."""
+    must run the same band-hash format, enforced by the index's
+    ``_meta.json`` format_version (see _MINHASH_INDEX_FORMAT) —
+    bump it if this layout ever changes again."""
     return sigs.select(
         "id",
         *extra,
@@ -777,6 +781,73 @@ def _minhash_base(
     return base, _band_table(sigs, bands, rows_per_band)
 
 
+# Persisted-index format version. The band-hash layout is part of the
+# on-disk contract: build and probe MUST compute band_hash the same
+# way or every probe silently returns zero band matches. History:
+#   1 — band_hash = xxhash64 of a comma-joined STRING of the band's
+#       signature values (retired; no live writer since the native
+#       multi-arg rewrite)
+#   2 — band_hash = multi-argument seed-chained xxhash64 over the
+#       band's signature values as native longs (_band_table)
+_MINHASH_INDEX_FORMAT = 2
+
+
+def _index_meta_path(path: str) -> str:
+    local = path[len("file://"):] if path.startswith("file://") else path
+    return os.path.join(local, "_meta.json")
+
+
+def _index_params(
+    k: int, num_hashes: int, bands: int, n_buckets: int
+) -> dict:
+    return {
+        "format_version": _MINHASH_INDEX_FORMAT,
+        "k": k,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "n_buckets": n_buckets,
+    }
+
+
+def _check_index_meta(path: str, op: str, expected: dict) -> None:
+    """Fail fast when a persisted index does not match the reader's
+    shingle/band/hash parameters or band-hash format. Without this, a
+    parameter or format drift does not error — band hashes simply
+    never collide and the probe returns ZERO matches, which an
+    admission loop would read as "no duplicates, admit everything".
+    An index with data but no ``_meta.json`` predates the metadata
+    contract (i.e. an unknown band-hash format) and is rejected for
+    the same reason."""
+    meta_path = _index_meta_path(path)
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"{op}: no _meta.json under {path!r} — this index predates "
+            "the metadata contract, so its band-hash format is unknown "
+            "and probing it would silently return zero matches. Rebuild "
+            "it with minhash_index_write(mode='overwrite')."
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    mismatched = {
+        key: (meta.get(key), val)
+        for key, val in expected.items()
+        if meta.get(key) != val
+    }
+    if mismatched:
+        detail = ", ".join(
+            f"{key}: index has {have!r}, caller passed {want!r}"
+            for key, (have, want) in sorted(mismatched.items())
+        )
+        raise ValueError(
+            f"{op}: parameter/format mismatch against the persisted "
+            f"index at {path!r} ({detail}). Probing or appending with "
+            "mismatched parameters silently yields zero band matches "
+            "or a mixed-format index; rebuild with "
+            "minhash_index_write(mode='overwrite') or pass the index's "
+            "own parameters."
+        )
+
+
 def minhash_index_write(
     docs: DataFrame,
     path: str,
@@ -816,7 +887,20 @@ def minhash_index_write(
     that already exists in the index just adds members rows plus one
     redundant signature row, which the probe deduplicates
     candidate-bounded.
+
+    The index carries a ``_meta.json`` recording (format_version, k,
+    num_hashes, bands, n_buckets); append and probe validate it and
+    fail fast on mismatch (see _check_index_meta). Appending to an
+    EMPTY path is index creation and writes the meta; appending to a
+    populated pre-meta index is rejected.
     """
+    params = _index_params(k, num_hashes, bands, n_buckets)
+    local_root = _index_meta_path(path).rsplit(os.sep, 1)[0]
+    if mode == "append" and os.path.isdir(os.path.join(local_root, "bands")):
+        # appending to an existing index: validate BEFORE writing a
+        # single row, so a mismatch can never mix two band-hash
+        # formats (or two shingle grains) in one index
+        _check_index_meta(path, "minhash_index_write(mode='append')", params)
     members = docs.select(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col).cast("string")).alias("th"),
@@ -838,6 +922,14 @@ def minhash_index_write(
         f"{path}/hashes"
     )
     members.write.mode(mode).parquet(f"{path}/members")
+    # meta commits last: a crashed overwrite leaves no (or a stale)
+    # meta for partially-written tables, and the reader's check
+    # rejects rather than silently probing a half-built index. Local
+    # json like sources/snapshots.py manifests; an object-store
+    # deployment would route this through the Hadoop FileSystem API
+    # (sources/lake.py note).
+    with open(_index_meta_path(path), "w") as fh:
+        json.dump(params, fh)
 
 
 def minhash_index_probe(
@@ -853,8 +945,9 @@ def minhash_index_probe(
     include_self: bool = False,
 ) -> DataFrame:
     """Find near-duplicates of ``new_docs`` against a persisted index
-    (same shingle/band parameters as the build — the caller owns that
-    contract). Returns (new_id, corpus_id, jaccard).
+    (same shingle/band parameters as the build — enforced against the
+    index's ``_meta.json``, which fails fast instead of silently
+    matching nothing). Returns (new_id, corpus_id, jaccard).
 
     ``include_self=True`` keeps pairs where the SAME id sits on both
     sides. For a plain forensic probe those pairs are noise, but for
@@ -874,6 +967,11 @@ def minhash_index_probe(
     corpus_id) pairs are restored by broadcasting the verified th
     pairs over a map-side scan of ``members/`` — no corpus shuffle
     anywhere, and the expansion cost is the output cardinality."""
+    _check_index_meta(
+        path,
+        "minhash_index_probe",
+        _index_params(k, num_hashes, bands, n_buckets),
+    )
     spark = new_docs.sparkSession
     new_members = new_docs.select(
         F.col(id_col).alias("new_id"),

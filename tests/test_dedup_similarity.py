@@ -514,6 +514,70 @@ def test_minhash_index_append_ingest_loop(spark, tmp_path):
         assert (r.doc_id + 100000, r.doc_id) in twins
 
 
+def test_minhash_index_meta_contract(spark, tmp_path):
+    """The persisted index's _meta.json contract (ADVICE round 9):
+    probe/append against mismatched parameters, a foreign band-hash
+    format version, or a pre-meta index must FAIL FAST instead of
+    silently returning zero band matches / mixing formats."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 200)
+    batch = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 250))
+
+    path = str(tmp_path / "mh_meta")
+    minhash_index_write(corpus, path)
+    meta_path = os.path.join(path, "_meta.json")
+    assert os.path.exists(meta_path)
+
+    # matched params: probe and append both proceed
+    assert minhash_index_probe(batch, path).count() >= 0
+    minhash_index_write(batch, path, mode="append")
+
+    # mismatched shingle/band params fail fast on probe AND append
+    with pytest.raises(ValueError, match="mismatch"):
+        minhash_index_probe(batch, path, k=7)
+    with pytest.raises(ValueError, match="mismatch"):
+        minhash_index_write(batch, path, mode="append", bands=32)
+
+    # a future/foreign band-hash format version is rejected even with
+    # identical parameters
+    meta = json.load(open(meta_path))
+    meta["format_version"] = 1
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="format"):
+        minhash_index_probe(batch, path)
+
+    # a populated pre-meta index (meta file absent) is rejected — its
+    # band-hash format is unknown
+    os.remove(meta_path)
+    with pytest.raises(ValueError, match="_meta.json"):
+        minhash_index_probe(batch, path)
+    with pytest.raises(ValueError, match="_meta.json"):
+        minhash_index_write(batch, path, mode="append")
+
+    # append to an EMPTY path is index creation: proceeds and writes
+    # the meta (the streaming ingest loop's first batch does this)
+    fresh = str(tmp_path / "mh_meta_fresh")
+    minhash_index_write(batch, fresh, mode="append")
+    assert json.load(open(os.path.join(fresh, "_meta.json")))[
+        "format_version"
+    ] >= 2
+    assert minhash_index_probe(batch, fresh).count() >= 0
+
+
 def test_embedding_index_probe_matches_batch_operator(spark, tmp_path):
     """Incremental embedding dedup: probing a persisted LSH index with
     a new batch finds exactly the cross (corpus x new) near-dup pairs
