@@ -93,11 +93,21 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_string_agg",
+    # dual-dialect (round 10): GROUPED ordered aggregation has no
+    # shared syntax (DuckDB wants ORDER BY inside the call, Spark
+    # wants WITHIN GROUP), but the WINDOWED form does — both engines
+    # accept string_agg(x, sep) OVER (... ORDER BY x ROWS BETWEEN
+    # UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) and concatenate in
+    # frame order; DISTINCT collapses the per-row copies back to one
+    # row per group
     oracle="""
-    SELECT r.r_name AS region_name,
-           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
-    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY region_name
+    SELECT DISTINCT region_name,
+           string_agg(n_name, ',') OVER (
+               PARTITION BY region_name ORDER BY n_name
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS nations
+    FROM (SELECT r.r_name AS region_name, n.n_name
+          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey) j
     """,
 )
 def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

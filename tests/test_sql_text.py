@@ -159,6 +159,7 @@ SQL_TEXT_QUERIES = [
     "q_split_leakage",
     "q_stochastic_osc",
     "q_stratified_sample",
+    "q_string_agg",
     "q_string_clean_cast",
     "q_string_functions",
     "q_subquery_correlated",

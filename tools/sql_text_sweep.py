@@ -88,8 +88,10 @@ GAP_REASONS: dict[str, str] = {
     # json
     "q_json_extract": R_JSON,
     "q_map_functions": R_JSON,
-    # one-offs
-    "q_string_agg": "ordered string_agg: DuckDB wants ORDER BY inside the call, Spark wants listagg WITHIN GROUP — no shared form",
+    # one-offs: none. q_string_agg closed in round 10 — grouped
+    # ordered aggregation has no shared syntax, but the WINDOWED
+    # string_agg with an explicit unbounded frame parses and orders
+    # identically on both engines (+ DISTINCT to collapse groups).
 }
 
 
