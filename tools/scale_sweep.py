@@ -45,6 +45,23 @@ def main() -> int:
         "(sf10's contamination audit is 231M rows) but runtime failures "
         "(ANSI overflow, OOM, plan errors) must still surface",
     )
+    ap.add_argument(
+        "--max-compare-rows",
+        type=int,
+        default=0,
+        help="when >0, value-compare only queries whose Spark result has "
+        "at most this many rows; larger answer sets run exec-only with a "
+        "recorded size reason (sf10's contamination audit is 231M rows — "
+        "the driver-side compare, not the query, is what doesn't fit)",
+    )
+    ap.add_argument(
+        "--skip-oracle",
+        default="",
+        help="comma-separated NAME=reason pairs: run the Spark side "
+        "exec-only and record the reason, for queries whose DuckDB "
+        "oracle COMPUTATION is infeasible at this scale (e.g. "
+        "q_similarity_join's brute-force O(n^2) self-join)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -108,6 +125,11 @@ def main() -> int:
         print(f"BOUND VIOLATIONS at {args.sf_dir}: {bound_errs}", flush=True)
 
     only = set(args.only.split(",")) if args.only else None
+    skip_oracle: dict[str, str] = {}
+    if args.skip_oracle:
+        for pair in args.skip_oracle.split(","):
+            n, _, reason = pair.partition("=")
+            skip_oracle[n.strip()] = reason.strip() or "oracle infeasible"
     results: dict[str, dict] = {}
     failures: list[str] = list(bound_errs)
 
@@ -130,6 +152,35 @@ def main() -> int:
                 results[name] = rec
                 print(f"{'OK ' if rec['ok'] else 'FAIL'} {name} "
                       f"rows={rec['rows']} {rec['sec']}s", flush=True)
+                spark.catalog.clearCache()
+                continue
+            skip_reason = skip_oracle.get(name)
+            n_rows = None
+            if has_oracle and skip_reason is None and args.max_compare_rows:
+                # row-bounded compare: the Spark side runs twice (a
+                # distributed count, then the collected compare) —
+                # honest double cost, but it keeps a 231M-row answer
+                # set from ever being collected to the driver
+                n_rows = registry.QUERIES[name](spark, args.sf_dir).count()
+                if n_rows > args.max_compare_rows:
+                    skip_reason = (
+                        f"answer set {n_rows} rows > compare bound "
+                        f"{args.max_compare_rows}"
+                    )
+            if has_oracle and skip_reason is not None:
+                if n_rows is None:
+                    n_rows = registry.QUERIES[name](spark, args.sf_dir).count()
+                rec = {
+                    "ok": bool(n_rows >= 0),
+                    "oracle": False,
+                    "rows": int(n_rows),
+                    "sec": round(time.monotonic() - t0, 3),
+                    "compare_skipped": skip_reason,
+                }
+                results[name] = rec
+                print(f"{'OK ' if rec['ok'] else 'FAIL'} {name} "
+                      f"rows={rec['rows']} {rec['sec']}s "
+                      f"(exec-only: {skip_reason})", flush=True)
                 spark.catalog.clearCache()
                 continue
             sdf = registry.QUERIES[name](spark, args.sf_dir).toPandas()
