@@ -408,35 +408,24 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col).cast("string")).alias("__th"),
     ).localCheckpoint(eager=False)
-    prof = members.agg(
-        F.count("*").alias("n"), F.countDistinct("__th").alias("d")
-    ).first()
+    prof_d: int | None = None
     if output == "clusters":
-        # cluster output NEEDS the cluster structure; the profile still
-        # runs — it picks the verify branch below (and its action
-        # materializes the members checkpoint the sizes agg reuses)
+        # cluster output NEEDS the cluster structure — no collapse
+        # decision to make, so DON'T pay the (count + countDistinct)
+        # profile aggregate here: the interleaved sf1 A/B measured it
+        # at ~1.5 s flat on this path (BENCHDIFF_r10_sf1, 1.6x). The
+        # verify gate's distinct count is read instead off the rep
+        # table the collapse branch materializes anyway (below).
         collapse = True
     else:
+        prof = members.agg(
+            F.count("*").alias("n"), F.countDistinct("__th").alias("d")
+        ).first()
         # collapse pays only when duplicate mass is material: the
         # expansion adds ~4 keyed joins, worth it when clusters shrink
         # the candidate stage, pure overhead for a handful of twins
         collapse = prof.d * 100 <= prof.n * 95
-    if verify_kernel == "auto":
-        # The Arrow sort+searchsorted verify kernel wins per pair
-        # (~15 us vs ~110 us for JVM array_intersect's per-row hash-set
-        # build) but pays a flat Python-worker/Arrow round-trip that
-        # only amortizes when the candidate set is large. Candidate
-        # volume scales with DISTINCT text (the pipeline runs on one
-        # representative per distinct text), so the same 1-row profile
-        # that picks the collapse picks the verify branch: measured
-        # crossover sits between d=4,992 (kernel loses ~1.3 s flat,
-        # driver bench sf0.1) and d=38,845 (kernel wins, sf1u); at
-        # d=377 k (sf10u) it wins 12+ s. Both branches are exact on
-        # the distinct hashed-shingle arrays — bit-identical answers
-        # (pinned by tests/test_dedup_similarity.py equivalence test).
-        use_arrow_verify = prof.d >= _VERIFY_KERNEL_MIN_DISTINCT
-    else:
-        use_arrow_verify = verify_kernel == "arrow"
+        prof_d = prof.d
     if collapse:
         # Representative selection as ONE aggregate instead of
         # [groupBy + semi-join + full rescan]: within a __th group
@@ -456,7 +445,23 @@ def minhash_lsh_pairs(
             .localCheckpoint(eager=False)
         )
         reps = rep_docs.select("__th", "id")
-        base_src = rep_docs.select("id", F.col("__text").alias("__t"))
+        # _spread: the rep aggregate's output is hash-distributed by
+        # __th, but at small DISTINCT counts AQE coalesces that
+        # exchange to ONE partition (few MB of text < the 64 MB
+        # advisory size) and the CPU-heavy shingle/signature stages
+        # below serialize onto a single task — measured +1.2 s on the
+        # sf1 fixture (d=4,992), the real mechanism behind the
+        # round-9 "flat small-scale constant". A user-specified
+        # repartition is exempt from coalescing; it costs one
+        # REP-sized exchange (d rows, never the corpus), noise at
+        # sf10u against the stages it parallelizes.
+        base_src = _spread(rep_docs.select("id", F.col("__text").alias("__t")))
+        if prof_d is None and verify_kernel == "auto":
+            # the gate's distinct count = the rep table's row count: a
+            # count over the checkpoint every later stage reuses, so
+            # the only added cost is one job dispatch — the rep
+            # aggregate itself was going to materialize regardless
+            prof_d = rep_docs.count()
     else:
         # direct pipeline: repartition for shingle/signature CPU
         # parallelism (byte-based input splits would underparallelize
@@ -464,6 +469,23 @@ def minhash_lsh_pairs(
         base_src = _spread(docs).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("__t")
         )
+    if verify_kernel == "auto":
+        # The Arrow sort+searchsorted verify kernel wins per pair
+        # (~15 us vs ~110 us for JVM array_intersect's per-row hash-set
+        # build) but pays a flat Python-worker/Arrow round-trip that
+        # only amortizes when the candidate set is large. Candidate
+        # volume scales with DISTINCT text (the pipeline runs on one
+        # representative per distinct text), so the gate reads the
+        # distinct count — from the pairs path's duplication profile,
+        # or from the cluster path's rep-table count above. Measured
+        # crossover sits between d=4,992 (kernel loses ~1.3 s flat,
+        # driver bench sf0.1) and d=38,845 (kernel wins, sf1u); at
+        # d=377 k (sf10u) it wins 12+ s. Both branches are exact on
+        # the distinct hashed-shingle arrays — bit-identical answers
+        # (pinned by tests/test_dedup_similarity.py equivalence test).
+        use_arrow_verify = prof_d >= _VERIFY_KERNEL_MIN_DISTINCT
+    else:
+        use_arrow_verify = verify_kernel == "arrow"
     # The hashed-shingle table feeds three consumers (signatures and
     # both verify sides); a lazy localCheckpoint computes the
     # shingling once per invocation instead of three times. See
