@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -73,7 +74,10 @@ def main() -> int:
     from stock_prediction_data_engineering_spark.session import get_spark
 
     registry.load_all()
-    spark = get_spark(app_name="scale_sweep", driver_mem="16g")
+    spark = get_spark(
+        app_name="scale_sweep",
+        driver_mem=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
@@ -197,20 +201,36 @@ def main() -> int:
                 "sec": round(time.monotonic() - t0, 3),
             }
         except Exception as exc:  # noqa: BLE001 — fault-isolate per query
+            # stringifying a py4j exception needs a LIVE gateway: after
+            # a JVM death (executor OOM kills local-mode Spark whole)
+            # str(exc) itself raises and used to crash the sweep with
+            # the partial artifact unwritten (round-10 sf10 run)
+            try:
+                msg = f"{type(exc).__name__}: {exc}"[:300]
+            except Exception:  # noqa: BLE001
+                msg = f"{type(exc).__name__}: <unprintable: gateway dead>"
             rec = {
                 "ok": False,
                 "oracle": has_oracle,
                 "rows": -1,
                 "sec": round(time.monotonic() - t0, 3),
-                "err": f"{type(exc).__name__}: {exc}"[:300],
+                "err": msg,
             }
         results[name] = rec
         if not rec["ok"]:
             failures.append(name)
         print(f"{'OK ' if rec['ok'] else 'FAIL'} {name} "
               f"rows={rec['rows']} {rec['sec']}s", flush=True)
-        # evict cached/checkpointed blocks so queries don't interfere
-        spark.catalog.clearCache()
+        # evict cached/checkpointed blocks so queries don't interfere;
+        # if the JVM died, stop sweeping (every remaining query would
+        # fail for the same reason) and write what we have
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            failures.append("__jvm_died__")
+            print("JVM gateway dead — aborting sweep, writing partial "
+                  "results", flush=True)
+            break
 
     out = {
         "sf_dir": args.sf_dir,
