@@ -1641,26 +1641,43 @@ def segment_dedup_clean(
     Returns (id, clean_text, n_segments, n_dropped). Documents whose
     every segment was dropped come back with clean_text = ''.
 
-    Scale shape: segments are counted and canonicalized by ONE
-    map-side-combinable aggregate keyed on md5(segment) — never a
-    rank window partitioned by segment text, which would serialize
-    each hot boilerplate segment's millions of occurrences through a
-    single reducer at 100 TB. The keep decision joins the tiny
-    (hash, first-occurrence, count) aggregate back onto the exploded
-    segments (AQE picks broadcast vs shuffle by measured size), and
-    reconstruction is one doc-keyed aggregate over surviving segments
-    with an in-array sort — no global order anywhere.
+    Scale shape (decide with small rows, move big rows once): every
+    keep/drop decision depends only on (doc, position, md5(segment)) —
+    ~44 bytes per segment — never on the segment text, so the decision
+    pipeline runs entirely on that metadata: segments are counted and
+    canonicalized by ONE map-side-combinable aggregate keyed on
+    md5(segment) — never a rank window partitioned by segment text,
+    which would serialize each hot boilerplate segment's millions of
+    occurrences through a single reducer at 100 TB — and the keep
+    decision joins the (hash, first-occurrence, count) aggregate back
+    onto the exploded metadata (AQE picks broadcast vs shuffle by
+    measured size). Document TEXT crosses exactly one exchange: the
+    per-doc dropped-position lists (ints) are aggregated on metadata
+    and joined to the materialized word arrays by doc id, and each
+    cleaned text is REBUILT IN PLACE from its own word array by
+    slicing the surviving positions — the previous form shuffled the
+    full segment text twice (once by segment hash into the decision
+    join, once by doc id into a collect_list/array_sort rebuild) to
+    move information the 4-byte positions already carry.
     """
     # materialization barrier between the split and the segment
     # lambda: without it CollapseProject inlines split(text) INTO the
     # per-element slice — O(words²/seg_words) re-split per document
     # (the operators/winnow.py trap; verified in the optimized plan).
     # Behind the barrier __ws is a concrete column, so each slice is
-    # O(seg_words) over the materialized array.
-    with_ws = docs.select(
-        F.col(id_col).alias("__id"),
-        F.split(F.col(text_col), " ").alias("__ws"),
-    ).localCheckpoint(eager=False)
+    # O(seg_words) over the materialized array. The barrier also feeds
+    # the rebuild join below, so the split runs once per doc total.
+    # NULL text never segments (posexplode of a null array emits no
+    # rows), so the old seg-table-grained pipeline dropped those docs;
+    # the doc-grained rebuild must filter them explicitly.
+    with_ws = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.split(F.col(text_col), " ").alias("__ws"),
+        )
+        .filter(F.col("__ws").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     ws = F.col("__ws")
     n_seg = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
     segs = F.transform(
@@ -1669,46 +1686,49 @@ def segment_dedup_clean(
             F.slice(ws, (i - F.lit(1)) * seg_words + F.lit(1), seg_words), " "
         ),
     )
-    seg_tbl = with_ws.select(
+    # metadata pass: hash each segment where it is born, project the
+    # text away before anything crosses a shuffle
+    seg_meta = with_ws.select(
         F.col("__id"), F.posexplode(segs).alias("__pos0", "__seg")
     ).select(
         "__id",
         (F.col("__pos0") + 1).alias("__idx"),
-        "__seg",
         F.md5(F.col("__seg")).alias("__h"),
     )
-    firsts = seg_tbl.groupBy("__h").agg(
+    firsts = seg_meta.groupBy("__h").agg(
         F.count("*").alias("__cnt"),
         F.min(F.struct("__id", "__idx")).alias("__first"),
     )
-    kept = seg_tbl.join(firsts, "__h").filter(
-        (F.col("__cnt") == 1)
-        | (
+    # dropped = duplicated segment occurrences that are not the
+    # canonical first: exactly the complement of the old kept filter
+    drops = seg_meta.join(firsts, "__h").filter(
+        (F.col("__cnt") > 1)
+        & ~(
             (F.col("__id") == F.col("__first.__id"))
             & (F.col("__idx") == F.col("__first.__idx"))
         )
     )
-    rebuilt = kept.groupBy("__id").agg(
+    drop_lists = drops.groupBy("__id").agg(
+        F.collect_list("__idx").alias("__dropped")
+    )
+    dropped = F.coalesce(F.col("__dropped"), F.array().cast("array<int>"))
+    # surviving positions in document order: array_except streams its
+    # first argument in order against a hash set of the second, so the
+    # rebuild concatenates segments exactly as the array_sort of the
+    # old collect_list form did
+    kept_idx = F.array_except(F.sequence(F.lit(1), n_seg), dropped)
+    return with_ws.join(drop_lists, "__id", "left").select(
+        F.col("__id").alias(id_col),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__idx", "__seg"))),
-                lambda s: s["__seg"],
+                kept_idx,
+                lambda i: F.array_join(
+                    F.slice(ws, (i - F.lit(1)) * seg_words + F.lit(1), seg_words),
+                    " ",
+                ),
             ),
             " ",
         ).alias("clean_text"),
-        F.count("*").alias("__kept"),
-    )
-    totals = seg_tbl.groupBy("__id").agg(
-        F.count("*").cast("bigint").alias("n_segments")
-    )
-    return (
-        totals.join(rebuilt, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            "n_segments",
-            (
-                F.col("n_segments") - F.coalesce(F.col("__kept"), F.lit(0))
-            ).cast("bigint").alias("n_dropped"),
-        )
+        n_seg.cast("bigint").alias("n_segments"),
+        F.size(dropped).cast("bigint").alias("n_dropped"),
     )
