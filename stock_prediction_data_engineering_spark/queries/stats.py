@@ -392,7 +392,17 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket width — and the exact strict-overlap predicate plus a
     pair-distinct finish it. Join fan-out is bounded by per-bucket
     occupancy, not the corpus; a skewed bucket is a real hotspot in
-    the data, not an artifact of the plan."""
+    the data, not an artifact of the plan.
+
+    merge hints on BOTH self-join inputs (the winnow/minhash
+    estimate-trap class, round 10): the planner sizes the join sides
+    from the pruned pre-explode SCAN estimate — explode does not
+    inflate size estimates — so at sf10 a 20 M-row exploded side
+    still "fits" the 64 MB broadcast threshold and the
+    BroadcastExchange dies in awaitResult after minutes
+    (SWEEP_r10_sf10 first run). Sort-merge keys on
+    (event_type, bucket) and streams; the hint only matters where
+    the estimate lies, and AQE still localizes small shuffles."""
     width_us = 30 * 60 * 1_000_000
     iv = table(spark, sf_dir, "events").select(
         "event_type",
@@ -409,8 +419,8 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    a = bkts.alias("a")
-    b = bkts.alias("b")
+    a = bkts.hint("merge").alias("a")
+    b = bkts.hint("merge").alias("b")
     pairs = (
         a.join(
             b,

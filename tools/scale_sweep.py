@@ -160,18 +160,23 @@ def main() -> int:
                 continue
             skip_reason = skip_oracle.get(name)
             n_rows = None
-            if has_oracle and skip_reason is None and args.max_compare_rows:
-                # row-bounded compare: the Spark side runs twice (a
-                # distributed count, then the collected compare) —
-                # honest double cost, but it keeps a 231M-row answer
-                # set from ever being collected to the driver
+            if skip_reason is None and args.max_compare_rows:
+                # row-bounded compare/collect: the Spark side runs twice
+                # (a distributed count, then the collected compare) —
+                # honest double cost, but it keeps a huge answer set
+                # from ever being collected to the driver. The bound
+                # guards rows-only queries too: their non-empty check
+                # below is a full toPandas(), and q_dedup_minhash's
+                # answer at sf10 is 1.5 B member pairs — collecting it
+                # OOM-killed the whole local-mode JVM (round-10 sweep).
                 n_rows = registry.QUERIES[name](spark, args.sf_dir).count()
                 if n_rows > args.max_compare_rows:
                     skip_reason = (
-                        f"answer set {n_rows} rows > compare bound "
+                        f"answer set {n_rows} rows > "
+                        f"{'compare' if has_oracle else 'collect'} bound "
                         f"{args.max_compare_rows}"
                     )
-            if has_oracle and skip_reason is not None:
+            if skip_reason is not None:
                 if n_rows is None:
                     n_rows = registry.QUERIES[name](spark, args.sf_dir).count()
                 rec = {
