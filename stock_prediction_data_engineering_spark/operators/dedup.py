@@ -65,6 +65,37 @@ _MERSENNE = 2147483647  # 2^31 - 1: keeps a*h+b inside long range
 # (sf1u) the kernel already wins; d=377 k (sf10u) it wins 12+ s.
 _VERIFY_KERNEL_MIN_DISTINCT = 20_000
 
+# Join-strategy gates for sides whose PLANNER estimate is unusable —
+# checkpoint-frozen (LogicalRDD keeps the pre-checkpoint guess) or
+# aggregate-shrunk — so the static planner would broadcast them at any
+# scale (the interval-overlap / winnow estimate-blind class; at sf10u
+# it static-broadcast the 6 M-row band table and BOTH ~450 MB shingle
+# array tables). The gates key on a MEASURED row count the pipeline
+# already has (the duplication profile / rep-table count), against a
+# row bound derived from the session's 64 MB broadcast budget and the
+# side's per-row width — scale-adaptive, not fixture-tuned:
+# ~1.3 KB/row for shingle-hash arrays (≈300 int32s at the corpus'
+# ~300-char texts), ~150 B/row for the packed bucket vectors,
+# ~50 B/row for id/hash/count metadata. The ARRAY bound is sized from
+# guide §3.1's broadcast guidance (a few hundred MB is fine; the hard
+# cap is 8 GB / 512 M rows): 400 k rows ≈ 0.5 GB — measured at sf10u
+# (377 k distinct): broadcast verify beats the shuffle_hash
+# alternative by >4x wall (the pair table amplifies each array ~39x
+# through the second attach exchange, ~17 GB vs one 0.5 GB
+# broadcast). Above the bound the pipeline degrades gracefully to
+# shuffle joins instead of dying in a driver-side build.
+_BROADCAST_MAX_ROWS_ARRAY = 400_000
+_BROADCAST_MAX_ROWS_PACKED = 400_000
+_BROADCAST_MAX_ROWS_META = 1_300_000
+
+
+def _sized(df: DataFrame, rows: int, budget: int, big: str = "merge") -> DataFrame:
+    """Pick the join strategy for ``df`` from a measured row count:
+    explicit broadcast under ``budget`` rows (where it provably fits
+    and wins), an explicit shuffle-join hint above it (where a static
+    broadcast off a frozen estimate would OOM/stall at scale)."""
+    return F.broadcast(df) if rows <= budget else df.hint(big)
+
 
 def shingle_hashes(shingles: Column) -> Column:
     """Base hash per shingle, reduced mod 2^31-1. Each shingle STRING
@@ -258,7 +289,18 @@ def _intersect_counts_np(batches):
 
     int64 internally, so the same kernel serves both 31-bit shingle
     hashes (this module) and full-range xxhash64 gram hashes
-    (operators/ssjoin.py's verify stage)."""
+    (operators/ssjoin.py's verify stage).
+
+    A fully-batch-vectorized variant (tag elements with the pair index
+    in the int64 high bits, one np.sort per batch, count adjacent
+    duplicates) was measured this round and REJECTED: it allocates
+    several ~25-50 MB arrays per batch, and on this host glibc mmaps
+    and munmaps blocks that size on every free, so each batch pays
+    fresh page faults — 19x SLOWER than this loop (1350 vs 15-19
+    us/pair quiet, reproduced with per-step timings; an out=-buffered
+    variant still measured 21 us/pair). The row loop's small
+    arena-recycled temporaries never hit that path. Revisit only with
+    an allocator change."""
     for pdf in batches:
         n = len(pdf)
         out = np.zeros(n, dtype=np.int32)
@@ -409,6 +451,7 @@ def minhash_lsh_pairs(
         F.md5(F.col(text_col).cast("string")).alias("__th"),
     ).localCheckpoint(eager=False)
     prof_d: int | None = None
+    prof_n: int | None = None
     if output == "clusters":
         # cluster output NEEDS the cluster structure — no collapse
         # decision to make, so DON'T pay the (count + countDistinct)
@@ -426,6 +469,7 @@ def minhash_lsh_pairs(
         # the candidate stage, pure overhead for a handful of twins
         collapse = prof.d * 100 <= prof.n * 95
         prof_d = prof.d
+        prof_n = prof.n
     if collapse:
         # Representative selection as ONE aggregate instead of
         # [groupBy + semi-join + full rescan]: within a __th group
@@ -456,11 +500,12 @@ def minhash_lsh_pairs(
         # REP-sized exchange (d rows, never the corpus), noise at
         # sf10u against the stages it parallelizes.
         base_src = _spread(rep_docs.select("id", F.col("__text").alias("__t")))
-        if prof_d is None and verify_kernel == "auto":
-            # the gate's distinct count = the rep table's row count: a
-            # count over the checkpoint every later stage reuses, so
-            # the only added cost is one job dispatch — the rep
-            # aggregate itself was going to materialize regardless
+        if prof_d is None:
+            # the distinct count = the rep table's row count: a count
+            # over the checkpoint every later stage reuses, so the
+            # only added cost is one job dispatch — the rep aggregate
+            # itself was going to materialize regardless. It feeds the
+            # verify-kernel gate AND the join-strategy gates below.
             prof_d = rep_docs.count()
     else:
         # direct pipeline: repartition for shingle/signature CPU
@@ -515,44 +560,76 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=False)
     )
 
-    # The band table is SELF-joined, so without materialization the
-    # Arrow minhash kernel — the pipeline's one Python stage — would
-    # execute twice (once per join side). Checkpointing stores only
-    # (id, n, band, band_hash): ~32 bytes/band, never the arrays. The
-    # set SIZE rides along so the length filter below can run INSIDE
-    # the join, before dropDuplicates ever sees the pruned rows.
-    banded = _band_table(sp, bands, rows_per_band, extra=("n",)).localCheckpoint(
-        eager=False
-    )
+    # The band table feeds exactly one consumer (the bucket groupBy
+    # below), so it needs no materialization barrier of its own — the
+    # expensive inputs behind it (the Arrow minhash kernel) are already
+    # checkpointed in ``sp``. The set SIZE rides along so the length
+    # filter can run during pair generation, before dropDuplicates
+    # ever sees the pruned rows.
+    banded = _band_table(sp, bands, rows_per_band, extra=("n",))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    # lossless size filter IN the join condition:
-    # J(A,B) <= min(|A|,|B|) / max(|A|,|B|) (intersection is at most
-    # the smaller set, union at least the larger — the PPJoin length
-    # filter, operators/ssjoin.py), so pairs whose set sizes are too
-    # far apart can never clear the threshold and are dropped before
+    # Candidate generation by BUCKET GROUPING, not a band-table
+    # self-join (§2.3/§2.4): group the band table once by
+    # (band, band_hash), collect each bucket's (id, n) members sorted
+    # by id, and stream every within-bucket pair out of two Generates.
+    # The self-join form read the 6 M-row (at sf10u) band table twice
+    # and — because the checkpoint's frozen estimate undercuts the
+    # 64 MB auto threshold at EVERY scale — static-broadcast one full
+    # copy of it (a serial driver-side HashedRelation build that dies
+    # first at 100 TB: the interval-overlap estimate-blind class).
+    # The grouped form's only exchange carries the same (id, n) rows
+    # exactly once, partially collected map-side; pair expansion is
+    # streamed (never materialized per bucket beyond the member list,
+    # which the join form also buffered per key). array_sort makes
+    # the bucket order deterministic and gives id_a < id_b for free.
+    #
+    # The lossless size filter stays (J(A,B) <= min/max of set sizes —
+    # the PPJoin length filter): size-mismatched pairs drop before
     # they cost dedup or verify work. The 5e-5 slack mirrors the
     # round(jaccard, 4) in the final filter (a true J of t - 0.00004
     # still rounds up to t). At sf10u this cuts 14.6 M candidates to
-    # 9.4 M with zero extra joins.
+    # 9.4 M with zero extra work.
+    # user-specified repartition on the grouping keys: the aggregate
+    # reuses it (ClusteredDistribution satisfied, no second exchange)
+    # and — unlike the aggregate's own exchange — it is exempt from
+    # AQE byte-based coalescing, which would squeeze the ~28 B/row
+    # band table into a couple of tasks and serialize pair generation
+    # (the same CPU-vs-bytes mismatch as the candidate repartition
+    # below and the _spread rep-table fix).
+    buckets = (
+        banded.repartition(n_parts, "band", "band_hash")
+        .groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "n"))).alias("__ms"))
+        .filter(F.size("__ms") >= 2)
+        .select("__ms")
+    )
     cands = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id"))
-            & (
-                F.least("l.n", "r.n").cast("double")
-                >= (jaccard_threshold - 5e-5) * F.greatest("l.n", "r.n")
-            ),
+        buckets.select(
+            "__ms", F.posexplode("__ms").alias("__i0", "__a")
+        )
+        .filter(F.col("__i0") < F.size("__ms") - 1)
+        .select(
+            F.col("__a.id").alias("id_a"),
+            F.col("__a.n").alias("n_a"),
+            F.explode(
+                F.slice(
+                    "__ms",
+                    F.col("__i0") + F.lit(2),
+                    F.size("__ms") - F.col("__i0") - F.lit(1),
+                )
+            ).alias("__b"),
         )
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.n").alias("n_a"),
-            F.col("r.n").alias("n_b"),
+            "id_a",
+            F.col("__b.id").alias("id_b"),
+            "n_a",
+            F.col("__b.n").alias("n_b"),
         )
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= (jaccard_threshold - 5e-5) * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
         .repartition(n_parts, "id_a")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -580,23 +657,34 @@ def minhash_lsh_pairs(
     # LOW thresholds it can prove almost nothing and the two 9 M-row
     # joins are pure overhead — gated off below 0.5 (the clusters
     # query verifies at 0.2, where ~60% of candidates genuinely pass
-    # and must be exactly intersected anyway). merge hints: the packed
-    # table scales with distinct text and descends from a checkpoint
-    # whose frozen-tiny size estimate would otherwise force a static
-    # broadcast (the operators/winnow.py sf10u maxResultSize trap).
+    # and must be exactly intersected anyway). Join strategy gated on
+    # the MEASURED distinct count (_sized): the packed table scales
+    # with distinct text and descends from a checkpoint whose
+    # frozen-tiny size estimate would otherwise force a static
+    # broadcast at every scale (the operators/winnow.py sf10u
+    # maxResultSize trap) — broadcast is chosen only where the
+    # measured count proves it fits.
     if jaccard_threshold >= 0.5:
         pk = sp.select("id", "packed")
         cands = (
             cands.join(
-                pk.select(
-                    F.col("id").alias("id_a"), F.col("packed").alias("pk_a")
-                ).hint("merge"),
+                _sized(
+                    pk.select(
+                        F.col("id").alias("id_a"), F.col("packed").alias("pk_a")
+                    ),
+                    prof_d,
+                    _BROADCAST_MAX_ROWS_PACKED,
+                ),
                 "id_a",
             )
             .join(
-                pk.select(
-                    F.col("id").alias("id_b"), F.col("packed").alias("pk_b")
-                ).hint("merge"),
+                _sized(
+                    pk.select(
+                        F.col("id").alias("id_b"), F.col("packed").alias("pk_b")
+                    ),
+                    prof_d,
+                    _BROADCAST_MAX_ROWS_PACKED,
+                ),
                 "id_b",
             )
         )
@@ -610,9 +698,37 @@ def minhash_lsh_pairs(
                 * (F.col("n_a") + F.col("n_b") - ub)
             )
         ).select("id_a", "id_b", "n_a", "n_b")
-    ha = base.select(F.col("id").alias("id_a"), F.col("sh_hashes").alias("h_a"))
-    hb = base.select(F.col("id").alias("id_b"), F.col("sh_hashes").alias("h_b"))
-    verified = cands.join(ha, "id_a").join(hb, "id_b")
+    # Array-attach joins, strategy gated on the measured distinct
+    # count: below the budget the (provably small) array table is
+    # explicitly broadcast — the same plan the static planner picked,
+    # now justified by a measurement instead of a frozen checkpoint
+    # estimate. Above it, shuffle_hash: the array side is hashed per
+    # partition (d * ~1.3 KB / parts, a few MB) and the pair side
+    # streams WITHOUT the sort a merge join would impose on millions
+    # of array-carrying rows. At sf10u the static plan used to build
+    # TWO ~450 MB broadcasts of this table (driver-serial, and the
+    # first thing to die at 100 TB).
+    ha = _sized(
+        base.select(F.col("id").alias("id_a"), F.col("sh_hashes").alias("h_a")),
+        prof_d,
+        _BROADCAST_MAX_ROWS_ARRAY,
+        big="shuffle_hash",
+    )
+    hb = _sized(
+        base.select(F.col("id").alias("id_b"), F.col("sh_hashes").alias("h_b")),
+        prof_d,
+        _BROADCAST_MAX_ROWS_ARRAY,
+        big="shuffle_hash",
+    )
+    # local sort of the SKINNY pair table (24 B rows, no exchange)
+    # before the arrays attach: dropDuplicates' hash aggregate emits
+    # id_a in hash-table order, so without this the verify kernel's
+    # one-element sort cache almost never hits; sorted runs make each
+    # left array sort once per ~#partners pairs (the same arrangement
+    # operators/ssjoin.py feeds the shared kernel)
+    verified = (
+        cands.sortWithinPartitions("id_a").join(ha, "id_a").join(hb, "id_b")
+    )
     # Exact |A ∩ B| via the sort+searchsorted Arrow kernel (see
     # _intersect_counts_np — ~7x faster per pair than JVM
     # array_intersect's per-row hash-set build, and at low thresholds
@@ -663,21 +779,32 @@ def minhash_lsh_pairs(
         rep_sz = reps.select(F.col("id").alias("rid"), "__th").join(
             sizes, "__th"
         )
-        # merge hints: rep_sz scales with distinct content and its
-        # lineage passes through an aggregate whose frozen-tiny size
-        # estimate would otherwise force a static broadcast (the
-        # operators/winnow.py sf10u maxResultSize trap)
+        # join strategy gated on the measured distinct count (_sized):
+        # rep_sz scales with distinct content and its lineage passes
+        # through an aggregate whose frozen-tiny size estimate would
+        # otherwise force a static broadcast at any scale (the
+        # operators/winnow.py sf10u maxResultSize trap); below the
+        # metadata byte budget the broadcast is measured-safe and
+        # skips two shuffles of the verified-pair table
         cross_cl = (
             rep_pairs.join(
-                rep_sz.select(
-                    F.col("rid").alias("id_a"), F.col("m").alias("members_a")
-                ).hint("merge"),
+                _sized(
+                    rep_sz.select(
+                        F.col("rid").alias("id_a"), F.col("m").alias("members_a")
+                    ),
+                    prof_d,
+                    _BROADCAST_MAX_ROWS_META,
+                ),
                 "id_a",
             )
             .join(
-                rep_sz.select(
-                    F.col("rid").alias("id_b"), F.col("m").alias("members_b")
-                ).hint("merge"),
+                _sized(
+                    rep_sz.select(
+                        F.col("rid").alias("id_b"), F.col("m").alias("members_b")
+                    ),
+                    prof_d,
+                    _BROADCAST_MAX_ROWS_META,
+                ),
                 "id_b",
             )
             .select(
@@ -695,7 +822,11 @@ def minhash_lsh_pairs(
         # matching the pair form's exclusion of empty-shingle twins
         intra_cl = (
             rep_sz.join(
-                base.filter(F.size("sh_hashes") > 0).select("id"),
+                _sized(
+                    base.filter(F.size("sh_hashes") > 0).select("id"),
+                    prof_d,
+                    _BROADCAST_MAX_ROWS_META,
+                ),
                 F.col("rid") == F.col("id"),
                 "left_semi",
             )
@@ -720,29 +851,49 @@ def minhash_lsh_pairs(
     # id_a < id_b invariant and no cross pair can collide with an
     # intra pair. The expansion is output-cardinality-bound — exactly
     # the rows the uncollapsed pipeline would have verified one by one.
+    # strategy gates: rep_th is d rows, members n rows — both descend
+    # from checkpoints whose frozen estimates would static-broadcast
+    # them at any scale; broadcast only where the measured count fits
+    # the metadata byte budget
     rep_th = reps.select(F.col("id").alias("rid"), "__th")
     cross = (
         rep_pairs.join(
-            rep_th.select(
-                F.col("rid").alias("id_a"), F.col("__th").alias("__th_a")
+            _sized(
+                rep_th.select(
+                    F.col("rid").alias("id_a"), F.col("__th").alias("__th_a")
+                ),
+                prof_d,
+                _BROADCAST_MAX_ROWS_META,
             ),
             "id_a",
         )
         .join(
-            rep_th.select(
-                F.col("rid").alias("id_b"), F.col("__th").alias("__th_b")
+            _sized(
+                rep_th.select(
+                    F.col("rid").alias("id_b"), F.col("__th").alias("__th_b")
+                ),
+                prof_d,
+                _BROADCAST_MAX_ROWS_META,
             ),
             "id_b",
         )
         .join(
-            members.select(
-                F.col("__th").alias("__th_a"), F.col("id").alias("a_id")
+            _sized(
+                members.select(
+                    F.col("__th").alias("__th_a"), F.col("id").alias("a_id")
+                ),
+                prof_n,
+                _BROADCAST_MAX_ROWS_META,
             ),
             "__th_a",
         )
         .join(
-            members.select(
-                F.col("__th").alias("__th_b"), F.col("id").alias("b_id")
+            _sized(
+                members.select(
+                    F.col("__th").alias("__th_b"), F.col("id").alias("b_id")
+                ),
+                prof_n,
+                _BROADCAST_MAX_ROWS_META,
             ),
             "__th_b",
         )
@@ -760,10 +911,18 @@ def minhash_lsh_pairs(
     shingleable_th = (
         base.filter(F.size("sh_hashes") > 0)
         .select("id")
-        .join(rep_th, F.col("id") == F.col("rid"), "inner")
+        .join(
+            _sized(rep_th, prof_d, _BROADCAST_MAX_ROWS_META),
+            F.col("id") == F.col("rid"),
+            "inner",
+        )
         .select("__th")
     )
-    mm = members.join(shingleable_th, "__th", "left_semi")
+    mm = members.join(
+        _sized(shingleable_th, prof_d, _BROADCAST_MAX_ROWS_META),
+        "__th",
+        "left_semi",
+    )
     intra = (
         mm.alias("x")
         .join(
@@ -1687,13 +1846,23 @@ def segment_dedup_clean(
         ),
     )
     # metadata pass: hash each segment where it is born, project the
-    # text away before anything crosses a shuffle
-    seg_meta = with_ws.select(
-        F.col("__id"), F.posexplode(segs).alias("__pos0", "__seg")
-    ).select(
-        "__id",
-        (F.col("__pos0") + 1).alias("__idx"),
-        F.md5(F.col("__seg")).alias("__h"),
+    # text away before anything crosses a shuffle. seg_meta feeds two
+    # consumers (the first-occurrence aggregate and the decision join);
+    # without a materialization barrier each consumer re-runs the
+    # segment construction — the round-10 after-plan still carried TWO
+    # Generate posexplode nodes. The checkpoint stores only
+    # (__id, __idx, __h) ≈ 44 B/segment, never text, so the explode +
+    # md5 runs once per invocation.
+    seg_meta = (
+        with_ws.select(
+            F.col("__id"), F.posexplode(segs).alias("__pos0", "__seg")
+        )
+        .select(
+            "__id",
+            (F.col("__pos0") + 1).alias("__idx"),
+            F.md5(F.col("__seg")).alias("__h"),
+        )
+        .localCheckpoint(eager=False)
     )
     firsts = seg_meta.groupBy("__h").agg(
         F.count("*").alias("__cnt"),

@@ -81,6 +81,98 @@ def test_minhash_verify_branches_bit_identical(spark):
         assert len(got["jvm"]) > 0  # the comparison is not vacuous
 
 
+def test_minhash_bucket_candidates_match_self_join(spark):
+    """Round-11 candidate-stage rewrite: pair generation by grouping
+    each (band, band_hash) bucket and streaming within-bucket pairs
+    must produce EXACTLY the candidate set of the old band-table
+    self-join (id_a < id_b, same length filter). The reference
+    self-join is reconstructed inline from the same module internals
+    over a corpus with exact dups, near dups, and unrelated rows."""
+    from pyspark.sql import functions as F
+
+    from stock_prediction_data_engineering_spark.operators.dedup import (
+        _band_table,
+        hashed_shingle_set,
+        minhash_signature_packed_np,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill and the birds sing in the "
+        "garden near the old stone wall every single morning"
+    )
+    rows = [(0, base), (1, base.replace("lazy", "sleepy"))]
+    rows += [
+        (10 + i, f"document number {i} about unrelated topic {i * 7} "
+                 f"with shared boilerplate suffix common to all rows")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    thr = 0.2
+    sp = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.size(hashed_shingle_set("text", 5)).alias("n"),
+            minhash_signature_packed_np(64)(
+                hashed_shingle_set("text", 5)
+            ).alias("sp"),
+        )
+        .select("id", "n", F.col("sp.sig").alias("sig"))
+    )
+    banded = _band_table(sp, 16, 4, extra=("n",)).localCheckpoint()
+
+    # reference: the pre-round-11 self-join form
+    left, right = banded.alias("l"), banded.alias("r")
+    ref = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (
+                F.least("l.n", "r.n").cast("double")
+                >= (thr - 5e-5) * F.greatest("l.n", "r.n")
+            ),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # round-11 form: bucket grouping + streamed pair explode
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "n"))).alias("__ms"))
+        .filter(F.size("__ms") >= 2)
+        .select("__ms")
+    )
+    got = (
+        buckets.select("__ms", F.posexplode("__ms").alias("__i0", "__a"))
+        .filter(F.col("__i0") < F.size("__ms") - 1)
+        .select(
+            F.col("__a.id").alias("id_a"),
+            F.col("__a.n").alias("n_a"),
+            F.explode(
+                F.slice(
+                    "__ms",
+                    F.col("__i0") + F.lit(2),
+                    F.size("__ms") - F.col("__i0") - F.lit(1),
+                )
+            ).alias("__b"),
+        )
+        .select("id_a", F.col("__b.id").alias("id_b"), "n_a", F.col("__b.n").alias("n_b"))
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= (thr - 5e-5) * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ref_set = sorted(tuple(r) for r in ref.collect())
+    got_set = sorted(tuple(r) for r in got.collect())
+    assert ref_set == got_set
+    assert len(ref_set) > 0  # not vacuous
+
+
 def test_simhash_hamming_ranks_similarity(planted_docs):
     from pyspark.sql import functions as F
 

@@ -64,10 +64,19 @@ def _run_pass(workdir: str, queries: str, sf_dir: str, label: str, i: int) -> di
         cwd=workdir,
         capture_output=True,
         text=True,
-        check=True,
     )
-    line = [l for l in proc.stdout.splitlines() if l.startswith("ABRESULT ")][-1]
-    return json.loads(line[len("ABRESULT "):])
+    # surface the subprocess's own diagnostics on any failure mode: a
+    # non-zero exit OR a missing result marker would otherwise kill a
+    # multi-hour run with no context (advisor r10 item 1)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("ABRESULT ")]
+    if proc.returncode != 0 or not lines:
+        sys.stderr.write(proc.stderr[-8000:])
+        raise RuntimeError(
+            f"A/B pass {i} side={label} failed: rc={proc.returncode}, "
+            f"ABRESULT marker {'missing' if not lines else 'present'}; "
+            f"stderr tail above, stdout tail: {proc.stdout[-1000:]!r}"
+        )
+    return json.loads(lines[-1][len("ABRESULT "):])
 
 
 def main() -> None:
@@ -124,8 +133,11 @@ def main() -> None:
                 fh.write(text + "\n")
         print(text)
     finally:
+        # remove only THIS tool's worktree — .benchab/ is shared with
+        # tools/bench_ab.py, whose live worktrees a full-tree rmtree
+        # would delete mid-bench (advisor r10 item 2)
         subprocess.run(["git", "worktree", "remove", "--force", wt], cwd=REPO)
-        shutil.rmtree(os.path.join(REPO, ".benchab"), ignore_errors=True)
+        shutil.rmtree(wt, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", required=True)
-    ap.add_argument("--suffix", required=True, choices=["before", "after"])
+    # round 11: suffix may carry a scale tag (e.g. after_sf10u) so the
+    # measured-gate branches can be evidenced at the scale where they
+    # flip, not just at sf0.1
+    ap.add_argument("--suffix", required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out-dir", default="plans/r10")
     args = ap.parse_args()

@@ -11,6 +11,21 @@ Checks per plan (rendered optimized plan text):
   'lambdafunction(' marker of a Generate/Project node line.
 - cartesian: CartesianProduct (an unbroadcast cross join).
 - python-udf-scan: BatchEvalPython (row-at-a-time Python UDF).
+- estimate-blind-broadcast (round 11, physical plan): a
+  BroadcastExchange whose subtree contains Generate (explode) or
+  Scan ExistingRDD (localCheckpoint) — the planner sized that
+  broadcast from an estimate that explode does not inflate / a
+  checkpoint froze, so the decision holds at EVERY scale and the
+  build dies first at 100 TB (the q_interval_overlap sf10 kill and
+  the round-8 winnow maxResultSize kill; round 11 found the same
+  class static-broadcasting the 6 M-row band table and two ~450 MB
+  array tables inside q_dedup_minhash_clusters at sf10u).
+  Deliberate, measured broadcasts are exempted by detecting the
+  explicit broadcast hint in the optimized logical plan: a query
+  whose every suspicious BroadcastExchange is matched by an explicit
+  hint (e.g. operators/dedup.py _sized, which broadcasts only below
+  a measured row budget) passes; unhinted suspicious broadcasts
+  flag.
 
 Single-partition windows are already pinned per-query in
 tests/test_plan_shapes.py; this tool focuses on line-level expression
@@ -66,6 +81,40 @@ def _lambda_bodies(line: str) -> list[str]:
     return bodies
 
 
+_SUSPECT_SOURCES = ("Generate", "Scan ExistingRDD")
+
+
+def _tree_depth(line: str) -> int:
+    """Depth of a node line in Spark's simple plan rendering: the
+    offset where the operator text starts (after the ``:  +-`` art).
+    Strictly-greater comparison on this offset identifies subtrees."""
+    m = re.match(r"^([ :|]*)(?:[+:]- )?", line)
+    return len(m.group(0))
+
+
+def suspicious_broadcasts(phys: str) -> int:
+    """Count BroadcastExchange nodes whose subtree contains an
+    explode (Generate) or a localCheckpoint scan (Scan ExistingRDD):
+    both defeat the planner's size estimate (explode does not inflate
+    it; a checkpoint freezes it), so the static broadcast decision is
+    scale-blind."""
+    lines = phys.splitlines()
+    count = 0
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = _tree_depth(ln)
+        for sub in lines[i + 1 :]:
+            if not sub.strip():
+                break
+            if _tree_depth(sub) <= d:
+                break
+            if any(s in sub for s in _SUSPECT_SOURCES):
+                count += 1
+                break
+    return count
+
+
 def lint_plan(plan: str) -> list[str]:
     finds: list[str] = []
     for line in plan.splitlines():
@@ -96,9 +145,27 @@ def main() -> None:
     for name, fn in sorted(registry.QUERIES.items()):
         try:
             df = fn(spark, args.sf_dir)
-            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            qe = df._jdf.queryExecution()
+            plan = qe.optimizedPlan().toString()
+            finds = lint_plan(plan)
+            # estimate-blind broadcast: suspicious physical broadcasts
+            # not covered by explicit (measured/deliberate) broadcast
+            # hints visible in the optimized logical plan. Count-level
+            # matching: a query with as many explicit broadcast hints
+            # as suspicious exchanges passes — per-site textual
+            # matching of physical exchanges to logical hints is not
+            # reliable, and the gated operators hint exactly the sides
+            # that would otherwise flag.
+            phys = qe.executedPlan().toString()
+            s = suspicious_broadcasts(phys)
+            h = plan.count("strategy=broadcast")
+            if s > h:
+                finds.append(f"estimate-blind-broadcast:{s}>{h}")
             finds = [
-                f for f in lint_plan(plan) if (name, f) not in ALLOWLIST
+                f
+                for f in finds
+                if (name, f) not in ALLOWLIST
+                and (name, f.split(":")[0]) not in ALLOWLIST
             ]
             if finds:
                 results[name] = finds
