@@ -589,16 +589,15 @@ def minhash_lsh_pairs(
     # round(jaccard, 4) in the final filter (a true J of t - 0.00004
     # still rounds up to t). At sf10u this cuts 14.6 M candidates to
     # 9.4 M with zero extra work.
-    # user-specified repartition on the grouping keys: the aggregate
-    # reuses it (ClusteredDistribution satisfied, no second exchange)
-    # and — unlike the aggregate's own exchange — it is exempt from
-    # AQE byte-based coalescing, which would squeeze the ~28 B/row
-    # band table into a couple of tasks and serialize pair generation
-    # (the same CPU-vs-bytes mismatch as the candidate repartition
-    # below and the _spread rep-table fix).
+    # The aggregate's own exchange is left to AQE: at sf10u its ~28
+    # B/row input coalesces to a handful of tasks and pair generation
+    # still measured no slower than a pinned-width variant (a
+    # repartition(n_parts, band, band_hash) before the groupBy was
+    # tried and REVERTED — no gain at sf10u, +14% on the sf0.1 bench
+    # row from three extra tiny-task stages), while at 100 TB the band
+    # table's bytes alone keep the stage wide.
     buckets = (
-        banded.repartition(n_parts, "band", "band_hash")
-        .groupBy("band", "band_hash")
+        banded.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list(F.struct("id", "n"))).alias("__ms"))
         .filter(F.size("__ms") >= 2)
         .select("__ms")
