@@ -87,6 +87,14 @@ _VERIFY_KERNEL_MIN_DISTINCT = 20_000
 _BROADCAST_MAX_ROWS_ARRAY = 400_000
 _BROADCAST_MAX_ROWS_PACKED = 400_000
 _BROADCAST_MAX_ROWS_META = 1_300_000
+# segment-dedup decision tables (~70 B/row: md5 + position struct or
+# dropped-position lists): 3 M rows ≈ 200 MB — the measured-good
+# broadcast at sf10u's 2.9 M segments; sort-merge beyond
+_SEG_BROADCAST_MAX_ROWS = 3_000_000
+# inverted-index gram tables (ngram_jaccard): broadcast while the
+# corpus stays under ~50 k docs (x ~45 grams/doc x ~50 B/row ~ 100 MB),
+# sort-merge beyond — mirrors operators/ssjoin.py's vocab gate
+_SSJ_GRAM_BROADCAST_MAX_DOCS = 50_000
 
 
 def _sized(df: DataFrame, rows: int, budget: int, big: str = "merge") -> DataFrame:
@@ -774,9 +782,12 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     if output == "clusters":
+        # sizes is a d-row aggregate over a checkpoint scan — gate its
+        # join the same way as every other frozen-estimate side (the
+        # planner would otherwise static-broadcast it at any scale)
         sizes = members.groupBy("__th").agg(F.count("*").alias("m"))
         rep_sz = reps.select(F.col("id").alias("rid"), "__th").join(
-            sizes, "__th"
+            _sized(sizes, prof_d, _BROADCAST_MAX_ROWS_META), "__th"
         )
         # join strategy gated on the measured distinct count (_sized):
         # rep_sz scales with distinct content and its lineage passes
@@ -1418,10 +1429,19 @@ def ngram_jaccard_pairs(
         "id", grams.alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     inv = base.select("id", "n_grams", F.explode("grams").alias("gram"))
+    # measured join gate (round-11 estimate-blind-broadcast audit):
+    # the inverted-index self-joins and the verify array attaches all
+    # descend from the words checkpoint, whose frozen estimate made
+    # the planner static-broadcast one full copy of the corpus-scaled
+    # gram table at 377 k docs. One cheap count over the checkpoint
+    # (materialized by the query anyway) keys the strategy: broadcast
+    # while it provably fits, sort-merge beyond.
+    n_docs = words_df.count()
 
     if max_doc_frequency is None:
         # single-shuffle count path: shared-gram counts double as the
         # exact intersection size because every gram survives
+        inv = _sized(inv, n_docs, _SSJ_GRAM_BROADCAST_MAX_DOCS)
         l, r = inv.alias("l"), inv.alias("r")
         shared = (
             l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
@@ -1451,7 +1471,11 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") > max_doc_frequency)
         .select("gram")
     )
-    capped = inv.join(F.broadcast(hot), "gram", "left_anti")
+    capped = _sized(
+        inv.join(F.broadcast(hot), "gram", "left_anti"),
+        n_docs,
+        _SSJ_GRAM_BROADCAST_MAX_DOCS,
+    )
     lc, rc = capped.alias("l"), capped.alias("r")
     cands = (
         lc.join(rc, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
@@ -1460,8 +1484,16 @@ def ngram_jaccard_pairs(
     )
     # exact verify on the (candidate-bounded) pair set: join the full
     # gram arrays back so values match the uncapped computation
-    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
-    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    ga = _sized(
+        base.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a")),
+        n_docs,
+        _BROADCAST_MAX_ROWS_ARRAY,
+    )
+    gb = _sized(
+        base.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b")),
+        n_docs,
+        _BROADCAST_MAX_ROWS_ARRAY,
+    )
     verified = cands.join(ga, "id_a").join(gb, "id_b")
     shared_sz = F.size(F.array_intersect("g_a", "g_b")).cast("double")
     jaccard = shared_sz / (F.size("g_a") + F.size("g_b") - shared_sz)
@@ -1863,13 +1895,26 @@ def segment_dedup_clean(
         )
         .localCheckpoint(eager=False)
     )
+    # join-strategy gate from a MEASURED count (the _sized pattern):
+    # firsts and drop_lists are aggregates over checkpoint scans, so
+    # the static planner broadcasts them off frozen estimates at EVERY
+    # scale (round-11 plan audit: both joins were BroadcastHashJoin at
+    # sf10u, a ~200 MB build that happens to win there but is
+    # scale-blind). seg_meta is checkpointed — its count (total
+    # segments, an upper bound for both sides' rows at ~70 B/row) is
+    # one cheap job over work the query materializes anyway; 3 M rows
+    # ≈ 200 MB matches the measured-good sf10u broadcast, beyond that
+    # the joins degrade to sort-merge instead of a driver-side build.
+    seg_count = seg_meta.count()
     firsts = seg_meta.groupBy("__h").agg(
         F.count("*").alias("__cnt"),
         F.min(F.struct("__id", "__idx")).alias("__first"),
     )
     # dropped = duplicated segment occurrences that are not the
     # canonical first: exactly the complement of the old kept filter
-    drops = seg_meta.join(firsts, "__h").filter(
+    drops = seg_meta.join(
+        _sized(firsts, seg_count, _SEG_BROADCAST_MAX_ROWS), "__h"
+    ).filter(
         (F.col("__cnt") > 1)
         & ~(
             (F.col("__id") == F.col("__first.__id"))
@@ -1885,7 +1930,11 @@ def segment_dedup_clean(
     # rebuild concatenates segments exactly as the array_sort of the
     # old collect_list form did
     kept_idx = F.array_except(F.sequence(F.lit(1), n_seg), dropped)
-    return with_ws.join(drop_lists, "__id", "left").select(
+    return with_ws.join(
+        _sized(drop_lists, seg_count, _SEG_BROADCAST_MAX_ROWS),
+        "__id",
+        "left",
+    ).select(
         F.col("__id").alias(id_col),
         F.array_join(
             F.transform(

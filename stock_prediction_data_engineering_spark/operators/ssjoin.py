@@ -29,7 +29,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
-from .dedup import _intersect_counts_np
+from .dedup import (
+    _BROADCAST_MAX_ROWS_ARRAY,
+    _BROADCAST_MAX_ROWS_META,
+    _intersect_counts_np,
+    _sized,
+)
+
+# d (distinct texts) above which the gram-df and prefix tables stop
+# being broadcast: vocabulary scales ~linearly with distinct text
+# (pseudo-unique corpora), so 50 k docs x ~45 grams/doc x ~50 B/row
+# ~ 100 MB is the last measured-sane build; beyond, sort-merge. The
+# round-11 plan audit found the static planner broadcasting the
+# 16 M-row gram-df table and one full prefix side at 377 k docs
+# (~GB-class builds that only survive in local mode).
+_SSJ_BROADCAST_MAX_D_VOCAB = 50_000
 
 
 def split_words(text: Column | str) -> Column:
@@ -182,7 +196,9 @@ def jaccard_similarity_join(
     grams = arrs.select("id", "n", F.explode("arr").alias("gram"))
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
 
-    ranked = grams.join(dfreq, "gram").withColumn(
+    ranked = grams.join(
+        _sized(dfreq, prof.d, _SSJ_BROADCAST_MAX_D_VOCAB), "gram"
+    ).withColumn(
         "rnk",
         F.row_number().over(
             Window.partitionBy("id").orderBy("df", "gram")
@@ -208,6 +224,11 @@ def jaccard_similarity_join(
     # can overlap at most 1 + min(na-pa, nb-pb) grams, which must
     # reach the required overlap ceil(t/(1+t)*(na+nb)) — both checks
     # integer cross-multiplied, no float
+    # candidate self-join: gate the build side the same way — the
+    # prefix table scales with corpus grams, and the static planner
+    # broadcast one full copy of it at 377 k docs off the checkpoint's
+    # frozen estimate
+    pref = _sized(pref, prof.d, _SSJ_BROADCAST_MAX_D_VOCAB)
     a = pref.alias("a")
     b = pref.alias("b")
     nsum = F.col("a.n") + F.col("b.n")
@@ -243,11 +264,21 @@ def jaccard_similarity_join(
     # repartition, because the array payloads make any additional
     # exchange the dominant cost (measured: a post-join pair
     # repartition was pure overhead).
-    va = arrs.select(
-        F.col("id").alias("id_a"), F.col("harr").alias("h_a"), F.col("n").alias("n_a")
+    # verify array attaches: measured gate (broadcast to ~0.5 GB of
+    # gram-hash arrays — the sf10u-winning plan — merge beyond)
+    va = _sized(
+        arrs.select(
+            F.col("id").alias("id_a"), F.col("harr").alias("h_a"), F.col("n").alias("n_a")
+        ),
+        prof.d,
+        _BROADCAST_MAX_ROWS_ARRAY,
     )
-    vb = arrs.select(
-        F.col("id").alias("id_b"), F.col("harr").alias("h_b"), F.col("n").alias("n_b")
+    vb = _sized(
+        arrs.select(
+            F.col("id").alias("id_b"), F.col("harr").alias("h_b"), F.col("n").alias("n_b")
+        ),
+        prof.d,
+        _BROADCAST_MAX_ROWS_ARRAY,
     )
     paired = (
         cand.select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
@@ -296,29 +327,47 @@ def jaccard_similarity_join(
     # expand representative pairs to member pairs (disjoint clusters:
     # least/greatest restores doc_a < doc_b; cross and intra sets
     # cannot overlap)
+    # expansion-join strategy gated on the measured counts (rep_th is
+    # d rows, members n rows; both checkpoint/agg-descended)
     rep_th = reps.select(F.col("id").alias("rid"), "__th")
     cross = (
         rep_pairs.join(
-            rep_th.select(
-                F.col("rid").alias("doc_a"), F.col("__th").alias("__th_a")
+            _sized(
+                rep_th.select(
+                    F.col("rid").alias("doc_a"), F.col("__th").alias("__th_a")
+                ),
+                prof.d,
+                _BROADCAST_MAX_ROWS_META,
             ),
             "doc_a",
         )
         .join(
-            rep_th.select(
-                F.col("rid").alias("doc_b"), F.col("__th").alias("__th_b")
+            _sized(
+                rep_th.select(
+                    F.col("rid").alias("doc_b"), F.col("__th").alias("__th_b")
+                ),
+                prof.d,
+                _BROADCAST_MAX_ROWS_META,
             ),
             "doc_b",
         )
         .join(
-            members.select(
-                F.col("__th").alias("__th_a"), F.col("id").alias("a_id")
+            _sized(
+                members.select(
+                    F.col("__th").alias("__th_a"), F.col("id").alias("a_id")
+                ),
+                prof.n,
+                _BROADCAST_MAX_ROWS_META,
             ),
             "__th_a",
         )
         .join(
-            members.select(
-                F.col("__th").alias("__th_b"), F.col("id").alias("b_id")
+            _sized(
+                members.select(
+                    F.col("__th").alias("__th_b"), F.col("id").alias("b_id")
+                ),
+                prof.n,
+                _BROADCAST_MAX_ROWS_META,
             ),
             "__th_b",
         )
@@ -335,10 +384,16 @@ def jaccard_similarity_join(
     grammed_th = (
         arrs.filter(F.col("n") > 0)
         .select("id", "n")
-        .join(rep_th, F.col("id") == F.col("rid"), "inner")
+        .join(
+            _sized(rep_th, prof.d, _BROADCAST_MAX_ROWS_META),
+            F.col("id") == F.col("rid"),
+            "inner",
+        )
         .select("__th", "n")
     )
-    mm = members.join(grammed_th, "__th")
+    mm = members.join(
+        _sized(grammed_th, prof.d, _BROADCAST_MAX_ROWS_META), "__th"
+    )
     intra = (
         mm.alias("x")
         .join(

@@ -298,6 +298,16 @@ def contamination_screen(docs: DataFrame) -> DataFrame:
     members = docs.select(
         "doc_id", F.md5(F.col("text").cast("string")).alias("__th")
     ).localCheckpoint(eager=False)
+    # measured join gate (round-11 estimate-blind-broadcast audit):
+    # the member/rep-side joins below descend from this checkpoint and
+    # the planner static-broadcast them at every measured scale off
+    # its frozen estimate (train_m is member-scaled — unbounded). One
+    # count over the checkpoint (materialized by the query anyway)
+    # keys broadcast-vs-merge; today's winning broadcasts are kept
+    # wherever the measured count proves they fit.
+    from ..operators.dedup import _BROADCAST_MAX_ROWS_META, _sized
+
+    n_members = members.count()
     reps = members.groupBy("__th").agg(F.min("doc_id").alias("rid"))
     rep_grams = (
         words.join(reps, F.col("doc_id") == F.col("rid"), "inner")
@@ -318,10 +328,20 @@ def contamination_screen(docs: DataFrame) -> DataFrame:
     # that side before the overlap join (a cluster wholly on one side
     # of the cut contributes nothing)
     t_grams = rep_grams.join(
-        train_m.select("__th").distinct(), "__th", "left_semi"
+        _sized(
+            train_m.select("__th").distinct(),
+            n_members,
+            _BROADCAST_MAX_ROWS_META,
+        ),
+        "__th",
+        "left_semi",
     )
     b_grams = rep_grams.join(
-        bench_sizes.select("__th"), "__th", "left_semi"
+        _sized(
+            bench_sizes.select("__th"), n_members, _BROADCAST_MAX_ROWS_META
+        ),
+        "__th",
+        "left_semi",
     )
     overlap = (
         t_grams.select(F.col("__th").alias("__th_t"), "g")
@@ -334,8 +354,12 @@ def contamination_screen(docs: DataFrame) -> DataFrame:
     # member — the sum, never the expansion
     per_cluster = (
         overlap.join(
-            bench_sizes.select(
-                F.col("__th").alias("__th_b"), "bench_members"
+            _sized(
+                bench_sizes.select(
+                    F.col("__th").alias("__th_b"), "bench_members"
+                ),
+                n_members,
+                _BROADCAST_MAX_ROWS_META,
             ),
             "__th_b",
         )
@@ -344,9 +368,18 @@ def contamination_screen(docs: DataFrame) -> DataFrame:
             F.sum("bench_members").cast("bigint").alias("n_bench_hits"),
             F.max("n_shared").alias("max_shared"),
         )
-        .join(n_g.select(F.col("__th").alias("__th_t"), "n_g"), "__th_t")
+        .join(
+            _sized(
+                n_g.select(F.col("__th").alias("__th_t"), "n_g"),
+                n_members,
+                _BROADCAST_MAX_ROWS_META,
+            ),
+            "__th_t",
+        )
     )
-    return train_m.join(per_cluster, F.col("__th") == F.col("__th_t")).select(
+    return _sized(train_m, n_members, _BROADCAST_MAX_ROWS_META).join(
+        per_cluster, F.col("__th") == F.col("__th_t")
+    ).select(
         F.col("doc_id").alias("train_doc_id"),
         F.col("n_bench_hits"),
         # integer basis points ((a*10000) div b): exact on both engines,
